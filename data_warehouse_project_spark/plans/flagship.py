@@ -1,0 +1,93 @@
+"""Flagship query — the reference's "My Registrations" (E3) semantics
+transplanted onto the driver star schema (SURVEY.md §7.1).
+
+Reference shape (reference db.py:381-402, rendered at app.py:346-365):
+  registrations ⋈ events, plus
+  (a) correlated greatest-per-group filter: keep only the newest
+      registration per (user_id, event_id)  — db.py:394-399
+  (b) correlated top-1 scalar subquery: latest payment_status by
+      payment_date per registration          — db.py:386-390
+  then ORDER BY event_date.
+
+Star-schema transplant:
+  orders ≈ registrations (fact), customer ≈ users (dim),
+  lineitem ≈ payments (activity per order).
+  (a) → keep the newest order per (o_custkey, o_orderstatus), newest =
+        max o_orderkey (the reference's AUTO_INCREMENT-max semantics);
+  (b) → per surviving order, the l_linestatus/l_returnflag of the
+        latest l_shipdate (tiebreak: l_linenumber desc — deterministic
+        tightening of MySQL's LIMIT 1, SURVEY.md §7.4.5);
+  join the customer dim, sort by o_orderdate.
+
+Physical shape at scale: both windows shuffle the facts once on their
+partition keys; the customer join broadcasts (dim ≪ fact); the final
+orderBy is a range-partitioned sort. No driver-side loops — this is
+the de-N+1-ed form of the reference's per-row lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.windows import latest_per_group
+from ..sources.catalog import Catalog
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    orders, lineitem, customer = cat.orders, cat.lineitem, cat.customer
+
+    # (a) newest order per (customer, status) — ref db.py:394-399 analog
+    latest_orders = latest_per_group(
+        orders, ["o_custkey", "o_orderstatus"], ["o_orderkey"]
+    )
+
+    # (b) latest lineitem-derived status per order — ref db.py:386-390 analog
+    latest_line = latest_per_group(
+        lineitem, ["l_orderkey"], ["l_shipdate", "l_linenumber"]
+    ).select(
+        F.col("l_orderkey"),
+        F.col("l_linestatus").alias("latest_linestatus"),
+        F.col("l_returnflag").alias("latest_returnflag"),
+    )
+
+    return (
+        latest_orders
+        .join(F.broadcast(customer), latest_orders.o_custkey == customer.c_custkey)
+        .join(latest_line, latest_orders.o_orderkey == latest_line.l_orderkey, "left")
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "latest_linestatus", "latest_returnflag",
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+    )
+
+
+FLAGSHIP_ORACLE = """
+WITH latest_orders AS (
+    SELECT * FROM (
+        SELECT o.*, ROW_NUMBER() OVER (
+            PARTITION BY o_custkey, o_orderstatus
+            ORDER BY o_orderkey DESC) AS rn
+        FROM orders o) t
+    WHERE rn = 1
+),
+latest_line AS (
+    SELECT l_orderkey,
+           l_linestatus AS latest_linestatus,
+           l_returnflag AS latest_returnflag
+    FROM (
+        SELECT l.*, ROW_NUMBER() OVER (
+            PARTITION BY l_orderkey
+            ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+        FROM lineitem l) t
+    WHERE rn = 1
+)
+SELECT c.c_custkey, c.c_name, lo.o_orderkey, lo.o_orderstatus,
+       lo.o_totalprice, lo.o_orderdate,
+       ll.latest_linestatus, ll.latest_returnflag
+FROM latest_orders lo
+JOIN customer c ON c.c_custkey = lo.o_custkey
+LEFT JOIN latest_line ll ON ll.l_orderkey = lo.o_orderkey
+ORDER BY lo.o_orderdate, lo.o_orderkey
+"""
