@@ -1,0 +1,217 @@
+"""Similarity search over the `embeddings` table (array<float>, dim
+64) — brute-force cosine top-k as the exact baseline, and a
+random-hyperplane LSH bucketed variant as the scale path
+(BASELINE.json training-data-pipeline mandate).
+
+Scale design: brute-force is one broadcast (the query vector) + a
+scan-local score + TakeOrdered — fine for one query over any corpus
+size, linear cost. For many-query / all-pairs workloads the LSH
+variant buckets vectors by hyperplane sign bits so only in-bucket
+candidates are scored: the all-pairs O(n²) never materializes.
+Dot products run through higher-order array functions (zip_with +
+aggregate) entirely JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.compat import fround, sql_fround
+from ..registry import register
+from ..sources.catalog import Catalog
+
+DIM = 64
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+#: cosine(a, b) with double accumulation, expressed with HOFs.
+_COS_EXPR = """
+    aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)),
+              0D, (acc, v) -> acc + v)
+    / (sqrt(aggregate(a, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))
+       * sqrt(aggregate(b, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))
+"""
+
+
+def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of vec_id=0 (self excluded).
+
+    The 1-row query side is a broadcast nested-loop join (the right
+    plan: no shuffle of the corpus); scoring is scan-local; the top-k
+    is a TakeOrdered, not a global sort.
+    """
+    cat = Catalog(spark, sf_dir)
+    query = (cat.embeddings.filter(F.col("vec_id") == QUERY_VEC_ID)
+             .select(F.col("embedding").alias("b")))
+    return (
+        cat.embeddings.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumnRenamed("embedding", "a")
+        .join(F.broadcast(query))
+        .select(
+            "vec_id", "label",
+            fround(F.expr(_COS_EXPR), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+_DUCK_COS = f"""
+    list_sum(list_transform(range(1, {DIM} + 1),
+        i -> (e.embedding::DOUBLE[])[i] * q.b[i]))
+    / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+       * sqrt(list_sum(list_transform(q.b, x -> x * x))))"""
+
+KNN_BRUTE_SQL = f"""
+WITH q AS (
+    SELECT embedding::DOUBLE[] AS b FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+scored AS (
+    SELECT e.vec_id, e.label,
+           {sql_fround(_DUCK_COS, 6)} AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, label, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
+"""
+
+
+def centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm + member count — the vector-aggregate
+    shape (mean pooling) used for IVF coarse quantization. Element-
+    wise mean via posexplode + group, fully built-in."""
+    cat = Catalog(spark, sf_dir)
+    # scaled-integer sums: FP addition is order-dependent and Spark's
+    # partial-agg order is nondeterministic (functions.compat policy)
+    comps = (
+        cat.embeddings
+        .select("label", F.posexplode("embedding").alias("pos", "comp"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(F.floor(F.col("comp").cast("double") * F.lit(1e9)
+                           + F.lit(0.5)).cast("long")).cast("double")
+             / (F.lit(1e9) * F.count("comp"))).alias("mean_comp"),
+        )
+    )
+    return (
+        comps.groupBy("label")
+        .agg(
+            fround(
+                F.sqrt(
+                    F.sum(F.floor(F.col("mean_comp") * F.col("mean_comp")
+                                  * F.lit(1e12) + F.lit(0.5)).cast("long"))
+                    .cast("double") / F.lit(1e12)
+                ), 6,
+            ).alias("centroid_norm"),
+        )
+        .join(
+            cat.embeddings.groupBy("label").agg(F.count("*").alias("n_vectors")),
+            "label",
+        )
+        .select("label", "centroid_norm", "n_vectors")
+    )
+
+
+CENTROID_SQL = f"""
+WITH comps AS (
+    SELECT label, u.pos,
+           CAST(SUM(CAST(FLOOR(u.comp * 1000000000.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / (1000000000.0 * COUNT(u.comp)) AS mean_comp
+    FROM embeddings,
+         LATERAL (SELECT UNNEST(embedding::DOUBLE[]) AS comp,
+                         generate_subscripts(embedding, 1) AS pos) u
+    GROUP BY label, u.pos
+),
+norms AS (
+    SELECT label,
+           {sql_fround("sqrt(CAST(SUM(CAST(FLOOR(mean_comp * mean_comp * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0)", 6)}
+               AS centroid_norm
+    FROM comps GROUP BY label
+)
+SELECT n.label, n.centroid_norm, c.n_vectors
+FROM norms n
+JOIN (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label) c
+  ON n.label = c.label
+"""
+
+
+def _hyperplane_lit(n_planes: int, dim: int, seed: int = 42):
+    """Deterministic pseudo-random ±1 hyperplanes as a literal array —
+    derived from a fixed LCG so the operator needs no external state.
+    """
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(1.0 if (state >> 63) else -1.0)
+        planes.append(row)
+    return F.array(*[
+        F.array(*[F.lit(v) for v in row]) for row in planes
+    ])
+
+
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors of vec_id=0 via random-hyperplane
+    LSH: 8 sign bits → bucket id; only same-bucket vectors are scored.
+
+    No SQL oracle (bucketing is engine-defined); unit tests assert
+    recall ≥ threshold against knn_brute_cosine.
+    """
+    n_planes = 8
+    cat = Catalog(spark, sf_dir)
+    planes = _hyperplane_lit(n_planes, DIM)
+    bucket_bits = [
+        F.when(
+            F.expr(
+                f"aggregate(zip_with(embedding, planes[{i}], "
+                "(x, p) -> cast(x as double) * p), 0D, (acc, v) -> acc + v)"
+            ) > 0, F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(n_planes)
+    ]
+    bucketed = (
+        cat.embeddings
+        .withColumn("planes", planes)
+        .withColumn("bucket", sum(bucket_bits[1:], bucket_bits[0]))
+        .drop("planes")
+    )
+    query = (bucketed.filter(F.col("vec_id") == QUERY_VEC_ID)
+             .select(F.col("embedding").alias("b"),
+                     F.col("bucket").alias("qbucket")))
+    return (
+        bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumnRenamed("embedding", "a")
+        .join(F.broadcast(query), F.col("bucket") == F.col("qbucket"))
+        .select("vec_id", "label",
+                fround(F.expr(_COS_EXPR), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def embedding_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate vectors: group by the full embedding array
+    (array equality) — the embedding-level exact dedup pass."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.embeddings
+        .groupBy("embedding")
+        .agg(F.min("vec_id").alias("keeper_vec_id"),
+             F.count("*").alias("n_copies"))
+        .select("keeper_vec_id", "n_copies")
+    )
+
+
+EMBEDDING_DUP_SQL = """
+SELECT MIN(vec_id) AS keeper_vec_id, COUNT(*) AS n_copies
+FROM embeddings GROUP BY embedding
+"""
+
+
+register("knn_brute_cosine", knn_brute_cosine, KNN_BRUTE_SQL)
+register("centroid_per_label", centroid_per_label, CENTROID_SQL)
+register("ann_lsh_cosine", ann_lsh_cosine, None)
+register("embedding_dup_exact", embedding_dup_exact, EMBEDDING_DUP_SQL)

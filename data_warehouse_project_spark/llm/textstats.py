@@ -1,0 +1,220 @@
+"""Text-analysis operators over the `documents` table — the
+training-data-pipeline surface the reference lacks (BASELINE.json
+north star): quality scoring, language-ID heuristic, token counting,
+document fingerprinting.
+
+Everything is built-in Spark SQL functions (split / regexp /
+higher-order array functions) — no Python UDFs, so the whole stage
+stays in whole-stage codegen and scales linearly with input splits:
+per-document work, no shuffle at all until a final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.compat import fround, sql_fround
+from ..registry import register
+from ..sources.catalog import Catalog
+
+#: tiny fixed stopword list for quality scoring (ratio of function
+#: words — a standard cheap quality signal)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+#: language marker words for the n-gram/stopword language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "y"),
+    "fr": ("le", "la", "les", "et"),
+}
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: token count, mean token length,
+    stopword ratio, and a composite quality score. All arithmetic on
+    arrays via higher-order functions — zero Python."""
+    cat = Catalog(spark, sf_dir)
+    stop_list = _sql_list(STOPWORDS)
+    return (
+        cat.documents
+        .withColumn("tokens", F.split(F.trim(F.col("text")), r"\s+"))
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
+        .withColumn(
+            "n_stopwords",
+            F.expr(f"size(filter(tokens, t -> t IN ({stop_list})))").cast("long"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            fround(
+                (F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+                 / F.col("n_tokens")), 6
+            ).alias("mean_token_len"),
+            fround(F.col("n_stopwords") / F.col("n_tokens"), 6)
+            .alias("stopword_ratio"),
+            fround(
+                F.log(F.lit(1.0) + F.col("n_tokens"))
+                * (F.lit(1.0) - F.col("n_stopwords") / F.col("n_tokens")), 6
+            ).alias("quality_score"),
+        )
+    )
+
+
+_MTL = sql_fround(
+    "length(regexp_replace(text, '\\s+', '', 'g')) / CAST(n_tokens AS DOUBLE)", 6)
+_SWR = sql_fround("n_stopwords / CAST(n_tokens AS DOUBLE)", 6)
+_QSC = sql_fround(
+    "ln(1.0 + n_tokens) * (1.0 - n_stopwords / CAST(n_tokens AS DOUBLE))", 6)
+
+TEXT_QUALITY_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, text,
+           string_split_regex(trim(text), '\\s+') AS tokens
+    FROM documents
+),
+counted AS (
+    SELECT doc_id, text,
+           CAST(len(tokens) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(tokens,
+                t -> t IN ({_sql_list(STOPWORDS)}))) AS BIGINT) AS n_stopwords
+    FROM toks
+)
+SELECT doc_id, n_tokens,
+       {_MTL} AS mean_token_len,
+       {_SWR} AS stopword_ratio,
+       {_QSC} AS quality_score
+FROM counted
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID: score each candidate language by its
+    function-word hits, pick the argmax (ties → lexicographically
+    first language; no hits → 'unknown'). A deliberately cheap,
+    deterministic heuristic — the scale path for 100 TB corpora where
+    model-based LID would be a later, GPU-side pass."""
+    cat = Catalog(spark, sf_dir)
+    df = cat.documents.withColumn(
+        "tokens", F.split(F.trim(F.col("text")), r"\s+"))
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        col = f"score_{lang}"
+        df = df.withColumn(
+            col,
+            F.expr(
+                f"size(filter(tokens, t -> t IN ({_sql_list(markers)})))"
+            ).cast("long"),
+        )
+        score_cols.append(col)
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    pred = F.lit("unknown")
+    # reversed so the first language in sorted order wins ties
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((F.col(f"score_{lang}") == best) & (best > 0),
+                      F.lit(lang)).otherwise(pred)
+    return df.select("doc_id", F.col("lang").alias("labeled_lang"),
+                     *score_cols, pred.alias("predicted_lang"))
+
+
+_lang_score_sql = ",\n       ".join(
+    f"CAST(len(list_filter(tokens, t -> t IN ({_sql_list(m)}))) AS BIGINT)"
+    f" AS score_{lang}"
+    for lang, m in sorted(LANG_MARKERS.items())
+)
+_lang_case_sql = "CASE\n"
+for _lang in sorted(LANG_MARKERS):
+    _lang_case_sql += (
+        f"  WHEN score_{_lang} = best AND best > 0 THEN '{_lang}'\n"
+    )
+_lang_case_sql += "  ELSE 'unknown' END"
+
+LANG_ID_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang AS labeled_lang,
+           string_split_regex(trim(text), '\\s+') AS tokens
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, labeled_lang,
+       {_lang_score_sql}
+    FROM toks
+),
+with_best AS (
+    SELECT *, greatest(score_de, score_en, score_es, score_fr) AS best
+    FROM scored
+)
+SELECT doc_id, labeled_lang, score_de, score_en, score_es, score_fr,
+       {_lang_case_sql} AS predicted_lang
+FROM with_best
+"""
+
+
+def token_count_bpe_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (letter runs,
+    digit runs, single punctuation) — the cheap proxy for LLM token
+    budgeting across a corpus."""
+    cat = Catalog(spark, sf_dir)
+    pattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    return (
+        cat.documents
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pattern), F.lit(0)))
+            .cast("long").alias("n_bpe_tokens"),
+            F.col("n_chars"),
+        )
+        .withColumn(
+            "chars_per_token",
+            fround(F.col("n_chars") / F.col("n_bpe_tokens"), 6),
+        )
+    )
+
+
+_CPT = sql_fround(
+    "n_chars / CAST(len(regexp_extract_all(text,"
+    " '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS DOUBLE)", 6)
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id, source,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+            AS BIGINT) AS n_bpe_tokens,
+       n_chars,
+       {_CPT}
+           AS chars_per_token
+FROM documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 of the whitespace-normalized,
+    lowercased text — the join key for exact dedup across shards
+    (a 100 TB corpus dedups on the 16-byte digest, never shuffling
+    full document bodies)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents
+        .select(
+            "doc_id",
+            F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+            .alias("fingerprint"),
+        )
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+register("text_quality", text_quality, TEXT_QUALITY_SQL)
+register("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL)
+register("token_count_bpe_ish", token_count_bpe_ish, TOKEN_COUNT_SQL)
+register("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL)

@@ -1,0 +1,191 @@
+"""Dimensional warehouse layer: dim/fact views + multi-level
+aggregations (rollup / cube / grouping sets).
+
+The reference's schema is OLTP (users/events/registrations/payments);
+its dimensional reading (SURVEY.md §1.2) maps onto the driver star
+schema as: customer/nation/region/part/supplier → dims, orders/
+lineitem → facts. `build_views` registers the conformed views; the
+queries below are the capability-bar aggregations the reference
+lacks entirely (SURVEY.md §2.4 note).
+
+Scale notes: rollup/cube expand to grouping-set unions *before* the
+shuffle, so cost is (#grouping sets) partial aggregates over one scan
+— not one scan per level. Dim snowflake (nation⋈region) broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.compat import (davg, dsum, dsum_over, sql_davg, sql_dsum,
+                                sql_dsum_over)
+from ..registry import register
+from ..sources.catalog import Catalog
+
+
+def build_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register conformed dim/fact temp views (dim_customer denorm
+    through the nation→region snowflake; facts as-is)."""
+    cat = Catalog(spark, sf_dir)
+    dim_customer = (
+        cat.customer
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal",
+                F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+    dim_customer.createOrReplaceTempView("dim_customer")
+    cat.orders.createOrReplaceTempView("fact_orders")
+    cat.lineitem.createOrReplaceTempView("fact_lineitem")
+
+
+def star_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denormalized star join: fact_orders ⋈ dim_customer (snowflaked
+    through nation/region) — the warehouse's conformed read path."""
+    build_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderkey, o_totalprice, o_orderstatus,
+               c_custkey, c_mktsegment, nation, region
+        FROM fact_orders JOIN dim_customer ON o_custkey = c_custkey
+    """)
+
+
+STAR_DENORM_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderstatus,
+       c_custkey, c_mktsegment, n_name AS nation, r_name AS region
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority): per-combination, per-status,
+    and grand-total rows in one pass."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             dsum(F.col("o_totalprice")).alias("total_price"))
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_lines"),
+             dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: ((status), (priority), ()) — the
+    general form rollup/cube compile to."""
+    cat = Catalog(spark, sf_dir)
+    cat.orders.createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               -- 1e4-style literals: DOUBLE in Spark SQL (x.y literals
+               -- would parse as DECIMAL and change the output type)
+               (FLOOR((CAST(SUM(CAST(FLOOR(o_totalprice * 1e4 + cast(0.5 as double))
+                    AS BIGINT)) AS DOUBLE) / (1e4 * COUNT(o_totalprice)))
+                    * 1e6 + cast(0.5 as double)) / 1e6) AS avg_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {sql_davg('o_totalprice')} AS avg_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows over the payments-like fact (SURVEY.md §2.5
+    engine surface): running sum, lag/lead, rank — per customer by
+    order date. One shuffle on the partition key serves all four
+    window functions (same window frame)."""
+    from pyspark.sql import Window
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return cat.orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        dsum_over(
+            F.col("o_totalprice"),
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running_spend"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+WINDOW_RUNNING_SQL = f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       {sql_dsum_over('o_totalprice', '(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)')} AS running_spend,
+       LAG(o_totalprice, 1) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       LEAD(o_totalprice, 1) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+       ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+"""
+
+
+def top_k_per_group_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per market segment — the generalized
+    top-k-per-group operator (operators.windows) as a query."""
+    from ..operators.windows import top_k_per_group
+    cat = Catalog(spark, sf_dir)
+    joined = cat.orders.join(F.broadcast(cat.customer),
+                             F.col("o_custkey") == F.col("c_custkey"))
+    # descending=True applies to every key; negate the tiebreaker so it
+    # sorts ascending (price DESC, orderkey ASC — deterministic ties)
+    return top_k_per_group(
+        joined, ["c_mktsegment"],
+        [F.col("o_totalprice"), -F.col("o_orderkey")],
+        k=3, descending=True, rank_col="price_rank",
+    ).select("c_mktsegment", "price_rank", "o_orderkey", "o_totalprice")
+
+
+TOP_K_PER_GROUP_SQL = """
+SELECT c_mktsegment, price_rank, o_orderkey, o_totalprice
+FROM (
+    SELECT c_mktsegment, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                              ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+    FROM orders JOIN customer ON o_custkey = c_custkey
+) t WHERE price_rank <= 3
+"""
+
+
+register("star_denorm", star_denorm, STAR_DENORM_SQL)
+register("rollup_status_priority", rollup_status_priority, ROLLUP_SQL)
+register("cube_flags", cube_flags, CUBE_SQL)
+register("grouping_sets_mixed", grouping_sets_mixed, GROUPING_SETS_SQL)
+register("window_running_totals", window_running_totals, WINDOW_RUNNING_SQL)
+register("top_k_per_group", top_k_per_group_query, TOP_K_PER_GROUP_SQL)

@@ -1,0 +1,237 @@
+"""Batch twins of the engine's streaming queries over the `events`
+activity stream (SURVEY.md §2.9).
+
+The reference has no stream processing — its closest analog is the
+registration→payment state machine (reference db.py:342 'Pending' →
+db.py:463 'Success'). The engine's streaming surface (streaming.jobs)
+runs these same queries incrementally with watermarks; each batch
+form here is the oracle-checkable ground truth the streaming tests
+assert parity against (SURVEY.md §5.4).
+
+Scale notes: hourly tumbling aggregation groups on (hour, type) —
+bounded cardinality, partial-agg collapses each scan partition.
+Sessionization is one shuffle on user_id + an in-partition sort (the
+same layout the stateful streaming operator keeps as state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.compat import dsum, sql_dsum
+from ..registry import register
+from ..sources.catalog import Catalog
+
+#: session gap for sessionization (seconds)
+SESSION_GAP_S = 1800
+
+
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation per event_type (streaming:
+    `window(ts, '1 hour')` + watermark; batch: date_trunc)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+EVENTS_TUMBLING_SQL = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup, batch form: first event per (user_id,
+    event_type) by ts (streaming: dropDuplicatesWithinWatermark).
+    Deterministic tiebreak on event_id (SURVEY.md §7.4.5)."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        cat.events
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+EVENTS_DEDUP_SQL = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS rn
+    FROM events
+) t WHERE rn = 1
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-min inactivity gap, batch form
+    (streaming: `session_window(ts, '30 minutes')`).
+
+    Classic gaps-and-islands: flag rows whose gap from the previous
+    event exceeds the threshold, running-sum the flags into session
+    ids, then aggregate per session.
+    """
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        cat.events
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                   > SESSION_GAP_S),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return (
+        flagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("session_value"),
+        )
+    )
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_S}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT *, CAST(SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS session_value
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-min slide, batch form: each event
+    lands in exactly 2 covering windows → explode the window starts
+    then aggregate. (Streaming: `window(ts, '1 hour', '30 minutes')`.)
+    """
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.withColumn(
+        "win_start",
+        F.explode(
+            F.array(
+                F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz"),
+                F.when(
+                    F.minute("ts") >= 30,
+                    (F.date_trunc("hour", F.col("ts"))
+                     + F.expr("INTERVAL 30 MINUTES")).cast("timestamp_ntz"),
+                ).otherwise(
+                    (F.date_trunc("hour", F.col("ts"))
+                     - F.expr("INTERVAL 30 MINUTES")).cast("timestamp_ntz")
+                ),
+            )
+        ),
+    )
+    return (
+        ev.groupBy("win_start", "event_type")
+        .agg(F.count("*").alias("n_events"),
+             dsum(F.col("value")).alias("sum_value"))
+    )
+
+
+EVENTS_SLIDING_SQL = f"""
+WITH exploded AS (
+    SELECT e.*, w.win_start
+    FROM events e, LATERAL (
+        SELECT UNNEST([
+            date_trunc('hour', ts),
+            CASE WHEN EXTRACT(minute FROM ts) >= 30
+                 THEN date_trunc('hour', ts) + INTERVAL 30 MINUTE
+                 ELSE date_trunc('hour', ts) - INTERVAL 30 MINUTE END
+        ]) AS win_start) w
+)
+SELECT win_start, event_type, COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM exploded GROUP BY win_start, event_type
+"""
+
+
+def events_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's registration→payment state machine (db.py:342
+    → db.py:463) as a stream-shaped batch query: per user, did a
+    'signup' lead to a 'purchase', and what was the conversion lag?
+    """
+    cat = Catalog(spark, sf_dir)
+    signups = (
+        cat.events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = (
+        cat.events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return (
+        signups.join(purchases, "user_id", "left")
+        .select(
+            "user_id", "signup_ts", "first_purchase_ts",
+            F.when(
+                F.col("first_purchase_ts") >= F.col("signup_ts"),
+                F.expr(
+                    "(unix_micros(cast(first_purchase_ts as timestamp))"
+                    " - unix_micros(cast(signup_ts as timestamp)))"
+                    " div 1000000"
+                ),
+            ).alias("conversion_lag_s"),
+        )
+    )
+
+
+EVENTS_STATE_MACHINE_SQL = """
+WITH signups AS (
+    SELECT user_id, MIN(ts) AS signup_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+purchases AS (
+    SELECT user_id, MIN(ts) AS first_purchase_ts FROM events
+    WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+       CASE WHEN p.first_purchase_ts >= s.signup_ts
+            THEN CAST((epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts))
+                      // 1000000 AS BIGINT)
+       END AS conversion_lag_s
+FROM signups s LEFT JOIN purchases p ON s.user_id = p.user_id
+"""
+
+
+register("events_tumbling_hourly", events_tumbling_hourly, EVENTS_TUMBLING_SQL)
+register("events_dedup_first", events_dedup_first, EVENTS_DEDUP_SQL)
+register("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL)
+register("events_sliding_windows", events_sliding_windows, EVENTS_SLIDING_SQL)
+register("events_state_machine", events_state_machine, EVENTS_STATE_MACHINE_SQL)
