@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes fully via the noop sink (forces complete
+computation of every output column — unlike count(), which lets
+Catalyst prune the plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_warehouse_project_spark import registry
+from data_warehouse_project_spark.session import get_spark
+
+#: headline queries: the flagship + every workload family
+HEADLINE = [
+    "flagship_my_registrations",   # windows + joins + sort
+    "dashboard_stats",             # de-N+1 grouped aggregates
+    "q1_pricing_summary",          # scan-bound multi-aggregate
+    "q3_shipping_priority",        # 3-way join + top-k
+    "q5_local_supplier_volume",    # 6-table star join
+    "q6_forecast_revenue",         # pushdown scan-aggregate
+    "window_running_totals",       # analytic windows
+    "events_tumbling_hourly",      # stream-shaped aggregation
+    "events_sessionize",           # gaps-and-islands stateful shape
+    "dedup_exact",                 # fingerprint dedup
+    "dedup_minhash_lsh",           # minhash + LSH + verify
+    "knn_brute_cosine",            # vector similarity
+    "text_quality",                # text analysis
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("dwps-bench")
+
+    # Warm-up: touch every input table once (JVM/JIT + file metadata),
+    # untimed — we measure query execution, not session bring-up.
+    from data_warehouse_project_spark.sources.catalog import Catalog
+    from data_warehouse_project_spark.schemas import STAR_TABLES
+    cat = Catalog(spark, sf_dir)
+    for t in STAR_TABLES:
+        cat.table(t).count()
+
+    queries = registry.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_queries_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -32,9 +32,24 @@ JACCARD_THRESHOLD = 0.4
 
 
 def _with_shingles(df: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """tokens → distinct k-word shingles (positional word n-grams)."""
+    """tokens → distinct k-word shingles (positional word n-grams).
+
+    Repartition first: the corpus often arrives as few large files,
+    and shingling is per-row CPU work (higher-order functions are
+    interpreted, not codegen'd) — spread it across all cores before
+    paying it. The partition count is explicit: rows are few but
+    CPU-heavy, and AQE would coalesce a byte-sized implicit shuffle
+    back to one partition.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.withColumn("tokens", F.split(F.trim(F.col("text")), r"\s+"))
+        df.repartition(n_parts, "doc_id")
+        .withColumn("tokens", F.split(F.trim(F.col("text")), r"\s+"))
+        # filter on the CHEAP token count, not on size(shingles):
+        # Catalyst pushes filters below the repartition, and a filter
+        # containing the shingle expression would re-run the whole
+        # (interpreted, expensive) shingling single-threaded at the scan
+        .filter(F.size(F.col("tokens")) >= k)
         .withColumn(
             "shingles",
             F.expr(
@@ -42,7 +57,6 @@ def _with_shingles(df: DataFrame, k: int = SHINGLE_K) -> DataFrame:
                 f" i -> concat_ws(' ', slice(tokens, i + 1, {k}))))"
             ),
         )
-        .filter(F.size("shingles") > 0)
     )
 
 
@@ -142,25 +156,28 @@ WHERE {sql_fround('shared / CAST(n_a + n_b - shared AS DOUBLE)', 6)}
 
 
 def minhash_signatures(df: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """doc_id → array of NUM_HASHES minhash values.
+    """doc_id → array of NUM_HASHES minhash values (from raw docs)."""
+    sh = _with_shingles(df).withColumn("n_shingles", F.size("shingles"))
+    return minhash_signatures_from(sh, num_hashes)
 
-    minhash_j(doc) = min over shingles of xxhash64(shingle, seed=j).
-    Computed as a single higher-order-function projection per seed —
-    per-row JVM work, no shuffle, no UDF.
+
+def minhash_signatures_from(sh: DataFrame,
+                            num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Signatures from a prepared (doc_id, shingles, n_shingles) frame.
+
+    minhash_j(doc) = min over shingles of xxhash64(shingle, j) — the
+    salt argument varies the hash family. One nested higher-order
+    expression produces the whole signature array: per-row JVM work,
+    no shuffle, no UDF, and a plan tree of constant size (32 separate
+    projections made driver-side analysis the bottleneck).
     """
-    sh = _with_shingles(df)
-    minhash_exprs = [
-        F.expr(
-            "array_min(transform(shingles, s -> xxhash64(s, "
-            f"cast({seed} as int))))"
-        ).alias(f"mh_{seed}")
-        for seed in range(num_hashes)
-    ]
-    hashed = sh.select(
-        "doc_id", F.size("shingles").alias("n_shingles"), *minhash_exprs)
-    return hashed.select(
+    return sh.select(
         "doc_id", "n_shingles",
-        F.array(*[f"mh_{s}" for s in range(num_hashes)]).alias("signature"))
+        F.expr(
+            f"transform(sequence(0, {num_hashes - 1}), "
+            "j -> array_min(transform(shingles, s -> xxhash64(s, j))))"
+        ).alias("signature"),
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,7 +192,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard query, which shares the threshold).
     """
     cat = Catalog(spark, sf_dir)
-    sigs = minhash_signatures(cat.documents)
+    # the shingle frame feeds signature generation AND pair
+    # verification; recomputing it per branch beats persist() here —
+    # shingling is ~0.5s of CPU while caching the string arrays costs
+    # ~10x that in block-store serialization (measured at sf0.1)
+    sh_all = _with_shingles(cat.documents).select(
+        "doc_id", "shingles", F.size("shingles").alias("n_shingles")
+    )
+    sigs = minhash_signatures_from(sh_all)
 
     bands = sigs.select(
         "doc_id",
@@ -193,6 +217,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
 
+    # bands is tiny ((doc_id, band, bucket) longs) and feeds both sides
+    # of the self-join — persist AND eagerly materialize it, so the
+    # shingle+signature work runs exactly once (a lazy persist fills
+    # per-partition mid-action, and each self-join branch would still
+    # compute the whole subtree cold)
+    bands = bands.persist()
+    bands.count()
+
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -203,17 +235,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact-Jaccard verification of candidates only
-    sh = _with_shingles(cat.documents).select(
-        "doc_id", "shingles", F.size("shingles").alias("n_shingles"))
+    # exact-Jaccard verification of candidates only. Broadcast the
+    # (tiny) candidate pair set: the shingle arrays then stream
+    # map-side through two broadcast-hash joins instead of being
+    # serialized into a sort-merge shuffle.
+    sh = sh_all
+    cand_a = (
+        sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("shingles").alias("sh_a"),
+                  F.col("n_shingles").alias("n_a"))
+        .join(F.broadcast(candidates), "doc_a")
+    )
     verified = (
-        candidates
-        .join(sh.select(F.col("doc_id").alias("doc_a"),
-                        F.col("shingles").alias("sh_a"),
-                        F.col("n_shingles").alias("n_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"),
-                        F.col("shingles").alias("sh_b"),
-                        F.col("n_shingles").alias("n_b")), "doc_b")
+        sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("shingles").alias("sh_b"),
+                  F.col("n_shingles").alias("n_b"))
+        .join(F.broadcast(cand_a), "doc_b")
         .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
@@ -237,6 +274,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     toks = (
         cat.documents
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .withColumn("tokens", F.split(F.trim(F.col("text")), r"\s+"))
         .select("doc_id", F.explode("tokens").alias("token"))
         .withColumn("h", F.xxhash64("token"))
