@@ -1,0 +1,119 @@
+"""Multimodal column plumbing — image/audio/video as opaque binary
+columns with typed metadata (BASELINE.json training-data-pipeline
+mandate).
+
+The decode libraries (PIL/ffmpeg/librosa) are not in this container,
+so the decode kernels are STUBBED — `decode_image` raises
+NotImplementedError by design, and `fake_feature_extract` is a
+deterministic stand-in (sha256-derived floats) — but every piece of
+Spark plumbing around them is real and tested: the blob schema, the
+mapInPandas iterator contract, Arrow batch shapes, partitioning, and
+the metadata projections.
+
+Scale design: binary payloads never shuffle — featurization is a
+map-only mapInPandas stage reading from the source partitioning;
+only the (id, features, metadata) output (tiny) flows on. Batch size
+is bounded by spark.sql.execution.arrow.maxRecordsPerBatch so a
+partition of large blobs never materializes as one giant pandas
+frame.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, FloatType, LongType,
+                               StringType, StructField, StructType)
+
+#: logical schema for a multimodal asset table
+BLOB_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("media_type", StringType()),     # 'image' | 'audio' | 'video'
+    StructField("payload", BinaryType()),        # opaque encoded bytes
+    StructField("meta_json", StringType()),      # typed metadata as JSON
+])
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("features", ArrayType(FloatType())),
+])
+
+
+def documents_as_blobs(documents: DataFrame) -> DataFrame:
+    """Fixture adapter: treat each document's text bytes as an opaque
+    payload so the binary pipeline is exercisable with driver data."""
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").cast("binary").alias("payload"),
+        F.to_json(F.struct(F.col("lang"), F.col("source"),
+                           F.col("n_chars"))).alias("meta_json"),
+    )
+
+
+def decode_image(payload: bytes):
+    """Image decode kernel — STUB. A real deployment plugs PIL/cv2 in
+    here; the container has no image codecs (by design, see module
+    docstring)."""
+    raise NotImplementedError(
+        "image decode requires PIL/cv2 which are not available in this "
+        "environment; the surrounding Spark plumbing is real — plug a "
+        "decoder into featurize()'s kernel to activate it"
+    )
+
+
+def fake_feature_extract(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in feature kernel: FEATURE_DIM floats
+    derived from the sha256 digest — stable across runs/machines, so
+    tests can assert exact values."""
+    digest = hashlib.sha256(payload).digest()
+    return [
+        int.from_bytes(digest[4 * i: 4 * i + 4], "big") / 2 ** 32
+        for i in range(dim)
+    ]
+
+
+def featurize(blobs: DataFrame, kernel=fake_feature_extract) -> DataFrame:
+    """mapInPandas featurization stage: binary in, small vectors out.
+
+    The iterator contract streams Arrow batches — a partition is
+    never fully materialized; payloads are dropped from the output so
+    nothing heavy crosses the next shuffle.
+    """
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame({
+                "asset_id": batch["asset_id"],
+                "media_type": batch["media_type"],
+                "n_bytes": batch["payload"].map(
+                    lambda b: 0 if b is None else len(b)).astype("int64"),
+                "features": batch["payload"].map(
+                    lambda b: None if b is None else kernel(bytes(b))),
+            })
+
+    return blobs.mapInPandas(_extract, schema=FEATURES_SCHEMA)
+
+
+def blob_metadata_stats(blobs: DataFrame) -> DataFrame:
+    """Metadata-only aggregation: JSON metadata extraction + byte
+    accounting per media type — runs without touching payload bytes
+    beyond length (column pruning keeps the scan narrow)."""
+    return (
+        blobs.select(
+            "media_type",
+            F.length(F.col("payload")).cast("long").alias("n_bytes"),
+            F.get_json_object("meta_json", "$.lang").alias("lang"),
+        )
+        .groupBy("media_type", "lang")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )

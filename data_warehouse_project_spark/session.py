@@ -47,6 +47,16 @@ def tune(spark: SparkSession) -> SparkSession:
             # has a safe-degraded behavior except nanosAsLong, which
             # sources.catalog works around per-read anyway.
             pass
+    try:
+        # Right-size shuffle partitions when still at the stock default:
+        # AQE coalesces batch shuffles anyway, but stateful streaming
+        # disables AQE and would otherwise run 200 state partitions on
+        # a laptop-sized deployment. A real cluster overrides this.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(spark.sparkContext.defaultParallelism))
+    except Exception:
+        pass
     return spark
 
 

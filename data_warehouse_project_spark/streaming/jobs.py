@@ -1,0 +1,129 @@
+"""Structured Streaming jobs over the `events` activity stream
+(SURVEY.md §2.9).
+
+Each job is the incremental form of a batch query in
+streaming.batch_parity; tests assert batch/stream parity (§5.4).
+Sources: the parquet file source (schema mandatory for streams; ts is
+read as long nanos — same workaround as the batch catalog — and
+converted in-plan). Sinks: memory (tests) or foreachBatch→parquet.
+
+Scale design: watermarks bound all state; tumbling/session windows
+keyed by (window, type) / (user, session) shuffle once on their keys;
+`availableNow` gives batch-like catch-up runs of the same code that
+runs 24/7 on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from ..session import tune
+
+#: on-disk schema for the streaming reader: ts as raw nanos (the
+#: parquet TIMESTAMP(NANOS) workaround, see sources.catalog)
+EVENTS_STREAM_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table with proper timestamps.
+
+    The file stream source requires a *directory* (files arriving over
+    time); the driver testdata is a single parquet file, so stage a
+    symlink directory — exactly the landing-directory layout a real
+    deployment streams from.
+    """
+    tune(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = tempfile.mkdtemp(prefix="dwps-events-stream-")
+    link = os.path.join(stage, "events-000.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(stage)
+    return raw.withColumn(
+        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """Streaming twin of batch_parity.events_tumbling_hourly:
+    1-hour tumbling windows, 2-hour watermark for late data."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"), "event_type",
+            "n_events", "sum_value",
+        )
+    )
+
+
+def sessionized(events: DataFrame) -> DataFrame:
+    """Streaming twin of batch_parity.events_sessionize: native
+    session windows with a 30-minute gap."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("session_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "session_value")
+    )
+
+
+def deduplicated(events: DataFrame) -> DataFrame:
+    """Streaming twin of batch_parity.events_dedup_first: stateful
+    dedup on (user_id, event_type) — watermark bounds the state."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, checkpoint: str,
+                  output_mode: str = "append"):
+    """Run a streaming query to completion (availableNow) into an
+    in-memory table; returns the finished query."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_to_parquet(stream_df: DataFrame, path: str, checkpoint: str):
+    """foreachBatch → parquet sink (the production write path: each
+    micro-batch lands as an idempotent append keyed by batch id)."""
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,84 @@
+"""Scalar + crypto function tests (SURVEY.md §2.8, F1-F14)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.functions import compat, crypto, scalars
+
+
+@pytest.fixture(scope="module")
+def one(spark):
+    return spark.range(1)
+
+
+def _val(df, col):
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_password_hash_matches_hashlib(one):
+    import hashlib
+    expected = hashlib.sha256(b"pw123456").hexdigest()
+    assert _val(one, scalars.password_hash(F.lit("pw123456"))) == expected
+
+
+def test_date_and_time_formats(one):
+    ts = F.lit("2024-03-05 14:07:00").cast("timestamp_ntz")
+    assert _val(one, scalars.fmt_date(ts)) == "05 Mar 2024"
+    assert _val(one, scalars.fmt_time_12h(ts)) == "02:07 PM"
+
+
+@pytest.mark.parametrize("secs,expected", [
+    (9 * 3600 + 30 * 60, "09:30"),
+    (26 * 3600, "02:00"),            # wraparound (ref app.py:224-228)
+    (0, "00:00"),
+    (24 * 3600, "00:00"),
+])
+def test_seconds_to_clock(one, secs, expected):
+    assert _val(one, scalars.seconds_to_clock(F.lit(secs))) == expected
+
+
+def test_combine_date_time(one):
+    out = _val(one, scalars.combine_date_time(
+        F.lit("2024-03-05 23:59:59").cast("timestamp_ntz"), F.lit(3600)))
+    assert str(out) == "2024-03-05 01:00:00"
+
+
+def test_money_mask_validation(one):
+    assert _val(one, scalars.fmt_money(F.lit(1234.567))) == "1234.57"
+    assert _val(one, scalars.mask_last4(F.lit("4111111111111234"))) == "****1234"
+    assert _val(one, scalars.valid_email(F.lit("a@b.co")))
+    assert not _val(one, scalars.valid_email(F.lit("nope")))
+    assert _val(one, scalars.valid_phone(F.lit("5551234567")))
+    assert not _val(one, scalars.valid_phone(F.lit("555-123")))
+    assert _val(one, scalars.valid_password(F.lit("secret1")))
+    assert not _val(one, scalars.valid_password(F.lit("abc")))
+
+
+def test_txn_id_deterministic(one):
+    a = _val(one, scalars.txn_id(F.lit(7), F.lit("x")))
+    b = _val(one, scalars.txn_id(F.lit(7), F.lit("x")))
+    assert a == b and len(a) == 32
+
+
+def test_fround_half_up_ties(one):
+    # 1/128 = 0.0078125 exactly: builtin ROUNDs disagree across
+    # engines on this tie; fround is half-up everywhere
+    assert _val(one, compat.fround(F.lit(0.0078125), 6)) == 0.007813
+    assert _val(one, compat.fround(F.lit(-0.0078125), 6)) == -0.007812
+
+
+@pytest.mark.skipif(not crypto.HAVE_FERNET, reason="cryptography missing")
+def test_fernet_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("4111111111111234",), ("5500005555555559",), (None,)],
+        "card string")
+    key = crypto.get_key()
+    enc = df.withColumn("e", crypto.encrypt_col(F.col("card"), key))
+    dec = enc.withColumn("d", crypto.decrypt_col(F.col("e"), key))
+    rows = dec.collect()
+    for r in rows:
+        assert r["d"] == r["card"]
+        if r["card"] is not None:
+            assert r["e"] != r["card"]

@@ -1,0 +1,70 @@
+"""Streaming tests: batch/stream parity (SURVEY.md §5.4) — each
+Structured Streaming job must agree with its batch twin on the same
+events data — plus the foreachBatch parquet sink."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_warehouse_project_spark.streaming import batch_parity, jobs
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return jobs.read_events_stream(spark, sf_dir)
+
+
+def test_tumbling_parity(spark, sf_dir, events_stream, tmp_path_factory):
+    ck = str(tmp_path_factory.mktemp("ck_tumble"))
+    jobs.run_to_memory(jobs.tumbling_hourly(events_stream),
+                       "tumbling_mem", ck, output_mode="complete")
+    stream_rows = {
+        (r["hour"], r["event_type"]): (r["n_events"], round(r["sum_value"], 2))
+        for r in spark.table("tumbling_mem").collect()
+    }
+    batch_rows = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch_parity.events_tumbling_hourly(spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_session_parity(spark, sf_dir, events_stream, tmp_path_factory):
+    ck = str(tmp_path_factory.mktemp("ck_sess"))
+    jobs.run_to_memory(jobs.sessionized(events_stream),
+                       "sessions_mem", ck, output_mode="complete")
+    stream_rows = {
+        (r["user_id"], r["session_start"]): (r["n_events"],
+                                             round(r["session_value"], 2))
+        for r in spark.table("sessions_mem").collect()
+    }
+    batch_rows = {
+        (r["user_id"], r["session_start"]): (r["n_events"],
+                                             r["session_value"])
+        for r in batch_parity.events_sessionize(spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_dedup_parity_on_keys(spark, sf_dir, events_stream, tmp_path_factory):
+    """dropDuplicates keeps the first *arrival* (nondeterministic on
+    ties within a batch) — parity is asserted on the key set and
+    count, which are order-independent."""
+    ck = str(tmp_path_factory.mktemp("ck_dedup"))
+    jobs.run_to_memory(jobs.deduplicated(events_stream), "dedup_mem", ck)
+    stream_keys = {(r["user_id"], r["event_type"])
+                   for r in spark.table("dedup_mem").collect()}
+    batch = batch_parity.events_dedup_first(spark, sf_dir).collect()
+    batch_keys = {(r["user_id"], r["event_type"]) for r in batch}
+    assert stream_keys == batch_keys
+    assert spark.table("dedup_mem").count() == len(batch)
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, events_stream, tmp_path):
+    out = str(tmp_path / "out.parquet")
+    ck = str(tmp_path / "ck")
+    jobs.run_to_parquet(jobs.tumbling_hourly(events_stream), out, ck)
+    written = spark.read.parquet(out)
+    assert written.count() > 0
+    assert set(written.columns) == {"hour", "event_type", "n_events",
+                                    "sum_value"}
