@@ -29,7 +29,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.windows import latest_per_group
 from ..sources.catalog import Catalog
 
 
@@ -37,18 +36,41 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     orders, lineitem, customer = cat.orders, cat.lineitem, cat.customer
 
-    # (a) newest order per (customer, status) — ref db.py:394-399 analog
-    latest_orders = latest_per_group(
-        orders, ["o_custkey", "o_orderstatus"], ["o_orderkey"]
+    # (a) newest order per (customer, status) — ref db.py:394-399
+    # analog. Same max_by-over-struct pattern as (b): partial
+    # aggregation shrinks the shuffle to one row per group (a window
+    # would shuffle the whole fact). o_orderkey is unique → total
+    # order, deterministic.
+    other_cols = [c for c in orders.columns
+                  if c not in ("o_custkey", "o_orderstatus")]
+    latest_orders = (
+        orders.groupBy("o_custkey", "o_orderstatus")
+        .agg(F.expr(
+            f"max_by(struct({', '.join(other_cols)}), o_orderkey)"
+        ).alias("__top"))
+        .select("o_custkey", "o_orderstatus",
+                *[F.col(f"__top.{c}").alias(c) for c in other_cols])
     )
 
-    # (b) latest lineitem-derived status per order — ref db.py:386-390 analog
-    latest_line = latest_per_group(
-        lineitem, ["l_orderkey"], ["l_shipdate", "l_linenumber"]
-    ).select(
-        F.col("l_orderkey"),
-        F.col("l_linestatus").alias("latest_linestatus"),
-        F.col("l_returnflag").alias("latest_returnflag"),
+    # (b) latest lineitem-derived status per order — ref db.py:386-390
+    # analog. max_by aggregation instead of a row_number window: the
+    # partial (map-side) aggregate collapses each scan partition to
+    # one row per order BEFORE the shuffle — a window must shuffle
+    # every lineitem row. Ordering includes the payload columns as
+    # final tiebreakers: the testdata contains fully-duplicated
+    # (orderkey, linenumber, shipdate) rows, so (shipdate, linenumber)
+    # alone is NOT a total order (SURVEY.md §7.4.5 determinism policy).
+    latest_line = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.expr(
+            "max_by(struct(l_linestatus, l_returnflag), "
+            "struct(l_shipdate, l_linenumber, l_linestatus, l_returnflag))"
+        ).alias("__top"))
+        .select(
+            F.col("l_orderkey"),
+            F.col("__top.l_linestatus").alias("latest_linestatus"),
+            F.col("__top.l_returnflag").alias("latest_returnflag"),
+        )
     )
 
     return (
@@ -79,7 +101,8 @@ latest_line AS (
     FROM (
         SELECT l.*, ROW_NUMBER() OVER (
             PARTITION BY l_orderkey
-            ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+            ORDER BY l_shipdate DESC, l_linenumber DESC,
+                     l_linestatus DESC, l_returnflag DESC) AS rn
         FROM lineitem l) t
     WHERE rn = 1
 )

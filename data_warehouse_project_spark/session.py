@@ -77,5 +77,11 @@ def get_spark(app_name: str = "data_warehouse_project_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-mode scan parallelism: the testdata tables are single
+        # small parquet files; default 128 MiB split size reads them on
+        # 1-3 cores. A cluster deployment keeps the default (small
+        # splits at 100 TB would drown the scheduler).
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
     )
     return tune(builder.getOrCreate())
