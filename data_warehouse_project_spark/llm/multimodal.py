@@ -101,6 +101,36 @@ def featurize(blobs: DataFrame, kernel=fake_feature_extract) -> DataFrame:
     return blobs.mapInPandas(_extract, schema=FEATURES_SCHEMA)
 
 
+def multimodal_features_query(spark, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only): the full binary pipeline over the
+    documents fixture — blob-ify, mapInPandas featurize, project the
+    first feature component. Deterministic kernel → stable output,
+    but the sha256-derived floats aren't SQL-reproducible in DuckDB."""
+    from ..sources.catalog import Catalog
+    blobs = documents_as_blobs(Catalog(spark, sf_dir).documents)
+    feats = featurize(blobs)
+    return feats.select(
+        "asset_id", "media_type", "n_bytes",
+        F.col("features").getItem(0).alias("f0"),
+    )
+
+
+def multimodal_meta_query(spark, sf_dir: str) -> DataFrame:
+    """Registry entry (oracle-checked): metadata/byte accounting over
+    the blob table — the payload-free fast path."""
+    from ..sources.catalog import Catalog
+    return blob_metadata_stats(
+        documents_as_blobs(Catalog(spark, sf_dir).documents))
+
+
+MULTIMODAL_META_SQL = """
+SELECT 'image' AS media_type, lang,
+       COUNT(*) AS n_assets,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+FROM documents GROUP BY lang
+"""
+
+
 def blob_metadata_stats(blobs: DataFrame) -> DataFrame:
     """Metadata-only aggregation: JSON metadata extraction + byte
     accounting per media type — runs without touching payload bytes
@@ -117,3 +147,9 @@ def blob_metadata_stats(blobs: DataFrame) -> DataFrame:
             F.sum("n_bytes").alias("total_bytes"),
         )
     )
+
+
+from ..registry import register  # noqa: E402  (registration tail)
+
+register("multimodal_features", multimodal_features_query, None)
+register("multimodal_meta_stats", multimodal_meta_query, MULTIMODAL_META_SQL)

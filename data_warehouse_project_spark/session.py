@@ -15,6 +15,7 @@ partitions sized to cores locally but expected to be overridden to
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -70,9 +71,13 @@ def get_spark(app_name: str = "data_warehouse_project_spark",
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    warehouse = os.environ.get(
+        "DWPS_WAREHOUSE_DIR",
+        os.path.join(tempfile.gettempdir(), "dwps-warehouse"))
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

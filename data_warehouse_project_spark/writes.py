@@ -143,3 +143,36 @@ def overwrite_table(spark: SparkSession, df: DataFrame, path: str) -> None:
     os.rename(staging, path)
     if os.path.exists(backup):
         shutil.rmtree(backup)
+
+
+# --------------------------------------------------------------------------
+# Physical layout for scale: date-partitioned facts + bucketed joins
+# (SURVEY.md §4 "physical layout for 100 TB orientation")
+# --------------------------------------------------------------------------
+
+def write_date_partitioned(df: DataFrame, path: str, ts_col: str,
+                           granularity: str = "month") -> None:
+    """Write a fact date-partitioned (the 100 TB fact layout): readers
+    filtering on the partition column scan only matching directories
+    (dynamic partition pruning composes with join filters)."""
+    part_col = f"{ts_col}_{granularity}"
+    (
+        df.withColumn(part_col,
+                      F.date_format(F.date_trunc(granularity, F.col(ts_col)),
+                                    "yyyy-MM"))
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(path)
+    )
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int = 16, sort_col: str | None = None) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join
+    key. Two tables bucketed identically join WITHOUT any exchange —
+    the co-located join that turns the biggest fact-fact shuffle at
+    100 TB into a map-side merge."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
