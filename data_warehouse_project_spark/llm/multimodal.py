@@ -21,12 +21,24 @@ frame.
 from __future__ import annotations
 
 import hashlib
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (ArrayType, BinaryType, FloatType, LongType,
                                StringType, StructField, StructType)
+
+# Executor Python workers do NOT share the driver's sys.path: a
+# module-level kernel function captured in a mapInPandas closure would
+# be pickled by reference and fail to import worker-side unless the
+# package is installed there. Register this module for by-value
+# pickling so its functions travel inside the closure.
+try:
+    from pyspark import cloudpickle as _cp
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - older pyspark layouts
+    pass
 
 #: logical schema for a multimodal asset table
 BLOB_SCHEMA = StructType([
