@@ -116,7 +116,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("shared")
                    / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.coalesce(F.col("jaccard") >= JACCARD_THRESHOLD,
+                           F.lit(False)))
         .select("doc_a", "doc_b", F.col("shared").alias("n_shared_shingles"),
                 "jaccard")
     )
@@ -168,14 +169,21 @@ def minhash_signatures_from(sh: DataFrame,
     minhash_j(doc) = min over shingles of xxhash64(shingle, j) — the
     salt argument varies the hash family. One nested higher-order
     expression produces the whole signature array: per-row JVM work,
-    no shuffle, no UDF, and a plan tree of constant size (32 separate
-    projections made driver-side analysis the bottleneck).
+    no shuffle, no UDF, and a plan tree of constant size.
+
+    The `transform(array(shingles), sh -> ...)[0]` wrapper is load-
+    bearing: Catalyst's projection collapse inlines the (expensive)
+    shingle-construction expression into this projection, and without
+    the wrapper the inner lambda would RE-EVALUATE it once per hash
+    seed — 32x the shingling cost (measured: ~20ms/doc vs ~0.6ms).
+    Binding it to a lambda variable forces single evaluation.
     """
     return sh.select(
         "doc_id", "n_shingles",
         F.expr(
+            "transform(array(shingles), sh_once -> "
             f"transform(sequence(0, {num_hashes - 1}), "
-            "j -> array_min(transform(shingles, s -> xxhash64(s, j))))"
+            "j -> array_min(transform(sh_once, s -> xxhash64(s, j)))))[0]"
         ).alias("signature"),
     )
 
@@ -184,8 +192,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
 
     Pipeline: signature (32 hashes) → 8 bands × 4 rows → bucket id =
-    hash(band values) → self-join on (band, bucket) → distinct pairs
-    → exact Jaccard verify ≥ threshold.
+    hash(band values) → groupBy (band, bucket) collecting in-bucket
+    doc lists → generate in-bucket pairs → distinct → exact Jaccard
+    verify ≥ threshold.
+
+    groupBy-and-pair-generate instead of a bands self-join: the
+    self-join evaluated the shingle→signature subtree once per join
+    branch (needing an eager persist to avoid), while a groupBy
+    consumes it exactly once and shuffles only (band, bucket, doc_id)
+    longs. Bucket population is bounded by band collisions; a 100 TB
+    deployment caps per-bucket list size (hot-bucket guard) the same
+    way hot shingles are capped in dedup_ngram_jaccard.
 
     No SQL oracle: xxhash64 is Spark-specific; correctness is pinned
     by unit tests (known near-dup pairs + agreement with the exact
@@ -201,37 +218,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = minhash_signatures_from(sh_all)
 
+    # same bind-once wrapper as in minhash_signatures_from: the
+    # signature expression (which embeds the shingle construction)
+    # would otherwise be re-evaluated once per band by projection
+    # collapse
+    _r = ROWS_PER_BAND
     bands = sigs.select(
         "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[
-                        F.col("signature").getItem(b * ROWS_PER_BAND + r)
-                        for r in range(ROWS_PER_BAND)
-                    ]).alias("bucket"),
-                )
-                for b in range(BANDS)
-            ])
-        ).alias("bb"),
+        F.explode(F.expr(
+            "transform(array(signature), sig -> "
+            f"transform(sequence(0, {BANDS - 1}), b -> named_struct("
+            f"'band', cast(b as int), "
+            f"'bucket', xxhash64(sig[b * {_r}], sig[b * {_r} + 1], "
+            f"sig[b * {_r} + 2], sig[b * {_r} + 3]))))[0]"
+        )).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
 
-    # bands is tiny ((doc_id, band, bucket) longs) and feeds both sides
-    # of the self-join — persist AND eagerly materialize it, so the
-    # shingle+signature work runs exactly once (a lazy persist fills
-    # per-partition mid-action, and each self-join branch would still
-    # compute the whole subtree cold)
-    bands = bands.persist()
-    bands.count()
-
-    a, b = bands.alias("a"), bands.alias("b")
     candidates = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds) - i - 1), "
+            "y -> struct(x AS doc_a, y AS doc_b))))"
+        )).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -257,7 +269,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("shared")
                    / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        # null-TOLERANT threshold: a null-strict filter lets Catalyst
+        # infer isnotnull(n_a/n_b) constraints and push them into the
+        # scans — inlining the entire shingle expression into a
+        # single-task scan filter (measured: 4.4s CPU per branch)
+        .filter(F.coalesce(F.col("jaccard") >= JACCARD_THRESHOLD,
+                           F.lit(False)))
     )
     return verified.select("doc_a", "doc_b", "jaccard")
 
