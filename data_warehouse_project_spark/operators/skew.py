@@ -1,0 +1,84 @@
+"""Skew-mitigation utilities — salted aggregation and salted join.
+
+AQE's skew-join splitting handles sort-merge skew automatically, but
+two shapes still need explicit salting at 100 TB:
+
+- a grouped aggregation where one key dominates (a hot fingerprint, a
+  bot user_id in the events stream): two-phase salted aggregation
+  spreads the hot key over N partial groups, then merges;
+- a fact⋈dim join where the fact is skewed on the join key and the
+  dim is too big to broadcast: replicate each dim row N times with a
+  salt, salt the fact randomly... (classic replicate-and-salt). For
+  deterministic engines we salt the fact by a stable hash of a
+  secondary column rather than rand().
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    agg_exprs: dict[str, str],
+    salt_col: str | Column,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys.
+
+    ``agg_exprs`` maps output column → 'sum' | 'count' | 'min' | 'max'
+    of an input column (mergeable aggregates only — that's what makes
+    the two-phase split algebraically exact). ``salt_col`` is any
+    column with spread (e.g. a line number or id); its hash mod
+    n_salts fans the hot key out, phase 2 merges the partials.
+    """
+    salt = (F.xxhash64(salt_col if isinstance(salt_col, Column)
+                       else F.col(salt_col)) % n_salts).alias("__salt")
+    phase1_aggs, phase2_aggs = [], []
+    for out, spec in agg_exprs.items():
+        fn, col = spec.split(":", 1)
+        partial = f"__p_{out}"
+        if fn == "count":
+            phase1_aggs.append(F.count(col).alias(partial))
+            phase2_aggs.append(F.sum(partial).alias(out))
+        elif fn == "sum":
+            phase1_aggs.append(F.sum(col).alias(partial))
+            phase2_aggs.append(F.sum(partial).alias(out))
+        elif fn == "min":
+            phase1_aggs.append(F.min(col).alias(partial))
+            phase2_aggs.append(F.min(partial).alias(out))
+        elif fn == "max":
+            phase1_aggs.append(F.max(col).alias(partial))
+            phase2_aggs.append(F.max(partial).alias(out))
+        else:
+            raise ValueError(f"non-mergeable aggregate {fn!r}")
+    partials = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
+        *phase1_aggs)
+    return partials.groupBy(*keys).agg(*phase2_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_source: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Replicate-and-salt equi-join for a skewed fact key.
+
+    The dim side is exploded n_salts× (acceptable when the dim is
+    mid-sized: too big to broadcast, small enough to replicate); the
+    fact side gets a deterministic salt from ``salt_source``. The
+    shuffle key becomes (key, salt) so a hot key spreads over
+    n_salts partitions.
+    """
+    dim_salted = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    fact_salted = fact.withColumn(
+        "__salt",
+        (F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))).cast("int"))
+    out = fact_salted.join(dim_salted, [key, "__salt"])
+    return out.drop("__salt")

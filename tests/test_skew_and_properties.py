@@ -1,0 +1,116 @@
+"""Skew utilities (salted agg/join must be algebraically exact) and
+hypothesis property tests for the custom operators (SURVEY.md §5:
+property-based coverage of tricky semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.operators.asof import asof_join
+from data_warehouse_project_spark.operators.skew import salted_agg, salted_join
+from data_warehouse_project_spark.operators.windows import top_k_per_group
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    from data_warehouse_project_spark.sources.catalog import Catalog
+    li = Catalog(spark, sf_dir).lineitem
+    plain = {
+        (r["l_returnflag"],): (r["n"], r["q"])
+        for r in li.groupBy("l_returnflag").agg(
+            F.count("l_quantity").alias("n"),
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("q"),
+        ).collect()
+    }
+    salted = {
+        (r["l_returnflag"],): (r["n"], r["q"])
+        for r in salted_agg(
+            li.withColumn("qs",
+                          F.floor(F.col("l_quantity") * 100).cast("long")),
+            ["l_returnflag"],
+            {"n": "count:qs", "q": "sum:qs"},
+            salt_col="l_orderkey", n_salts=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from data_warehouse_project_spark.sources.catalog import Catalog
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = cat.customer.select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    plain = orders.join(cust, "o_custkey").count()
+    salted = salted_join(orders, cust, key="o_custkey",
+                         salt_source="o_orderkey", n_salts=4).count()
+    assert plain == salted
+
+
+# ---------------------------------------------------------------------------
+# property-based tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 3),                      # key
+              st.integers(0, 50),                     # ts
+              st.integers(-100, 100)),                # value
+    min_size=0, max_size=40,
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=rows_strategy, right=rows_strategy)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    # deduplicate right on (key, ts): asof_join's documented contract
+    rmap = {}
+    for k, ts, v in right:
+        rmap[(k, ts)] = v
+    right_rows = [(k, ts, v) for (k, ts), v in rmap.items()]
+
+    ldf = spark.createDataFrame(
+        [(k, ts, v, i) for i, (k, ts, v) in enumerate(left)],
+        "k long, ts long, v long, row_id long") if left else None
+    if ldf is None:
+        return
+    rdf = spark.createDataFrame(right_rows or [(999, 999, 0)],
+                                "k long, ts long, rv long")
+    if not right_rows:
+        rdf = rdf.filter(F.lit(False))
+
+    got = {r["row_id"]: (r["rv"], r["asof_ts"]) for r in asof_join(
+        ldf, rdf, on=["k"], ts_col="ts", value_cols=["rv"]).collect()}
+
+    for i, (k, ts, _v) in enumerate(left):
+        matches = [(rts, rv) for (rk, rts), rv in rmap.items()
+                   if rk == k and rts <= ts]
+        expected = max(matches) if matches else None
+        if expected is None:
+            assert got[i] == (None, None), (i, got[i])
+        else:
+            assert got[i] == (expected[1], expected[0]), (i, got[i])
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=rows_strategy, k=st.integers(1, 4))
+def test_top_k_per_group_matches_python(spark, rows, k):
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(g, ts, v, i) for i, (g, ts, v) in enumerate(rows)],
+        "g long, ts long, v long, row_id long")
+    got = sorted(
+        (r["g"], r["row_id"]) for r in top_k_per_group(
+            df, ["g"], [F.col("ts"), F.col("v"), F.col("row_id")], k=k
+        ).collect())
+    by_group: dict[int, list] = {}
+    for i, (g, ts, v) in enumerate(rows):
+        by_group.setdefault(g, []).append((ts, v, i))
+    expected = sorted(
+        (g, i)
+        for g, items in by_group.items()
+        for (_ts, _v, i) in sorted(items, reverse=True)[:k])
+    assert got == expected
