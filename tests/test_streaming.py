@@ -68,3 +68,40 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, events_stream, tmp_path):
     assert written.count() > 0
     assert set(written.columns) == {"hour", "event_type", "n_events",
                                     "sum_value"}
+
+
+def test_sliding_parity(spark, sf_dir, events_stream, tmp_path_factory):
+    ck = str(tmp_path_factory.mktemp("ck_slide"))
+    jobs.run_to_memory(jobs.sliding_hourly(events_stream),
+                       "sliding_mem", ck, output_mode="complete")
+    stream_rows = {
+        (r["win_start"], r["event_type"]): (r["n_events"],
+                                            round(r["sum_value"], 2))
+        for r in spark.table("sliding_mem").collect()
+    }
+    batch_rows = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch_parity.events_sliding_windows(spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_stateful_running_totals(spark, sf_dir, events_stream,
+                                 tmp_path_factory):
+    from data_warehouse_project_spark.sources.catalog import Catalog
+    from pyspark.sql import functions as F
+    ck = str(tmp_path_factory.mktemp("ck_state"))
+    jobs.run_to_memory(jobs.user_running_totals(events_stream),
+                       "state_mem", ck, output_mode="update")
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in spark.table("state_mem").collect()}
+    expected = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in Catalog(spark, sf_dir).events.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("t")).collect()
+    }
+    assert set(got) == set(expected)
+    for uid, (n, t) in expected.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - t) < 0.02     # state accumulates FP order
