@@ -215,3 +215,44 @@ register("knn_brute_cosine", knn_brute_cosine, KNN_BRUTE_SQL)
 register("centroid_per_label", centroid_per_label, CENTROID_SQL)
 register("ann_lsh_cosine", ann_lsh_cosine, None)
 register("embedding_dup_exact", embedding_dup_exact, EMBEDDING_DUP_SQL)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with
+    cosine ≥ 0.99 — the exact all-pairs baseline, oracle-checked at
+    test scale.
+
+    Scale path: this quadratic form exists as the ground truth; at
+    corpus scale the same verify step runs only on LSH-bucketed
+    candidates (ann_lsh_cosine's bucketing) — identical scoring code,
+    blocked candidate set.
+    """
+    cat = Catalog(spark, sf_dir)
+    vecs = cat.embeddings.select("vec_id", "embedding")
+    a = vecs.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("a"))
+    b = vecs.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", fround(F.expr(_COS_EXPR), 6))
+        .filter(F.coalesce(F.col("cos_sim") >= 0.99, F.lit(False)))
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+_DUCK_COS_AB = f"""
+    list_sum(list_transform(range(1, {DIM} + 1),
+        i -> (a.embedding::DOUBLE[])[i] * (b.embedding::DOUBLE[])[i]))
+    / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x)))
+       * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x))))"""
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {sql_fround(_DUCK_COS_AB, 6)} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {sql_fround(_DUCK_COS_AB, 6)} >= 0.99
+"""
+
+register("dedup_embedding_cosine", dedup_embedding_cosine,
+         DEDUP_EMBEDDING_COSINE_SQL)
