@@ -256,3 +256,55 @@ WHERE {sql_fround(_DUCK_COS_AB, 6)} >= 0.99
 
 register("dedup_embedding_cosine", dedup_embedding_cosine,
          DEDUP_EMBEDDING_COSINE_SQL)
+
+
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors: KMeans
+    coarse quantizer (k=16, fixed seed) partitions the corpus into
+    cells; the query probes its nprobe=8 nearest cells and exact-
+    scores only those vectors.
+
+    The Spark-ML KMeans fit is the one iterative/ML component in the
+    engine — at 100 TB it trains on a sample and the cell assignment
+    is a broadcast-centroid map stage; search cost drops by
+    ~k/nprobe. Rows-only check (centroids are model-dependent);
+    recall vs knn_brute_cosine asserted in unit tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    nprobe = 8
+    cat = Catalog(spark, sf_dir)
+    vecs = cat.embeddings.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>")))
+    model = KMeans(k=16, seed=42, featuresCol="features").fit(vecs)
+    assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
+
+    # query vector + its nprobe nearest centroids
+    centroids = [(i, [float(x) for x in c])
+                 for i, c in enumerate(model.clusterCenters())]
+    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+    query = (assigned.filter(F.col("vec_id") == QUERY_VEC_ID)
+             .select(F.col("embedding").alias("qe")))
+    probe_cells = (
+        cent_df.join(F.broadcast(query))
+        .withColumn("dist", F.expr(
+            "aggregate(zip_with(centroid, qe, (c, q) -> "
+            "(c - cast(q as double)) * (c - cast(q as double))), "
+            "0D, (acc, v) -> acc + v)"))
+        .orderBy("dist").limit(nprobe).select("cell")
+    )
+
+    candidates = assigned.join(F.broadcast(probe_cells), "cell").filter(
+        F.col("vec_id") != QUERY_VEC_ID)
+    return (
+        candidates
+        .withColumnRenamed("embedding", "a")
+        .join(F.broadcast(query.select(F.col("qe").alias("b"))))
+        .select("vec_id", "label", fround(F.expr(_COS_EXPR), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+register("ann_ivf_cosine", ann_ivf_cosine, None)

@@ -92,3 +92,15 @@ def test_blob_metadata_stats(spark, sf_dir):
         multimodal.documents_as_blobs(docs)).collect()
     assert sum(r["n_assets"] for r in stats) == docs.count()
     assert all(r["media_type"] == "image" for r in stats)
+
+
+def test_ivf_recall_vs_brute(spark, sf_dir):
+    brute = {r["vec_id"] for r in
+             similarity.knn_brute_cosine(spark, sf_dir).collect()}
+    ivf = {r["vec_id"] for r in
+           similarity.ann_ivf_cosine(spark, sf_dir).collect()}
+    assert len(ivf) == 10
+    # the fixture embeddings are random (no cluster structure), so IVF
+    # recall ~ nprobe/k = 8/16; require a solid fraction of the brute
+    # top-10 rather than near-perfect recall
+    assert len(ivf & brute) >= 3
