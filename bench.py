@@ -38,6 +38,9 @@ HEADLINE = [
     "dedup_minhash_lsh",           # minhash + LSH + verify
     "knn_brute_cosine",            # vector similarity
     "text_quality",                # text analysis
+    "q10_returned_items",          # 4-table join + top-k
+    "asof_latest_click",           # as-of join
+    "rollup_status_priority",      # multi-level aggregation
 ]
 
 
