@@ -215,3 +215,74 @@ register("pivot_status_by_priority", pivot_status_by_priority, PIVOT_SQL)
 register("unpivot_lineitem_measures", unpivot_lineitem_measures, UNPIVOT_SQL)
 register("percentiles_quantity", percentiles_quantity, PERCENTILES_SQL)
 register("lateral_explode_tokens", lateral_explode_tokens, LATERAL_SQL)
+
+
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: variance, stddev, and
+    the price↔quantity correlation — built from exact scaled-integer
+    moment sums (Σx, Σx², Σxy) instead of builtin var/stddev/corr,
+    whose streaming accumulation is FP-order-dependent and would
+    flake the oracle hash (functions.compat policy applied to second
+    moments)."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        .alias("p"),
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("sq"), F.sum("p").alias("sp"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+    )
+    n = F.col("n").cast("double")
+    var_q = ((F.col("sqq").cast("double")
+              - F.col("sq").cast("double") * F.col("sq") / n) / (n - 1)) / 1e4
+    var_p = ((F.col("spp").cast("double")
+              - F.col("sp").cast("double") * F.col("sp") / n) / (n - 1)) / 1e4
+    cov = ((F.col("sqp").cast("double")
+            - F.col("sq").cast("double") * F.col("sp") / n) / (n - 1)) / 1e4
+    return agg.select(
+        "l_returnflag", "n",
+        fround(var_q, 4).alias("var_qty"),
+        fround(F.sqrt(var_q), 6).alias("stddev_qty"),
+        fround(cov / (F.sqrt(var_q) * F.sqrt(var_p)), 6).alias("corr_qty_price"),
+    )
+
+
+_M = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sp,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sqq,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spp,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sqp
+FROM lineitem GROUP BY l_returnflag
+"""
+
+STATS_MOMENTS_SQL = f"""
+WITH m AS ({_M}),
+d AS (
+    SELECT l_returnflag, n,
+           ((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1)) / 1e4 AS var_q,
+           ((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1)) / 1e4 AS var_p,
+           ((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * sp / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1)) / 1e4 AS cov
+    FROM m
+)
+SELECT l_returnflag, n,
+       {sql_fround('var_q', 4)} AS var_qty,
+       {sql_fround('sqrt(var_q)', 6)} AS stddev_qty,
+       {sql_fround('cov / (sqrt(var_q) * sqrt(var_p))', 6)} AS corr_qty_price
+FROM d
+"""
+
+register("stats_moments", stats_moments, STATS_MOMENTS_SQL)

@@ -114,3 +114,21 @@ def test_top_k_per_group_matches_python(spark, rows, k):
         for g, items in by_group.items()
         for (_ts, _v, i) in sorted(items, reverse=True)[:k])
     assert got == expected
+
+
+@pytest.mark.parametrize("n_parts", [1, 7, 32])
+def test_dsum_invariant_under_partitioning(spark, sf_dir, n_parts):
+    """The compat-layer guarantee: identical output for any physical
+    partitioning (raw double sums would differ in the last ulp)."""
+    from data_warehouse_project_spark.functions.compat import dsum
+    from data_warehouse_project_spark.sources.catalog import Catalog
+    li = Catalog(spark, sf_dir).lineitem.repartition(n_parts)
+    out = {r["l_returnflag"]: r["s"] for r in li.groupBy("l_returnflag").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("s")
+    ).collect()}
+    expected = {r["l_returnflag"]: r["s"]
+                for r in Catalog(spark, sf_dir).lineitem
+                .groupBy("l_returnflag").agg(
+                    dsum(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount"))).alias("s")).collect()}
+    assert out == expected
