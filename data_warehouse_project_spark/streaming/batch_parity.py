@@ -235,3 +235,55 @@ register("events_dedup_first", events_dedup_first, EVENTS_DEDUP_SQL)
 register("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL)
 register("events_sliding_windows", events_sliding_windows, EVENTS_SLIDING_SQL)
 register("events_state_machine", events_state_machine, EVENTS_STATE_MACHINE_SQL)
+
+
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the events
+    stream aggregated at (hour, day, total) granularities in one
+    grouping-sets pass — the batch form of a cascading materialized
+    rollup (hourly caggs compacting into daily).
+
+    At scale each granularity level is a materialized incremental
+    view refreshed from the level below; the grouping-sets form here
+    is its exact batch semantics (and the refresh job's backfill
+    query).
+    """
+    cat = Catalog(spark, sf_dir)
+    cat.events.createOrReplaceTempView("events")
+    return spark.sql(f"""
+        SELECT date_trunc('day', ts)  AS day,
+               date_trunc('hour', ts) AS hour,
+               event_type,
+               COUNT(*) AS n_events,
+               {_SPARK_DSUM_VALUE} AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS (
+            (date_trunc('day', ts), date_trunc('hour', ts), event_type),
+            (date_trunc('day', ts), event_type),
+            (event_type)
+        )
+    """)
+
+
+#: Spark-SQL text form of functions.compat.dsum('value') — 1e4-style
+#: literals keep everything DOUBLE (plain x.y literals parse as DECIMAL)
+_SPARK_DSUM_VALUE = (
+    "(FLOOR((CAST(SUM(CAST(FLOOR(value * 1e4 + cast(0.5 as double)) AS BIGINT))"
+    " AS BIGINT) + 50) / 1e2) / 1e2)"
+)
+
+HYPERTABLE_ROLLUP_SQL = f"""
+SELECT date_trunc('day', ts)  AS day,
+       date_trunc('hour', ts) AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY GROUPING SETS (
+    (date_trunc('day', ts), date_trunc('hour', ts), event_type),
+    (date_trunc('day', ts), event_type),
+    (event_type)
+)
+"""
+
+register("hypertable_rollup", hypertable_rollup, HYPERTABLE_ROLLUP_SQL)
