@@ -15,7 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.compat import davg, dsum, sql_davg, sql_dsum
+from ..functions.compat import (davg, dsum, fround, sql_davg,
+                                sql_dsum, sql_fround)
 from ..registry import register
 from ..sources.catalog import Catalog
 
@@ -287,3 +288,76 @@ GROUP BY 1
 register("q4_order_priority", q4_order_priority, Q4_SQL)
 register("q10_returned_items", q10_returned_items, Q10_SQL)
 register("q12_shipmode_priority", q12_shipmode_priority, Q12_SQL)
+
+
+def q14_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-style revenue share — a ratio of a
+    conditional sum to the total, one pass. Both sums use the exact
+    scaled-integer layer, the final ratio is one IEEE divide."""
+    cat = Catalog(spark, sf_dir)
+    joined = (
+        cat.lineitem
+        .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp_ntz")))
+        .join(F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    term = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    scaled = F.floor(term * F.lit(1e4) + F.lit(0.5)).cast("long")
+    promo = F.sum(F.when(F.col("p_type").startswith("SMALL"), scaled)
+                  .otherwise(F.lit(0)))
+    total = F.sum(scaled)
+    return joined.agg(
+        fround(F.lit(100.0) * promo.cast("double") / total.cast("double"), 6)
+        .alias("small_revenue_pct"))
+
+
+Q14_SQL = f"""
+SELECT {sql_fround(
+    "100.0 * CAST(SUM(CASE WHEN p_type LIKE 'SMALL%' THEN "
+    "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1e4 + 0.5) AS BIGINT) "
+    "ELSE 0 END) AS DOUBLE) / "
+    "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1e4 + 0.5) "
+    "AS BIGINT)) AS DOUBLE)", 6)} AS small_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1997-02-01'
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over an aggregation — orders whose
+    total line quantity exceeds a threshold, joined back to customer
+    detail. The HAVING filter runs on the aggregated (small) side
+    before the detail joins."""
+    cat = Catalog(spark, sf_dir)
+    big_orders = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)            # HAVING
+    )
+    return (
+        big_orders
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+    )
+
+
+Q18_SQL = f"""
+WITH big AS (
+    SELECT l_orderkey, {sql_dsum('l_quantity')} AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING {sql_dsum('l_quantity')} > 300
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+"""
+
+
+register("q14_conditional_ratio", q14_conditional_ratio, Q14_SQL)
+register("q18_large_volume_customers", q18_large_volume_customers, Q18_SQL)

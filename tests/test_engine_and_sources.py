@@ -1,0 +1,52 @@
+"""Engine facade + source-format breadth (CSV / JSON round-trips —
+the engine is parquet-first but reads any Spark source through the
+same schema discipline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark import schemas
+from data_warehouse_project_spark.engine import Engine
+from data_warehouse_project_spark.sources.catalog import Catalog
+
+
+def test_engine_sql_and_named_queries(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    # ad-hoc SQL over auto-registered views, including conformed dims
+    seg = eng.sql("""
+        SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1
+    """).collect()
+    assert sum(r["n"] for r in seg) == eng.table("customer").count()
+    dim = eng.sql("SELECT DISTINCT region FROM dim_customer").collect()
+    assert len(dim) == 5
+    # named registry query
+    assert eng.query("q1_pricing_summary").count() > 0
+    assert "flagship_my_registrations" in eng.queries()
+
+
+def test_csv_source_roundtrip(spark, sf_dir, tmp_path):
+    orders = Catalog(spark, sf_dir).orders
+    path = str(tmp_path / "orders_csv")
+    orders.write.option("header", True).csv(path)
+    back = (spark.read.schema(schemas.ORDERS)
+            .option("header", True).csv(path))
+    assert back.count() == orders.count()
+    a = orders.agg(F.sum(F.floor(F.col("o_totalprice") * 100)
+                         .cast("long"))).collect()[0][0]
+    b = back.agg(F.sum(F.floor(F.col("o_totalprice") * 100)
+                       .cast("long"))).collect()[0][0]
+    assert a == b
+
+
+def test_json_source_roundtrip(spark, sf_dir, tmp_path):
+    events = Catalog(spark, sf_dir).events
+    path = str(tmp_path / "events_json")
+    events.write.json(path)
+    back = spark.read.schema(schemas.EVENTS).json(path)
+    assert back.count() == events.count()
+    a = {r["event_type"]: r["n"] for r in
+         events.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    b = {r["event_type"]: r["n"] for r in
+         back.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert a == b
