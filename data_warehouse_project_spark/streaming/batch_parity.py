@@ -287,3 +287,105 @@ GROUP BY GROUPING SETS (
 """
 
 register("hypertable_rollup", hypertable_rollup, HYPERTABLE_ROLLUP_SQL)
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user: view → click → purchase, each stage
+    counted only if it happens AFTER the previous stage's first
+    occurrence. One conditional-min aggregation per stage — no
+    self-joins, one shuffle on user_id."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("t_view"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left").join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t_view").isNotNull().alias("reached_view"),
+            F.col("t_click").isNotNull().alias("reached_click"),
+            F.col("t_purchase").isNotNull().alias("reached_purchase"),
+        )
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+    SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+    FROM events GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, v.t_view, MIN(e.ts) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts >= v.t_view
+    GROUP BY e.user_id, v.t_view
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+    GROUP BY e.user_id
+)
+SELECT v.user_id,
+       v.t_view IS NOT NULL AS reached_view,
+       c.t_click IS NOT NULL AS reached_click,
+       p.t_purchase IS NOT NULL AS reached_purchase
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: users grouped by first-activity day (cohort),
+    counted by how many days later they were active again — the
+    classic cohort triangle, as one self-join on user_id."""
+    cat = Catalog(spark, sf_dir)
+    first_day = cat.events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    activity = cat.events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("active_day")
+    ).distinct()
+    return (
+        activity.join(first_day, "user_id")
+        .withColumn("day_offset",
+                    F.datediff(F.col("active_day"), F.col("cohort_day")))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH first_day AS (
+    SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day FROM events
+)
+SELECT f.cohort_day,
+       CAST(datediff('day', f.cohort_day, a.active_day) AS INT) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN first_day f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+register("events_funnel", events_funnel, EVENTS_FUNNEL_SQL)
+register("events_retention_cohorts", events_retention_cohorts,
+         EVENTS_RETENTION_SQL)
