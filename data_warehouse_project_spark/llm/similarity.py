@@ -308,3 +308,50 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("ann_ivf_cosine", ann_ivf_cosine, None)
+
+
+N_BATCH_QUERIES = 5
+
+
+def knn_batch_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact KNN: top-5 neighbors for EACH of the first
+    N_BATCH_QUERIES vectors in one job — the batch-serving shape
+    (one broadcast of the query set, one corpus scan, a per-query
+    top-k window instead of N separate jobs)."""
+    cat = Catalog(spark, sf_dir)
+    queries = (cat.embeddings.filter(F.col("vec_id") < N_BATCH_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("b")))
+    scored = (
+        cat.embeddings
+        .withColumnRenamed("embedding", "a")
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id",
+                fround(F.expr(_COS_EXPR), 6).alias("cos_sim"))
+    )
+    from ..operators.windows import top_k_per_group
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos_sim"), -F.col("vec_id")],
+        k=5, descending=True, rank_col="rank",
+    ).select("query_id", "rank", "vec_id", "cos_sim")
+
+
+KNN_BATCH_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS b
+    FROM embeddings WHERE vec_id < {N_BATCH_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           {sql_fround(_DUCK_COS, 6)} AS cos_sim
+    FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 5
+"""
+
+register("knn_batch_cosine", knn_batch_cosine, KNN_BATCH_SQL)

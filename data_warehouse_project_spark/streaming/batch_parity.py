@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.compat import dsum, sql_dsum
+from ..functions.compat import dsum, fround, sql_dsum, sql_fround
 from ..registry import register
 from ..sources.catalog import Catalog
 
@@ -389,3 +389,70 @@ GROUP BY 1, 2
 register("events_funnel", events_funnel, EVENTS_FUNNEL_SQL)
 register("events_retention_cohorts", events_retention_cohorts,
          EVENTS_RETENTION_SQL)
+
+
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly score per (hour, event_type): z-score of each
+    hour's event count against the trailing 24-hour window. Windowed
+    moment sums over integer counts are exact, so the z-score is
+    deterministic (no builtin stddev — functions.compat policy).
+    Flags |z| >= 2 hours. The streaming form is the same query over a
+    sliding state window."""
+    cat = Catalog(spark, sf_dir)
+    hourly = (
+        cat.events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(-24, -1))
+    stats = hourly.select(
+        "hour", "event_type", "n",
+        F.count("n").over(w).alias("w_n"),
+        F.sum("n").over(w).alias("w_sum"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("w_sumsq"),
+    ).filter(F.col("w_n") >= 12)
+    mean = F.col("w_sum").cast("double") / F.col("w_n")
+    var = ((F.col("w_sumsq").cast("double")
+            - F.col("w_sum").cast("double") * F.col("w_sum") / F.col("w_n"))
+           / (F.col("w_n") - 1))
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        stats
+        .withColumn("z_score", F.when(var > 0, z))
+        .select("hour", "event_type", "n",
+                fround(F.col("z_score"), 6).alias("z_score"))
+        .filter(F.coalesce(F.abs(F.col("z_score")) >= 2.0, F.lit(False)))
+    )
+
+
+EVENTS_ANOMALY_SQL = f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT hour, event_type, n,
+           COUNT(n) OVER w AS w_n,
+           CAST(SUM(n) OVER w AS BIGINT) AS w_sum,
+           CAST(SUM(n * n) OVER w AS BIGINT) AS w_sumsq
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+    SELECT hour, event_type, n,
+           CASE WHEN (CAST(w_sumsq AS DOUBLE)
+                      - CAST(w_sum AS DOUBLE) * w_sum / w_n) / (w_n - 1) > 0
+                THEN (n - CAST(w_sum AS DOUBLE) / w_n)
+                     / sqrt((CAST(w_sumsq AS DOUBLE)
+                             - CAST(w_sum AS DOUBLE) * w_sum / w_n) / (w_n - 1))
+           END AS z
+    FROM stats WHERE w_n >= 12
+)
+SELECT hour, event_type, n, {sql_fround('z', 6)} AS z_score
+FROM scored
+WHERE COALESCE(abs({sql_fround('z', 6)}) >= 2.0, false)
+"""
+
+register("events_hourly_anomaly", events_hourly_anomaly, EVENTS_ANOMALY_SQL)
