@@ -79,3 +79,50 @@ def test_vectorized_parquet_reader(plans):
     # so Batched is the observable marker
     for name in ["q1_pricing_summary", "q6_forecast_revenue"]:
         assert "Batched: true" in plans[name], name
+
+
+@pytest.fixture(scope="module")
+def deep_plans(spark, sf_dir):
+    qs = registry.queries()
+    return {name: _plan(qs[name](spark, sf_dir))
+            for name in [
+                "q2_min_unitprice_supplier", "q7_nation_trade",
+                "q9_product_profit", "q13_customer_order_histogram",
+                "q16_part_supplier_variety", "q20_heavy_shippers",
+                "q21_sole_late_supplier", "q22_dormant_customers",
+            ]}
+
+
+def test_deep_dim_joins_broadcast(deep_plans):
+    for name in ["q2_min_unitprice_supplier", "q7_nation_trade",
+                 "q9_product_profit", "q21_sole_late_supplier"]:
+        assert "BroadcastHashJoin" in deep_plans[name], name
+
+
+def test_not_in_becomes_broadcast_anti_join(deep_plans):
+    # q16's NOT IN and q22's NOT EXISTS must compile to anti joins,
+    # never to a nested-loop or a distinct-aggregate workaround
+    assert "LeftAnti" in deep_plans["q16_part_supplier_variety"]
+    assert "LeftAnti" in deep_plans["q22_dormant_customers"]
+
+
+def test_in_subquery_becomes_semi_join(deep_plans):
+    assert "LeftSemi" in deep_plans["q20_heavy_shippers"]
+
+
+def test_q13_aggregates_orders_before_join(deep_plans):
+    # the scale-right Q13 plan aggregates orders to ≤|customer| rows
+    # BEFORE the left join: the plan must show a HashAggregate feeding
+    # the join rather than a join feeding the first aggregate
+    plan = deep_plans["q13_customer_order_histogram"]
+    first_join = plan.find("SortMergeJoin")
+    if first_join == -1:
+        first_join = plan.find("BroadcastHashJoin")
+    assert plan.count("HashAggregate") >= 4  # partial+final × two levels
+    assert "LeftOuter" in plan
+
+
+def test_deep_no_python_udfs(deep_plans):
+    for name, plan in deep_plans.items():
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
