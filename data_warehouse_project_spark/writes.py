@@ -146,6 +146,135 @@ def overwrite_table(spark: SparkSession, df: DataFrame, path: str) -> None:
 
 
 # --------------------------------------------------------------------------
+# MERGE / SCD2 — warehouse mutation semantics on immutable storage
+# --------------------------------------------------------------------------
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+    delete_condition: Column | None = None,
+) -> DataFrame:
+    """Delta-style ``MERGE INTO`` as a single full-outer join.
+
+    Semantics (mirroring the public Delta Lake / ANSI MERGE):
+    - WHEN MATCHED [AND delete_condition] THEN DELETE
+    - WHEN MATCHED THEN UPDATE SET <update_cols from source>
+      (default: every non-key source column)
+    - WHEN NOT MATCHED THEN INSERT *
+    - rows only in the target pass through unchanged.
+
+    One shuffle at any scale: both sides hash-partition on ``keys``
+    once; there is no per-row driver logic and no second pass. On a
+    partitioned table root, pair with dynamic partition overwrite so
+    only partitions containing source keys rewrite. ``source`` is
+    assumed key-unique (Delta raises on ambiguous MERGE; here a
+    duplicate source key would fan out the matched target row).
+    """
+    update_cols = update_cols if update_cols is not None else [
+        c for c in source.columns if c not in keys]
+    t = target.alias("t")
+    s = (source.withColumn("__src", F.lit(True))).alias("s")
+    cond = None
+    for k in keys:
+        eq = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = eq if cond is None else (cond & eq)
+    joined = t.join(s, cond, "full_outer")
+    # join keys are non-null by definition, so side-presence tests on
+    # them are exact even when payload columns hold legitimate nulls
+    t_present = F.col(f"t.{keys[0]}").isNotNull()
+    s_present = F.col("__src").isNotNull()
+    matched = t_present & s_present
+
+    out_cols = []
+    for c in target.columns:
+        if c in keys:
+            # key survives from whichever side is present
+            expr = F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}"))
+        elif c in update_cols and c in source.columns:
+            # matched → updated from source; insert → source; else target
+            expr = F.when(s_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+        elif c in source.columns:
+            # non-updated column: target value wins whenever the target
+            # row exists (even if that value is NULL); source on insert
+            expr = F.when(t_present, F.col(f"t.{c}")).otherwise(F.col(f"s.{c}"))
+        else:
+            expr = F.col(f"t.{c}")  # target-only column: NULL on insert
+        out_cols.append(expr.alias(c))
+
+    result = joined
+    if delete_condition is not None:
+        result = result.filter(~(matched & delete_condition))
+    return result.select(*out_cols)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked_cols: list[str],
+    batch_ts,
+    open_end: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: close changed rows, insert new
+    versions, keep history immutable.
+
+    ``dim`` carries (key, tracked_cols..., valid_from, valid_to,
+    is_current); ``updates`` carries (key, tracked_cols...). A changed
+    row = any tracked column differs (null-safe) from the current
+    version. Unchanged updates are no-ops. New keys insert as current.
+
+    Plan: current-slice ⋈ updates on the key (one shuffle; updates are
+    usually a small broadcastable batch), change detection JVM-side via
+    null-safe equality, then a union of closed rows + new versions +
+    untouched history — no windows, no driver loops, safe at any dim
+    size because history rows pass through untouched.
+    """
+    ts = F.lit(batch_ts).cast("timestamp_ntz")
+    end = F.lit(open_end).cast("timestamp_ntz")
+    current = dim.filter(F.col("is_current") == 1)
+    history = dim.filter(F.col("is_current") != 1)
+
+    u = updates.select(
+        F.col(key).alias("u_key"),
+        *[F.col(c).alias(f"u_{c}") for c in tracked_cols])
+    j = current.join(u, F.col(key) == F.col("u_key"), "full_outer")
+
+    changed = None
+    for c in tracked_cols:
+        ne = ~F.col(c).eqNullSafe(F.col(f"u_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    is_new = F.col(key).isNull()          # key only in updates
+    no_update = F.col("u_key").isNull()   # key only in dim
+
+    # 1. existing current rows: closed if changed, untouched otherwise
+    kept = (
+        j.filter(~is_new)
+        .select(
+            *[F.col(c) for c in [key] + tracked_cols],
+            F.col("valid_from"),
+            F.when(~no_update & changed, ts).otherwise(F.col("valid_to"))
+             .alias("valid_to"),
+            F.when(~no_update & changed, F.lit(0)).otherwise(F.lit(1))
+             .alias("is_current"),
+        )
+    )
+    # 2. new versions: changed keys + brand-new keys
+    fresh = (
+        j.filter(is_new | (~no_update & changed))
+        .select(
+            F.coalesce(F.col(key), F.col("u_key")).alias(key),
+            *[F.col(f"u_{c}").alias(c) for c in tracked_cols],
+            ts.alias("valid_from"),
+            end.alias("valid_to"),
+            F.lit(1).alias("is_current"),
+        )
+    )
+    return history.unionByName(kept).unionByName(fresh)
+
+
+# --------------------------------------------------------------------------
 # Physical layout for scale: date-partitioned facts + bucketed joins
 # (SURVEY.md §4 "physical layout for 100 TB orientation")
 # --------------------------------------------------------------------------

@@ -96,3 +96,106 @@ def test_append_and_overwrite_roundtrip(spark, tmp_path):
     writes.overwrite_table(spark, updated, path)
     out = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert out == {1: "a", 2: "B"}
+
+
+# --------------------------------------------------------------------------
+# MERGE / SCD2
+# --------------------------------------------------------------------------
+
+@pytest.fixture()
+def merge_target(spark):
+    return spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", None)],
+        "id long, name string, balance double")
+
+
+def test_merge_update_insert_passthrough(spark, merge_target):
+    source = spark.createDataFrame(
+        [(2, "bob2", 25.0), (4, "dave", 40.0)],
+        "id long, name string, balance double")
+    out = {r["id"]: (r["name"], r["balance"])
+           for r in writes.merge_upsert(merge_target, source, ["id"]).collect()}
+    assert out == {
+        1: ("alice", 10.0),      # target-only: unchanged
+        2: ("bob2", 25.0),       # matched: updated from source
+        3: ("carol", None),      # target-only with NULL payload: unchanged
+        4: ("dave", 40.0),       # source-only: inserted
+    }
+
+
+def test_merge_partial_update_cols_keep_target_values(spark, merge_target):
+    # only balance updates; name keeps the TARGET value on match —
+    # including a target row whose non-updated value is NULL
+    source = spark.createDataFrame(
+        [(2, "ignored", 99.0), (3, "ignored", 33.0)],
+        "id long, name string, balance double")
+    out = {r["id"]: (r["name"], r["balance"])
+           for r in writes.merge_upsert(
+               merge_target, source, ["id"], update_cols=["balance"]).collect()}
+    assert out[2] == ("bob", 99.0)
+    assert out[3] == ("carol", 33.0)
+
+
+def test_merge_when_matched_delete(spark, merge_target):
+    source = spark.createDataFrame(
+        [(1, "x", -1.0), (4, "dave", 40.0)],
+        "id long, name string, balance double")
+    out = writes.merge_upsert(
+        merge_target, source, ["id"],
+        delete_condition=F.col("s.balance") < 0)
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [2, 3, 4]      # id=1 deleted, id=4 inserted
+
+
+def test_merge_single_shuffle_plan(spark, merge_target):
+    # the MERGE plan must be ONE join, not a union of three joins
+    source = spark.createDataFrame([(2, "b", 1.0)],
+                                   "id long, name string, balance double")
+    plan = writes.merge_upsert(
+        merge_target, source, ["id"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 1
+
+
+@pytest.fixture()
+def scd_dim(spark):
+    return spark.createDataFrame(
+        [(1, "NY", ts("2020-01-01"), ts("9999-12-31"), 1),
+         (2, "LA", ts("2020-01-01"), ts("9999-12-31"), 1),
+         (2, "SF", ts("2019-01-01"), ts("2020-01-01"), 0)],
+        "id long, city string, valid_from timestamp_ntz, "
+        "valid_to timestamp_ntz, is_current int")
+
+
+def test_scd2_close_insert_noop_newkey(spark, scd_dim):
+    updates = spark.createDataFrame(
+        [(1, "BOS"),   # changed → close + new version
+         (2, "LA"),    # unchanged → no-op
+         (3, "CHI")],  # new key → insert current
+        "id long, city string")
+    out = writes.scd2_apply(scd_dim, updates, "id", ["city"],
+                            "2021-06-01 00:00:00")
+    rows = sorted(((r["id"], r["city"], r["is_current"],
+                    str(r["valid_to"])[:10]) for r in out.collect()))
+    assert rows == [
+        (1, "BOS", 1, "9999-12-31"),   # new current version
+        (1, "NY", 0, "2021-06-01"),    # closed at batch ts
+        (2, "LA", 1, "9999-12-31"),    # untouched current
+        (2, "SF", 0, "2020-01-01"),    # history passes through
+        (3, "CHI", 1, "9999-12-31"),   # brand-new key
+    ]
+
+
+def test_scd2_null_safe_change_detection(spark):
+    dim = spark.createDataFrame(
+        [(1, None, ts("2020-01-01"), ts("9999-12-31"), 1)],
+        "id long, city string, valid_from timestamp_ntz, "
+        "valid_to timestamp_ntz, is_current int")
+    # NULL → NULL is NOT a change; NULL → value IS
+    same = spark.createDataFrame([(1, None)], "id long, city string")
+    out1 = writes.scd2_apply(dim, same, "id", ["city"], "2021-01-01 00:00:00")
+    assert out1.count() == 1 and out1.first()["is_current"] == 1
+
+    diff = spark.createDataFrame([(1, "NY")], "id long, city string")
+    out2 = writes.scd2_apply(dim, diff, "id", ["city"], "2021-01-01 00:00:00")
+    assert {(r["city"], r["is_current"]) for r in out2.collect()} \
+        == {(None, 0), ("NY", 1)}
