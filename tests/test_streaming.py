@@ -5,6 +5,7 @@ events data — plus the foreachBatch parquet sink."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_warehouse_project_spark.streaming import batch_parity, jobs
 
@@ -105,3 +106,51 @@ def test_stateful_running_totals(spark, sf_dir, events_stream,
     for uid, (n, t) in expected.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - t) < 0.02     # state accumulates FP order
+
+
+def test_watermark_late_data_accept_and_drop(spark, tmp_path):
+    """Incremental-feed watermark semantics (not a single-file replay):
+    chunk 1 establishes the watermark, chunk 2 delivers one late-but-
+    within-watermark event (must be aggregated) and one beyond-
+    watermark event (must be dropped), plus an advancing event that
+    finalizes the open windows. Append-mode emissions accumulate in a
+    parquet sink across availableNow runs of the same checkpoint."""
+    import datetime as dt
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def feed(rows):
+        spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, h, m), k, v) for h, m, k, v in rows],
+            "ts timestamp, k string, value double",
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    def run():
+        stream = (spark.readStream
+                  .schema("ts timestamp, k string, value double")
+                  .parquet(landing))
+        agg = (stream.withWatermark("ts", "1 hour")
+               .groupBy(F.window("ts", "1 hour").alias("win"), "k")
+               .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+               .select(F.col("win.start").alias("ws"), "k", "n", "sv"))
+        jobs.run_to_parquet(agg, out, ck)
+        got = spark.read.parquet(out).collect()
+        return {(r["ws"].hour, r["k"]): (r["n"], r["sv"]) for r in got}
+
+    # chunk 1: two events in the 10:00 window, one at 12:30 → watermark
+    # advances to 11:30, so only [10:00, 11:00) finalizes and emits
+    feed([(10, 15, "a", 1.0), (10, 45, "a", 2.0), (12, 30, "a", 4.0)])
+    assert run() == {(10, "a"): (2, 3.0)}
+
+    # chunk 2: 11:45 is late but ≥ watermark (11:30) → aggregated;
+    # 10:20 is beyond the watermark → silently dropped; 14:00 advances
+    # the watermark to 13:00, finalizing the 11:00 and 12:00 windows
+    feed([(11, 45, "a", 8.0), (10, 20, "a", 16.0), (14, 0, "a", 32.0)])
+    result = run()
+    assert result == {
+        (10, "a"): (2, 3.0),   # unchanged: the 16.0 event never landed
+        (11, "a"): (1, 8.0),   # the within-watermark late event counted
+        (12, "a"): (1, 4.0),
+    }
