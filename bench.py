@@ -41,6 +41,8 @@ HEADLINE = [
     "q10_returned_items",          # 4-table join + top-k
     "asof_latest_click",           # as-of join
     "rollup_status_priority",      # multi-level aggregation
+    "q9_product_profit",           # broadcast star + profit expression
+    "q21_sole_late_supplier",      # EXISTS/NOT-EXISTS → one aggregation
 ]
 
 
