@@ -104,3 +104,21 @@ def test_ivf_recall_vs_brute(spark, sf_dir):
     # recall ~ nprobe/k = 8/16; require a solid fraction of the brute
     # top-10 rather than near-perfect recall
     assert len(ivf & brute) >= 3
+
+
+def test_split_is_partitioning_invariant_and_disjoint(spark, sf_dir):
+    """The train/eval membership must be a pure function of doc_id —
+    identical under any physical layout (unlike df.sample), and the
+    two splits must partition the corpus exactly."""
+    from data_warehouse_project_spark.llm.sampling import _bucket
+    docs = Catalog(spark, sf_dir).documents
+    train = lambda df: {r["doc_id"] for r in
+                        df.filter(_bucket("doc_id") < 90)
+                          .select("doc_id").collect()}
+    a, b = train(docs), train(docs.repartition(7, "lang"))
+    assert a == b
+    total = docs.count()
+    assert 0 < len(a) < total
+    ev = {r["doc_id"] for r in
+          docs.filter(_bucket("doc_id") >= 90).select("doc_id").collect()}
+    assert len(a) + len(ev) == total and not (a & ev)
