@@ -40,8 +40,8 @@ def _register_modules() -> None:
     from .operators import extended, relational  # noqa: F401
     from .plans import dashboard, tpch, tpch_deep, warehouse  # noqa: F401
     from .streaming import batch_parity  # noqa: F401
-    from .llm import (clusters, dedup, multimodal, sampling,  # noqa: F401
-                      similarity, textstats)
+    from .llm import (clusters, dedup, multimodal, pipeline,  # noqa: F401
+                      sampling, similarity, textstats)
 
 
 try:
