@@ -97,6 +97,22 @@ def deduplicated(events: DataFrame) -> DataFrame:
     )
 
 
+def deduplicated_within_watermark(events: DataFrame) -> DataFrame:
+    """Bounded-state dedup via dropDuplicatesWithinWatermark: a
+    duplicate key is suppressed only while its first sighting is
+    within the watermark delay; after the watermark passes, state for
+    the key is evicted and a later duplicate is (correctly, per the
+    contract) treated as new. This is the production choice for
+    at-least-once sources where duplicates arrive close together —
+    state stays O(keys per watermark window) instead of O(all keys
+    ever), which is what makes 24/7 operation at 100 TB/day viable."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, checkpoint: str,
                   output_mode: str = "append"):
     """Run a streaming query to completion (availableNow) into an

@@ -154,3 +154,44 @@ def test_watermark_late_data_accept_and_drop(spark, tmp_path):
         (11, "a"): (1, 8.0),   # the within-watermark late event counted
         (12, "a"): (1, 4.0),
     }
+
+
+def test_dedup_within_watermark_state_eviction(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark
+    delay are suppressed; once the watermark passes a key's first
+    sighting, its state is evicted and a later recurrence is new."""
+    import datetime as dt
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def feed(rows):
+        spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1, h, m), u, et, 1.0)
+             for i, h, m, u, et in rows],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    def run():
+        stream = (spark.readStream
+                  .schema("event_id long, ts timestamp, user_id long, "
+                          "event_type string, value double")
+                  .parquet(landing))
+        dedup = (stream.withWatermark("ts", "1 hour")
+                 .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+                 .select("event_id"))
+        jobs.run_to_parquet(dedup, out, ck)
+        return {r["event_id"] for r in spark.read.parquet(out).collect()}
+
+    # chunk 1: id=2 duplicates (u1, click) 30 min after id=1 → dropped;
+    # id=3 advances the watermark to 11:30, evicting u1/click state
+    feed([(1, 10, 0, 1, "click"), (2, 10, 30, 1, "click"),
+          (3, 12, 30, 2, "view")])
+    assert run() == {1, 3}
+
+    # chunk 2: u1/click state was evicted → id=4 is new again;
+    # id=5 duplicates it 15 min later within the same batch → dropped
+    feed([(4, 13, 30, 1, "click"), (5, 13, 45, 1, "click")])
+    assert run() == {1, 3, 4}
