@@ -68,3 +68,44 @@ def decrypt_col(col: Column, key: bytes | None = None) -> Column:
                      f.decrypt(v.encode()).decode())
 
     return _dec(col)
+
+
+def crypto_roundtrip(spark, sf_dir: str):
+    """Driver-visible F2/F3 surface (ref db.py:419-423): build a
+    saved-card-shaped frame from `customer`, Fernet-encrypt the card
+    number, decrypt it back, and report round-trip integrity as one
+    deterministic summary row.
+
+    Rows-only check (no SQL oracle — Fernet ciphertext embeds a
+    random IV + timestamp, so even the ciphertext column is
+    nondeterministic; the *counts* are exact): n_roundtrip_ok must
+    equal n_cards and n_ciphertext_differs must equal n_cards, both
+    pinned by unit tests. Both UDFs are Arrow-batched projections at
+    the plan edge (after the scan projection), so column pruning and
+    the parquet scan are unaffected.
+    """
+    from ..sources.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    key = get_key()
+    cards = cat.customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("card_number"),
+    )
+    enc = cards.withColumn(
+        "card_number_encrypted", encrypt_col(F.col("card_number"), key))
+    dec = enc.withColumn(
+        "card_number_decrypted",
+        decrypt_col(F.col("card_number_encrypted"), key))
+    return dec.agg(
+        F.count("*").alias("n_cards"),
+        F.sum(F.when(F.col("card_number_decrypted") == F.col("card_number"),
+                     1).otherwise(0)).alias("n_roundtrip_ok"),
+        F.sum(F.when(F.col("card_number_encrypted") != F.col("card_number"),
+                     1).otherwise(0)).alias("n_ciphertext_differs"),
+    )
+
+
+if HAVE_FERNET:
+    from ..registry import register
+    register("crypto_roundtrip", crypto_roundtrip, None)

@@ -42,6 +42,90 @@ def _register_modules() -> None:
     from .streaming import batch_parity  # noqa: F401
     from .llm import (clusters, dedup, multimodal, pipeline,  # noqa: F401
                       sampling, similarity, textstats)
+    from .functions import crypto  # noqa: F401
+
+
+#: Driver correctness-window priority. The driver's CORRECTNESS run
+#: checks the first 50 registered queries (round 1 truncated at 50 of
+#: 91), so registration order is coverage policy: the LLM-pipeline,
+#: streaming, grouping-set/window, deep-TPC-H, and crypto families —
+#: the mandate extensions with no driver row yet — register first,
+#: followed by one representative per relational component family.
+#: The remaining relational/TPC-H queries (all driver-green in round
+#: 1, regression-guarded by tests/test_registry_parity.py's local
+#: DuckDB oracle at every run) register after the window.
+_PRIORITY: list[str] = [
+    "flagship_my_registrations",
+    # --- LLM training-data pipeline (dedup / similarity / multimodal
+    #     / text analysis / corpus assembly) ---
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "embedding_dup_exact",
+    "knn_brute_cosine",
+    "knn_batch_cosine",
+    "ann_lsh_cosine",
+    "ann_ivf_cosine",
+    "centroid_per_label",
+    "multimodal_features",
+    "multimodal_meta_stats",
+    "train_test_split",
+    "stratified_sample",
+    "pack_sequences",
+    "decontaminate_report",
+    "text_quality",
+    "lang_id_heuristic",
+    "token_count_bpe_ish",
+    "doc_fingerprint",
+    # --- streaming batch twins ---
+    "events_tumbling_hourly",
+    "events_dedup_first",
+    "events_sessionize",
+    "events_sliding_windows",
+    "events_state_machine",
+    "hypertable_rollup",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_hourly_anomaly",
+    # --- grouping sets + analytic windows ---
+    "rollup_status_priority",
+    "cube_flags",
+    "grouping_sets_mixed",
+    "window_running_totals",
+    "top_k_per_group",
+    # --- deep TPC-H tail + denormalized star ---
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
+    "star_denorm",
+    # --- the reference's one genuine UDF surface (F2/F3) ---
+    "crypto_roundtrip",
+    # --- relational component representatives (unique coverage:
+    #     scalar functions, validation predicates, de-N+1 dashboard,
+    #     computed-hash auth, argmax, fact-fact join, set ops) ---
+    "scalar_functions",
+    "data_quality_filter",
+    "dashboard_stats",
+    "filter_computed_hash",
+    "agg_argmax",
+    "join_fact_fact",
+    "setop_except",
+]
+
+
+def _reorder() -> None:
+    """Rebuild REGISTRY so _PRIORITY names come first (driver checks
+    registration order); everything else keeps its relative order."""
+    ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+    for name, entry in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = entry
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
 
 
 try:
@@ -50,11 +134,17 @@ except ImportError:
     # During early bring-up some modules may not exist yet; the
     # registry stays partial rather than failing the whole contract.
     pass
+_reorder()
 
 
 def queries() -> dict[str, SparkQuery]:
+    # re-apply the priority order: a module imported directly (before
+    # this module finished loading) self-registers after the load-time
+    # _reorder() ran
+    _reorder()
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _reorder()
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

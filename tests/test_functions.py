@@ -70,6 +70,36 @@ def test_fround_half_up_ties(one):
 
 
 @pytest.mark.skipif(not crypto.HAVE_FERNET, reason="cryptography missing")
+def test_crypto_roundtrip_query(spark, sf_dir):
+    # the registered (rows-only) driver query: every card round-trips
+    # and every ciphertext differs from its plaintext
+    row = crypto.crypto_roundtrip(spark, sf_dir).collect()[0]
+    assert row["n_cards"] > 0
+    assert row["n_roundtrip_ok"] == row["n_cards"]
+    assert row["n_ciphertext_differs"] == row["n_cards"]
+
+
+def test_priority_window_covers_mandate_families():
+    # the driver checks the first 50 registered queries; the mandate
+    # extension families must all land inside that window
+    from data_warehouse_project_spark import registry
+    window = list(registry.queries())[:50]
+    assert "crypto_roundtrip" in window
+    for fam, want in [
+        ("dedup_", 6), ("events_", 8), ("knn_", 2), ("ann_", 2),
+    ]:
+        assert sum(1 for n in window if n.startswith(fam)) >= want, fam
+    for name in ("rollup_status_priority", "cube_flags",
+                 "grouping_sets_mixed", "window_running_totals",
+                 "top_k_per_group", "q19_disjunctive_revenue",
+                 "q22_dormant_customers", "star_denorm",
+                 "pack_sequences", "multimodal_features",
+                 "train_test_split", "text_quality",
+                 "embedding_dup_exact", "hypertable_rollup"):
+        assert name in window, name
+
+
+@pytest.mark.skipif(not crypto.HAVE_FERNET, reason="cryptography missing")
 def test_fernet_roundtrip(spark):
     df = spark.createDataFrame(
         [("4111111111111234",), ("5500005555555559",), (None,)],
