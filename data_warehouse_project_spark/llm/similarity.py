@@ -14,6 +14,7 @@ aggregate) entirely JVM-side.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.compat import fround, sql_fround
@@ -217,16 +218,71 @@ register("ann_lsh_cosine", ann_lsh_cosine, None)
 register("embedding_dup_exact", embedding_dup_exact, EMBEDDING_DUP_SQL)
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: all (a, b) with
-    cosine ≥ 0.99 — the exact all-pairs baseline, oracle-checked at
-    test scale.
+#: LSH blocking for the near-dup pair query: OR-amplified sign-LSH.
+#: At the 0.99 cosine threshold a hyperplane agrees with probability
+#: 1 - acos(0.99)/pi ~= 0.955, so an 8-bit band matches with
+#: p = 0.955^8 ~= 0.69 and 12 independent bands miss a true pair with
+#: probability (1-p)^12 < 1e-6. Verified exhaustively against the
+#: all-pairs form in unit tests (planted near-dups) and at sf0.01.
+DEDUP_COS_THRESHOLD = 0.99
+DEDUP_COS_BANDS = 12
+DEDUP_COS_BITS = 8
+#: hot-bucket guard, mirroring dedup.MAX_BUCKET: bounds the O(k²)
+#: in-bucket pair generation. Set far above any non-pathological
+#: bucket population — a bucket beyond it implies a near-dup cluster
+#: whose pairwise OUTPUT is itself quadratic in the cluster size; the
+#: scale remedy for such corpora is cluster-level dedup
+#: (llm/clusters.py), not a bigger pair list.
+MAX_VEC_BUCKET = 4096
 
-    Scale path: this quadratic form exists as the ground truth; at
-    corpus scale the same verify step runs only on LSH-bucketed
-    candidates (ann_lsh_cosine's bucketing) — identical scoring code,
-    blocked candidate set.
+
+def _band_buckets_udf(n_bands: int, bits: int, dim: int = DIM,
+                      seed: int = 42):
+    """pandas_udf: embedding -> array of per-band bucket ids.
+
+    Hyperplanes are the same deterministic LCG family as
+    _hyperplane_lit, materialized as a numpy matrix; the whole batch
+    is one (batch × dim) @ (dim × n_bands·bits) matmul + bit-packing —
+    the justified-pandas_udf category (a 96-plane interpreted
+    higher-order-function dot per row would be ~100× slower).
     """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_planes = n_bands * bits
+    state = seed
+    rows = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(1.0 if (state >> 63) else -1.0)
+        rows.append(row)
+    planes = np.array(rows, dtype=np.float64)        # (n_planes, dim)
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _buckets(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype=object)
+        m = np.array(emb.tolist(), dtype=np.float64)  # (n, dim)
+        signs = (m @ planes.T) > 0                    # (n, n_planes)
+        out = [
+            signs[:, b * bits:(b + 1) * bits].astype(np.int64) @ weights
+            for b in range(n_bands)
+        ]
+        packed = np.stack(out, axis=1)                # (n, n_bands)
+        return pd.Series(list(packed))
+
+    return _buckets
+
+
+def dedup_embedding_cosine_allpairs(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Exact all-pairs ground truth for the near-dup pair semantics —
+    O(n²) nested-loop by construction. NOT registered as a driver
+    query: it exists as the unit-test oracle the blocked form is
+    checked against (tests/test_llm_ops.py)."""
     cat = Catalog(spark, sf_dir)
     vecs = cat.embeddings.select("vec_id", "embedding")
     a = vecs.select(F.col("vec_id").alias("vec_a"),
@@ -236,7 +292,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_sim", fround(F.expr(_COS_EXPR), 6))
-        .filter(F.coalesce(F.col("cos_sim") >= 0.99, F.lit(False)))
+        .filter(F.coalesce(F.col("cos_sim") >= DEDUP_COS_THRESHOLD,
+                           F.lit(False)))
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with
+    cosine ≥ 0.99, LSH-blocked.
+
+    Plan shape (the 100 TB path — no all-pairs nested loop anywhere):
+    1. one numpy-vectorized projection assigns every vector 12
+       8-bit sign-LSH bucket ids (OR-amplification: < 1e-6 chance a
+       ≥ 0.99 pair shares no bucket — see DEDUP_COS_BANDS note);
+    2. groupBy (band, bucket) collects in-bucket vec_id lists and
+       emits in-bucket pairs (bounded by MAX_VEC_BUCKET), distinct;
+    3. the (tiny) candidate set broadcasts back against `embeddings`
+       twice and only candidates get exact-cosine verified.
+    Cost is Σ bucket², not n²; the corpus shuffles bucket ids (longs),
+    never vector pairs. Oracle: the same all-pairs SQL as the ground
+    truth (blocking is recall-lossless at the threshold); equality
+    with dedup_embedding_cosine_allpairs is unit-tested on planted
+    near-dup corpora.
+    """
+    cat = Catalog(spark, sf_dir)
+    vecs = cat.embeddings.select("vec_id", "embedding")
+    buckets_udf = _band_buckets_udf(DEDUP_COS_BANDS, DEDUP_COS_BITS)
+    bands = vecs.select(
+        "vec_id",
+        F.posexplode(buckets_udf(F.col("embedding"))).alias("band", "bucket"),
+    )
+    candidates = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("vs"))
+        .filter((F.size("vs") > 1) & (F.size("vs") <= MAX_VEC_BUCKET))
+        .select(F.explode(F.expr(
+            "flatten(transform(vs, (x, i) -> "
+            "transform(slice(vs, i + 2, size(vs) - i - 1), "
+            "y -> struct(x AS vec_a, y AS vec_b))))"
+        )).alias("p"))
+        .select("p.vec_a", "p.vec_b")
+        .distinct()
+    )
+    emb_a = vecs.select(F.col("vec_id").alias("vec_a"),
+                        F.col("embedding").alias("a"))
+    emb_b = vecs.select(F.col("vec_id").alias("vec_b"),
+                        F.col("embedding").alias("b"))
+    cand_a = emb_a.join(F.broadcast(candidates), "vec_a")
+    return (
+        emb_b.join(F.broadcast(cand_a), "vec_b")
+        .withColumn("cos_sim", fround(F.expr(_COS_EXPR), 6))
+        .filter(F.coalesce(F.col("cos_sim") >= DEDUP_COS_THRESHOLD,
+                           F.lit(False)))
         .select("vec_a", "vec_b", "cos_sim")
     )
 

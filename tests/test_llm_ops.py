@@ -54,6 +54,78 @@ def test_simhash_bands_cluster_near_dups(spark, synth_docs):
     assert ham_near < ham_far
 
 
+@pytest.fixture(scope="module")
+def planted_emb_dir(spark, tmp_path_factory):
+    """A corpus with planted exact + near duplicates (cos ≥ 0.99) and
+    background vectors, written as an sf-dir-shaped embeddings table."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def randvec():
+        return [rng.gauss(0, 1) for _ in range(64)]
+
+    # 40 background vectors
+    for i in range(40):
+        rows.append((i, unit(randvec()), 0))
+    # planted near-dup cluster: base + 3 jittered copies (tiny noise →
+    # cosine ≥ 0.999) and one exact copy
+    base = unit(randvec())
+    rows.append((100, base, 1))
+    rows.append((101, base, 1))                      # exact dup
+    for j in range(3):
+        jit = unit([x + rng.gauss(0, 0.005) for x in base])
+        rows.append((102 + j, jit, 1))
+    # a second, independent near-dup pair
+    b2 = unit(randvec())
+    rows.append((200, b2, 2))
+    rows.append((201, unit([x + rng.gauss(0, 0.003) for x in b2]), 2))
+
+    d = tmp_path_factory.mktemp("planted_sf")
+    (spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, v, lab in rows],
+        "vec_id long, embedding array<float>, label int")
+     .write.mode("overwrite").parquet(str(d / "embeddings.parquet")))
+    return str(d)
+
+
+def test_dedup_embedding_lsh_matches_allpairs(spark, planted_emb_dir):
+    # the LSH-blocked registered query must produce EXACTLY the
+    # all-pairs ground truth (blocking is recall-lossless at 0.99)
+    exact = {(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in
+             similarity.dedup_embedding_cosine_allpairs(
+                 spark, planted_emb_dir).collect()}
+    blocked = {(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in
+               similarity.dedup_embedding_cosine(
+                   spark, planted_emb_dir).collect()}
+    assert len(exact) >= 11          # C(5,2) in-cluster pairs + the pair
+    assert blocked == exact
+
+
+def test_dedup_embedding_lsh_matches_allpairs_at_sf(spark, sf_dir):
+    exact = {(r["vec_a"], r["vec_b"]) for r in
+             similarity.dedup_embedding_cosine_allpairs(
+                 spark, sf_dir).collect()}
+    blocked = {(r["vec_a"], r["vec_b"]) for r in
+               similarity.dedup_embedding_cosine(spark, sf_dir).collect()}
+    assert blocked == exact
+
+
+def test_dedup_embedding_plan_has_no_allpairs_join(spark, sf_dir):
+    # the registered plan must not contain a nested-loop over the full
+    # corpus pair space (broadcast NLJ on the tiny candidate set is
+    # fine; a cartesian of embeddings×embeddings is not)
+    plan = similarity.dedup_embedding_cosine(
+        spark, sf_dir)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_ann_recall_vs_brute(spark, sf_dir):
     brute = {r["vec_id"] for r in
              similarity.knn_brute_cosine(spark, sf_dir).collect()}
