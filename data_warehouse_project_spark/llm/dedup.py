@@ -89,44 +89,99 @@ FROM documents GROUP BY 1
 """
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All candidate document pairs sharing ≥1 word 5-gram, with their
-    exact Jaccard similarity over distinct shingles, thresholded.
+#: hot-shingle guard: a shingle appearing in more documents than this
+#: is boilerplate (stop-phrase, template header) — its blocking join
+#: fan-out is O(df²) pairs while its discriminative value is ~zero.
+#: Capped shingles are dropped from candidate GENERATION only; the
+#: exact-Jaccard verify still counts them, so any pair that also
+#: shares a below-cap shingle gets the exact similarity. Observed max
+#: df in driver testdata is 4 (sf0.1), so the cap is inert there; at
+#: 100 TB it is the difference between Σ df² and n² blow-up.
+SHINGLE_DF_CAP = 64
 
-    The shared-shingle join IS the blocking step: pairs with zero
-    shingle overlap are never generated, so cost is bounded by
-    shingle-frequency skew, not n². (At 100 TB you'd additionally cap
-    per-shingle document lists — hot-shingle salting.)
+
+def _verify_jaccard(sh_all: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of a (small) candidate pair set.
+
+    ``sh_all``: (doc_id, shingles, n_shingles); ``candidates``:
+    (doc_a, doc_b). Broadcasts the candidate set so the shingle arrays
+    stream map-side through two broadcast-hash joins instead of being
+    serialized into a sort-merge shuffle. Returns doc_a, doc_b,
+    n_shared_shingles, jaccard for pairs ≥ JACCARD_THRESHOLD.
     """
-    cat = Catalog(spark, sf_dir)
-    sh = _with_shingles(cat.documents).select(
-        "doc_id", F.size("shingles").alias("n_shingles"),
-        F.explode("shingles").alias("shingle"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_shingles").alias("n_a"),
-            F.col("b.n_shingles").alias("n_b"),
-        )
-        .agg(F.count("*").alias("shared"))
+    cand_a = (
+        sh_all.select(F.col("doc_id").alias("doc_a"),
+                      F.col("shingles").alias("sh_a"),
+                      F.col("n_shingles").alias("n_a"))
+        .join(F.broadcast(candidates), "doc_a")
     )
     return (
-        pairs
+        sh_all.select(F.col("doc_id").alias("doc_b"),
+                      F.col("shingles").alias("sh_b"),
+                      F.col("n_shingles").alias("n_b"))
+        .join(F.broadcast(cand_a), "doc_b")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             fround(F.col("shared")
                    / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
         )
+        # null-TOLERANT threshold (see dedup_minhash_lsh note): a
+        # null-strict filter would let Catalyst push isnotnull
+        # constraints with the whole shingle expression into the scans
         .filter(F.coalesce(F.col("jaccard") >= JACCARD_THRESHOLD,
                            F.lit(False)))
-        .select("doc_a", "doc_b", F.col("shared").alias("n_shared_shingles"),
+        .select("doc_a", "doc_b",
+                F.col("shared").cast("long").alias("n_shared_shingles"),
                 "jaccard")
     )
+
+
+def ngram_jaccard_pairs(docs: DataFrame,
+                        df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Document pairs sharing ≥1 below-cap word 5-gram, with exact
+    Jaccard over ALL distinct shingles, thresholded.
+
+    Plan: explode shingles → per-shingle document frequency → the
+    (tiny) above-cap hot list broadcasts into a left-anti join →
+    capped self-join generates candidate pairs → exact verify on the
+    full shingle arrays. The self-join fan-out is bounded by
+    Σ min(df, cap)² instead of the uncapped Σ df² — one ubiquitous
+    boilerplate shingle can no longer produce an O(n²) candidate set.
+    """
+    sh_all = _with_shingles(docs).select(
+        "doc_id", "shingles", F.size("shingles").alias("n_shingles"))
+    return _verify_jaccard(sh_all, _ngram_candidates(sh_all, df_cap))
+
+
+def _ngram_candidates(sh_all: DataFrame, df_cap: int) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs sharing ≥1 below-cap shingle."""
+    sh = sh_all.select("doc_id", F.explode("shingles").alias("shingle"))
+    # hot list: small by construction (boilerplate shingles are few;
+    # at corpus scale this aggregation is the same shuffle the
+    # blocking join pays anyway, and can come from a sampled pass)
+    hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > df_cap)
+           .select("shingle"))
+    blocked = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs sharing ≥1 word 5-gram with exact Jaccard ≥
+    threshold — the shared-shingle join is the blocking step, with a
+    hot-shingle document-frequency cap (SHINGLE_DF_CAP) bounding the
+    join fan-out under shingle-frequency skew."""
+    cat = Catalog(spark, sf_dir)
+    return ngram_jaccard_pairs(cat.documents)
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
@@ -253,36 +308,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact-Jaccard verification of candidates only. Broadcast the
-    # (tiny) candidate pair set: the shingle arrays then stream
-    # map-side through two broadcast-hash joins instead of being
-    # serialized into a sort-merge shuffle.
-    sh = sh_all
-    cand_a = (
-        sh.select(F.col("doc_id").alias("doc_a"),
-                  F.col("shingles").alias("sh_a"),
-                  F.col("n_shingles").alias("n_a"))
-        .join(F.broadcast(candidates), "doc_a")
-    )
-    verified = (
-        sh.select(F.col("doc_id").alias("doc_b"),
-                  F.col("shingles").alias("sh_b"),
-                  F.col("n_shingles").alias("n_b"))
-        .join(F.broadcast(cand_a), "doc_b")
-        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            fround(F.col("shared")
-                   / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
-        )
-        # null-TOLERANT threshold: a null-strict filter lets Catalyst
-        # infer isnotnull(n_a/n_b) constraints and push them into the
-        # scans — inlining the entire shingle expression into a
-        # single-task scan filter (measured: 4.4s CPU per branch)
-        .filter(F.coalesce(F.col("jaccard") >= JACCARD_THRESHOLD,
-                           F.lit(False)))
-    )
-    return verified.select("doc_a", "doc_b", "jaccard")
+    # exact-Jaccard verification of candidates only (shared helper —
+    # broadcast candidate set, shingle arrays never shuffle)
+    return _verify_jaccard(sh_all, candidates).select(
+        "doc_a", "doc_b", "jaccard")
 
 
 #: max hamming distance (of 64 bits) for a verified simhash near-dup

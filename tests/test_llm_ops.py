@@ -37,6 +37,43 @@ def test_minhash_finds_near_and_exact_dups(spark, synth_docs):
     assert far_agree <= 4
 
 
+@pytest.fixture(scope="module")
+def hot_shingle_docs(spark):
+    """30 docs sharing ONLY one ubiquitous 5-gram (boilerplate), plus
+    an exact-dup pair that also shares many rare shingles."""
+    common = "alpha beta gamma delta epsilon"
+    rows = [(i, f"{common} u{i}a u{i}b u{i}c u{i}d u{i}e")
+            for i in range(30)]
+    near = "one two three four five six seven eight nine ten " + common
+    rows += [(100, near), (101, near)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_hot_shingle_cap_bounds_candidates(spark, hot_shingle_docs):
+    sh_all = dedup._with_shingles(hot_shingle_docs).select(
+        "doc_id", "shingles", F.size("shingles").alias("n_shingles"))
+    # uncapped: the boilerplate shingle alone fans out to O(n²) pairs
+    uncapped = dedup._ngram_candidates(sh_all, df_cap=10**9).count()
+    assert uncapped >= 30 * 29 // 2
+    # capped: the ubiquitous shingle (df=32 > 8) generates nothing;
+    # only the genuine near-dup pair (rare shared shingles) survives
+    capped = dedup._ngram_candidates(sh_all, df_cap=8)
+    assert [(r["doc_a"], r["doc_b"]) for r in capped.collect()] == [(100, 101)]
+
+
+def test_ngram_cap_preserves_output(spark, hot_shingle_docs):
+    # the thresholded OUTPUT is identical with and without the cap:
+    # boilerplate-only pairs never reach the 0.4 jaccard threshold,
+    # and the surviving pair's jaccard counts ALL shingles (including
+    # the hot one) because verification is exact
+    capped = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+              dedup.ngram_jaccard_pairs(hot_shingle_docs, df_cap=8).collect()}
+    uncapped = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+                dedup.ngram_jaccard_pairs(
+                    hot_shingle_docs, df_cap=10**9).collect()}
+    assert capped == uncapped == {(100, 101, 1.0)}
+
+
 def test_simhash_bands_cluster_near_dups(spark, synth_docs):
     # exercise the simhash signature construction on known near-dups
     toks = (synth_docs
