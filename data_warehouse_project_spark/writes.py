@@ -63,6 +63,58 @@ def with_surrogate_keys(
         key_col, (F.lit(base) + F.row_number().over(w)).cast("long"))
 
 
+def with_surrogate_keys_bulk(
+    new_rows: DataFrame,
+    key_col: str,
+    existing: DataFrame | None = None,
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """Bulk-load variant of S15: gap-free max(existing)+1..n ids with
+    NO global-order window and NO driver collect of data rows.
+
+    Plan: range-repartition on the order columns (so ids still follow
+    the global sort order), persist the partitioned batch (pinning the
+    partition assignment so both passes see identical layout), count
+    rows per partition (a K-row aggregate — partition METADATA, not
+    data), broadcast the cumulative offsets back, and number rows with
+    a window partitioned by partition id. Every stage is parallel;
+    the only driver traffic is one row per partition.
+
+    The caller should unpersist() the input's lineage after
+    materializing the result (or let LRU eviction handle it).
+    """
+    if existing is not None and key_col in existing.columns:
+        base_row = existing.agg(F.max(key_col).alias("m")).collect()[0]
+        base = base_row["m"] if base_row["m"] is not None else 0
+    else:
+        base = 0
+    order_cols = order_by or [c for c in new_rows.columns]
+    part = (
+        new_rows.repartitionByRange(*[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # pin the partition assignment: the count pass and the numbering
+    # pass must observe the same layout (range boundaries come from a
+    # sampling pass; persisting makes them bind exactly once)
+    part = part.persist()
+    counts = part.groupBy("__pid").agg(F.count("*").alias("__cnt")).collect()
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets.append((r["__pid"], acc))
+        acc += r["__cnt"]
+    spark = new_rows.sparkSession
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        part.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            key_col,
+            (F.lit(base) + F.col("__off") + F.row_number().over(w))
+            .cast("long"))
+        .drop("__pid", "__off")
+    )
+
+
 def conditional_update(
     df: DataFrame, condition: Column, assignments: dict[str, Column]
 ) -> DataFrame:

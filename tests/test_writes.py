@@ -43,6 +43,38 @@ def test_surrogate_keys_deterministic_order(spark):
     assert keyed == {"a": 1, "b": 2, "c": 3}
 
 
+def test_surrogate_keys_bulk_gap_free_and_ordered(spark):
+    # multi-partition bulk batch: ids must be a gap-free continuation
+    # of max(existing) and follow the order_by sort order globally
+    n = 10_000
+    new = (spark.range(n)
+           .select((F.col("id") * 37 % n).alias("k"),
+                   F.col("id").alias("payload"))
+           .repartition(16))
+    existing = spark.createDataFrame([(100,)], "sk long")
+    keyed = writes.with_surrogate_keys_bulk(
+        new, "sk", existing=existing, order_by=["k"])
+    rows = keyed.select("k", "sk").collect()
+    ids = sorted(r["sk"] for r in rows)
+    assert ids == list(range(101, 101 + n))
+    by_k = sorted(rows, key=lambda r: r["k"])
+    assert [r["sk"] for r in by_k] == ids    # key order == sort order
+
+
+def test_surrogate_keys_bulk_no_single_task_stage(spark):
+    new = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit("x").alias("v")).repartition(8)
+    keyed = writes.with_surrogate_keys_bulk(new, "sk", order_by=["k"])
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    # the numbering window is partitioned by __pid — no global-order
+    # single-partition exchange anywhere in the plan
+    assert "Exchange SinglePartition" not in plan
+    # the legacy OLTP-batch path DOES have one (the documented trade)
+    legacy = writes.with_surrogate_keys(new, "sk", order_by=["k"])
+    lplan = legacy._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in lplan
+
+
 def test_soft_delete_and_flip(spark, regs):
     ev = spark.createDataFrame(
         [(10, 1), (11, 1)], "event_id long, is_active int")
