@@ -4,6 +4,7 @@ same schema discipline)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_warehouse_project_spark import schemas
@@ -50,3 +51,41 @@ def test_json_source_roundtrip(spark, sf_dir, tmp_path):
     b = {r["event_type"]: r["n"] for r in
          back.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
     assert a == b
+
+
+def test_jdbc_options_basic_and_partitioned(monkeypatch):
+    from data_warehouse_project_spark.sources import catalog as cat_mod
+
+    monkeypatch.delenv(cat_mod.JDBC_URL_ENV, raising=False)
+    with pytest.raises(ValueError):
+        cat_mod.jdbc_options("orders")
+
+    url = "jdbc:mysql://localhost:3306/dwps"
+    opts = cat_mod.jdbc_options("orders", url, user="u", password="p")
+    assert opts["url"] == url and opts["dbtable"] == "orders"
+    assert opts["user"] == "u" and opts["password"] == "p"
+    # scale defaults: pushdowns on, streaming fetch batched
+    assert opts["pushDownPredicate"] == "true"
+    assert int(opts["fetchsize"]) >= 1000
+    assert "numPartitions" not in opts
+
+    part = cat_mod.jdbc_options(
+        "orders", url, num_partitions=8, lower_bound=1, upper_bound=60_000)
+    # default partition column = first integer key of the schema
+    assert part["partitionColumn"] == "o_orderkey"
+    assert part["numPartitions"] == "8"
+    assert part["lowerBound"] == "1" and part["upperBound"] == "60000"
+
+    with pytest.raises(ValueError):
+        cat_mod.jdbc_options("orders", url, num_partitions=8)  # no bounds
+    with pytest.raises(KeyError):
+        cat_mod.jdbc_options("no_such_table", url)
+
+
+def test_jdbc_env_gate_reads_env(monkeypatch):
+    from data_warehouse_project_spark.sources import catalog as cat_mod
+
+    monkeypatch.setenv(cat_mod.JDBC_URL_ENV, "jdbc:mysql://h:3306/db")
+    monkeypatch.setenv("DWPS_JDBC_USER", "svc")
+    opts = cat_mod.jdbc_options("nation")
+    assert opts["url"].endswith("/db") and opts["user"] == "svc"
