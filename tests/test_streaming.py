@@ -156,6 +156,52 @@ def test_watermark_late_data_accept_and_drop(spark, tmp_path):
     }
 
 
+def test_restart_resumes_exactly_once_foreach_batch(spark, tmp_path):
+    """End-to-end restart: the real tumbling job + foreachBatch parquet
+    sink, driven by chunked landing files across three availableNow
+    runs of the same checkpoint (each run is a fresh query = a
+    restart). Finalized windows must appear exactly once, survive the
+    restarts, and a catch-up run with no new data must write nothing."""
+    import datetime as dt
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def feed(rows):
+        spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, h, m), et, v) for h, m, et, v in rows],
+            "ts timestamp, event_type string, value double",
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    def run():
+        stream = (spark.readStream
+                  .schema("ts timestamp, event_type string, value double")
+                  .parquet(landing))
+        jobs.run_to_parquet(jobs.tumbling_hourly(stream), out, ck)
+        return {(r["hour"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+                for r in spark.read.parquet(out).collect()}
+
+    # run 1: two 10:00-window events, one 11:30 event, advance to 14:30
+    # → watermark 12:30 (2 h delay) finalizes the 10:00 and 11:00
+    # windows; the 14:00 window stays open
+    feed([(10, 15, "a", 1.0), (10, 45, "a", 2.0), (11, 30, "a", 4.0),
+          (14, 30, "a", 8.0)])
+    assert run() == {(10, "a"): (2, 3.0), (11, "a"): (1, 4.0)}
+
+    # run 2 (restart): 12:45 is late-but-within-watermark → counted;
+    # 14:10 joins the open 14:00 window; 18:00 advances the watermark
+    # to 16:00, finalizing the 12:00 and 14:00 windows
+    feed([(12, 45, "a", 32.0), (14, 10, "a", 16.0), (18, 0, "a", 64.0)])
+    expected = {(10, "a"): (2, 3.0), (11, "a"): (1, 4.0),
+                (12, "a"): (1, 32.0), (14, "a"): (2, 24.0)}
+    assert run() == expected
+
+    # run 3 (restart, no new data): exactly-once — nothing re-emitted,
+    # nothing lost
+    assert run() == expected
+
+
 def test_dedup_within_watermark_state_eviction(spark, tmp_path):
     """dropDuplicatesWithinWatermark: duplicates inside the watermark
     delay are suppressed; once the watermark passes a key's first
