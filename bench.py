@@ -43,6 +43,8 @@ HEADLINE = [
     "rollup_status_priority",      # multi-level aggregation
     "q9_product_profit",           # broadcast star + profit expression
     "q21_sole_late_supplier",      # EXISTS/NOT-EXISTS → one aggregation
+    "dedup_ngram_jaccard",         # LLM heavy: capped blocking + verify
+    "grouping_sets_mixed",         # multi-grouping aggregation
 ]
 
 

@@ -149,8 +149,27 @@ def ngram_jaccard_pairs(docs: DataFrame,
     Σ min(df, cap)² instead of the uncapped Σ df² — one ubiquitous
     boilerplate shingle can no longer produce an O(n²) candidate set.
     """
-    sh_all = _with_shingles(docs).select(
-        "doc_id", "shingles", F.size("shingles").alias("n_shingles"))
+    # hash shingles to int64 up front: the (interpreted, expensive)
+    # shingle construction runs ONCE, and what persists + shuffles +
+    # verifies is compact long arrays instead of word-5-gram strings.
+    # Jaccard over the hashes equals Jaccard over the strings modulo
+    # 64-bit collisions (~n²/2⁶⁴ per doc — negligible; the DuckDB
+    # parity test pins agreement with the string-based oracle).
+    # persist() is justified here where the minhash path measured it
+    # a loss: that cached STRING arrays (10× serialization cost);
+    # these are longs, and FIVE downstream branches reuse them
+    # (measured at sf0.1: 4.5 s recompute → 2.6 s persisted). The
+    # block is left for Spark's LRU storage eviction — callers run
+    # the returned plan once, and pinning ~16 bytes × Σ shingles is
+    # the cheapest input to every downstream stage.
+    sh_all = (
+        _with_shingles(docs)
+        .select(
+            "doc_id",
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("shingles"),
+            F.size("shingles").alias("n_shingles"))
+        .persist()
+    )
     return _verify_jaccard(sh_all, _ngram_candidates(sh_all, df_cap))
 
 
@@ -270,12 +289,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard query, which shares the threshold).
     """
     cat = Catalog(spark, sf_dir)
-    # the shingle frame feeds signature generation AND pair
-    # verification; recomputing it per branch beats persist() here —
-    # shingling is ~0.5s of CPU while caching the string arrays costs
-    # ~10x that in block-store serialization (measured at sf0.1)
-    sh_all = _with_shingles(cat.documents).select(
-        "doc_id", "shingles", F.size("shingles").alias("n_shingles")
+    # pre-hash shingles to int64 and persist the compact long arrays
+    # (same rationale as ngram_jaccard_pairs: one shingling pass,
+    # every downstream branch reuses ~16 B/shingle; persisting the
+    # raw STRING arrays measured a 10× serialization loss). The
+    # minhash family then becomes xxhash64(h, j) over the pre-hash —
+    # still an independent uniform hash per seed j, and hashing a
+    # fixed-width long is cheaper than re-hashing each string 32×.
+    sh_all = (
+        _with_shingles(cat.documents)
+        .select(
+            "doc_id",
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("shingles"),
+            F.size("shingles").alias("n_shingles"))
+        .persist()
     )
     sigs = minhash_signatures_from(sh_all)
 
