@@ -1,0 +1,362 @@
+"""Corpus quality operators over `documents` — Gopher-style
+repetition/composition heuristics, PII scrubbing, vocabulary
+statistics, TF-IDF term weighting, and source-mixture planning
+(training-data-pipeline surface; the reference has no analog — these
+extend SURVEY.md §2's LLM-pipeline family).
+
+Scale design: every operator is per-document expression work or an
+explode → partial-aggregate pipeline (map-side combinable token
+counts), so cost is linear in corpus size with one shuffle keyed by
+token or source — no all-pairs steps, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.compat import fround, sql_fround
+from ..registry import register
+from ..sources.catalog import Catalog
+
+# --------------------------------------------------------------------------
+# Gopher-style quality flags
+# --------------------------------------------------------------------------
+
+#: keep-thresholds (tuned so the driver corpus splits both ways:
+#: n_tokens 10-99, TTR 0.28-1.0, top-token 0.05-0.30, dup-bigram
+#: 0-0.13 at sf0.01)
+MIN_TOKENS = 20
+MIN_TTR = 0.35
+MAX_TOP_TOKEN_FRAC = 0.15
+MAX_DUP_BIGRAM_FRAC = 0.10
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition/composition signals with a keep flag —
+    the Gopher-rules shape (Rae et al. 2021, public): token count
+    bounds, type-token ratio, most-common-token dominance, duplicate
+    bigram fraction.
+
+    Token stats run as explode → two-level aggregate (map-side
+    combinable); bigram stats are per-row array expressions. One
+    shuffle on doc_id-sized keys.
+    """
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.withColumn(
+        "tokens", F.split(F.trim(F.col("text")), r"\s+"))
+    per_tok = (
+        toks.select("doc_id", F.explode("tokens").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    )
+    sig = per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_c"),
+    )
+    bigr = toks.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(tokens) < 2 THEN CAST(0.0 AS DOUBLE) ELSE "
+            "1.0 - size(array_distinct(transform(sequence(0, size(tokens)-2),"
+            " i -> concat(tokens[i], ' ', tokens[i+1]))))"
+            " / CAST(size(tokens) - 1 AS DOUBLE) END"
+        ).alias("raw_dup"),
+    )
+    return (
+        sig.join(bigr, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            fround(F.col("n_distinct") / F.col("n_tokens"), 6).alias("ttr"),
+            fround(F.col("top_c") / F.col("n_tokens"), 6)
+            .alias("top_token_frac"),
+            fround(F.col("raw_dup"), 6).alias("dup_bigram_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("ttr") >= MIN_TTR)
+            & (F.col("top_token_frac") <= MAX_TOP_TOKEN_FRAC)
+            & (F.col("dup_bigram_frac") <= MAX_DUP_BIGRAM_FRAC),
+        )
+    )
+
+
+GOPHER_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+    FROM documents
+),
+per_tok AS (
+    SELECT doc_id, UNNEST(tokens) AS tok FROM toks
+),
+cnt AS (
+    SELECT doc_id, tok, COUNT(*) AS c FROM per_tok GROUP BY 1, 2
+),
+sig AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS top_c
+    FROM cnt GROUP BY 1
+),
+bigr AS (
+    SELECT doc_id,
+           CASE WHEN len(tokens) < 2 THEN 0.0 ELSE
+             1.0 - len(list_distinct(list_transform(range(1, len(tokens)),
+                       i -> tokens[i] || ' ' || tokens[i+1])))
+                   / CAST(len(tokens) - 1 AS DOUBLE) END AS raw_dup
+    FROM toks
+),
+j AS (
+    SELECT s.doc_id, s.n_tokens,
+           {sql_fround('s.n_distinct / CAST(s.n_tokens AS DOUBLE)', 6)} AS ttr,
+           {sql_fround('s.top_c / CAST(s.n_tokens AS DOUBLE)', 6)} AS top_token_frac,
+           {sql_fround('b.raw_dup', 6)} AS dup_bigram_frac
+    FROM sig s JOIN bigr b ON s.doc_id = b.doc_id
+)
+SELECT doc_id, n_tokens, ttr, top_token_frac, dup_bigram_frac,
+       (n_tokens >= {MIN_TOKENS} AND ttr >= {MIN_TTR}
+        AND top_token_frac <= {MAX_TOP_TOKEN_FRAC}
+        AND dup_bigram_frac <= {MAX_DUP_BIGRAM_FRAC}) AS keep
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+# --------------------------------------------------------------------------
+
+#: patterns restricted to the regex intersection of Java (Spark) and
+#: RE2 (DuckDB): no lookaround, no backrefs
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped numbers and count the
+    redactions per document — the pre-training privacy scrub pass.
+    Replacement order (email → ip → phone) is fixed so both engines
+    transform identically. Pure regexp expressions: per-row, no
+    shuffle, codegen'd."""
+    cat = Catalog(spark, sf_dir)
+    return cat.documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(IP_RE), F.lit(0)))
+        .cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PHONE_RE), F.lit(0)))
+        .cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+                IP_RE, "<IP>"),
+            PHONE_RE, "<PHONE>").alias("redacted"),
+    )
+
+
+_P_EMAIL = EMAIL_RE.replace("'", "''")
+_P_IP = IP_RE
+_P_PHONE = PHONE_RE
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_P_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_P_IP}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{_P_PHONE}')) AS BIGINT) AS n_phones,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(text, '{_P_EMAIL}', '<EMAIL>', 'g'),
+               '{_P_IP}', '<IP>', 'g'),
+           '{_P_PHONE}', '<PHONE>', 'g') AS redacted
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Vocabulary + TF-IDF
+# --------------------------------------------------------------------------
+
+VOCAB_TOP_K = 100
+TFIDF_TOP_K = 3
+
+
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-K tokens by occurrence count with their
+    document frequency — the tokenizer-training / vocab-pruning
+    aggregate. explode → map-side-combined counts → TakeOrdered top-K
+    (rank assigned on the K survivors, not a global sort)."""
+    cat = Catalog(spark, sf_dir)
+    per = (
+        cat.documents
+        .withColumn("tokens", F.split(F.trim(F.col("text")), r"\s+"))
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n_occurrences"),
+             F.countDistinct("doc_id").cast("long").alias("n_docs"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("term"))
+        .limit(VOCAB_TOP_K)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))
+    return per.withColumn("rank", F.row_number().over(w).cast("long")) \
+              .select("rank", "term", "n_occurrences", "n_docs")
+
+
+VOCAB_SQL = f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+    FROM documents
+),
+agg AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM ex GROUP BY 1
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term) AS BIGINT)
+           AS rank,
+       term, n_occurrences, n_docs
+FROM agg
+ORDER BY n_occurrences DESC, term
+LIMIT {VOCAB_TOP_K}
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: tf = in-doc frequency, idf =
+    ln(N/df). The df table is doc-count-sized and the corpus total is
+    a 1-row broadcast; ranking is a per-document window. Ties rank by
+    the ROUNDED score then term, so cross-engine float noise below
+    1e-6 cannot flip the ordering."""
+    cat = Catalog(spark, sf_dir)
+    per_tok = (
+        cat.documents
+        .withColumn("tokens", F.split(F.trim(F.col("text")), r"\s+"))
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    )
+    doc_n = per_tok.groupBy("doc_id").agg(F.sum("c").alias("n_tokens"))
+    df_tbl = per_tok.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = doc_n.agg(F.count("*").alias("n_corpus"))
+    scored = (
+        per_tok.join(doc_n, "doc_id")
+        .join(df_tbl, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            fround((F.col("c") / F.col("n_tokens"))
+                   * F.log(F.col("n_corpus") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tfidf")
+    )
+
+
+TFIDF_SQL = f"""
+WITH ex AS (
+    SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+    FROM documents
+),
+per_tok AS (
+    SELECT doc_id, term, COUNT(*) AS c FROM ex GROUP BY 1, 2
+),
+doc_n AS (
+    SELECT doc_id, SUM(c) AS n_tokens FROM per_tok GROUP BY 1
+),
+df_tbl AS (
+    SELECT term, COUNT(*) AS df FROM per_tok GROUP BY 1
+),
+scored AS (
+    SELECT p.doc_id, p.term,
+           {sql_fround('(p.c / CAST(d.n_tokens AS DOUBLE)) * '
+                       'ln((SELECT COUNT(*) FROM doc_n) '
+                       '/ CAST(f.df AS DOUBLE))', 6)} AS tfidf
+    FROM per_tok p
+    JOIN doc_n d ON p.doc_id = d.doc_id
+    JOIN df_tbl f ON p.term = f.term
+),
+ranked AS (
+    SELECT doc_id, term, tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Source-mixture planning
+# --------------------------------------------------------------------------
+
+#: target token budget for the mixture plan (a literal so both
+#: engines agree; the real pipeline would parameterize it)
+MIXTURE_TOKEN_BUDGET = 50_000
+
+
+def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling plan for a token-budget mixture: each
+    source's raw weight is 1 + (source_index mod 3) (a deterministic
+    stand-in for hand-tuned mixture weights); allocation is the
+    weight-proportional share of the budget; sample_frac = allocation
+    / available tokens, capped at 1. One groupBy(source) — the
+    corpus-assembly planning aggregate."""
+    cat = Catalog(spark, sf_dir)
+    per_src = (
+        cat.documents
+        .withColumn("tokens", F.split(F.trim(F.col("text")), r"\s+"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum(F.size("tokens")).cast("long").alias("n_tokens"))
+        .withColumn(
+            "weight",
+            (F.lit(1) + F.regexp_extract("source", r"([0-9]+)", 1)
+             .cast("long") % 3).cast("long"))
+    )
+    tot = per_src.agg(F.sum("weight").alias("w_total"))
+    return (
+        per_src.join(F.broadcast(tot))
+        .withColumn(
+            "alloc_tokens",
+            F.floor(F.lit(MIXTURE_TOKEN_BUDGET) * F.col("weight")
+                    / F.col("w_total")).cast("long"))
+        .withColumn(
+            "sample_frac",
+            fround(F.least(F.lit(1.0),
+                           F.col("alloc_tokens") / F.col("n_tokens")), 6))
+        .select("source", "n_docs", "n_tokens", "weight",
+                "alloc_tokens", "sample_frac")
+    )
+
+
+MIXTURE_SQL = f"""
+WITH per_src AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS n_tokens,
+           CAST(1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3
+                AS BIGINT) AS weight
+    FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens, weight,
+       CAST(FLOOR({MIXTURE_TOKEN_BUDGET} * weight
+            / CAST((SELECT SUM(weight) FROM per_src) AS DOUBLE)) AS BIGINT)
+           AS alloc_tokens,
+       {sql_fround('least(1.0, FLOOR(' + str(MIXTURE_TOKEN_BUDGET)
+                   + ' * weight / CAST((SELECT SUM(weight) FROM per_src)'
+                   ' AS DOUBLE)) / CAST(n_tokens AS DOUBLE))', 6)}
+           AS sample_frac
+FROM per_src
+"""
+
+
+register("gopher_quality_flags", gopher_quality_flags, GOPHER_SQL)
+register("pii_scrub", pii_scrub, PII_SCRUB_SQL)
+register("vocab_top_terms", vocab_top_terms, VOCAB_SQL)
+register("tfidf_top_terms", tfidf_top_terms, TFIDF_SQL)
+register("source_mixture_plan", source_mixture_plan, MIXTURE_SQL)

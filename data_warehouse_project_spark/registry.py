@@ -41,7 +41,7 @@ def _register_modules() -> None:
     from .plans import dashboard, tpch, tpch_deep, warehouse  # noqa: F401
     from .streaming import batch_parity  # noqa: F401
     from .llm import (clusters, dedup, multimodal, pipeline,  # noqa: F401
-                      sampling, similarity, textstats)
+                      quality, sampling, similarity, textstats)
     from .functions import crypto  # noqa: F401
 
 

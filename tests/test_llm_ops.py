@@ -231,3 +231,38 @@ def test_split_is_partitioning_invariant_and_disjoint(spark, sf_dir):
     ev = {r["doc_id"] for r in
           docs.filter(_bucket("doc_id") >= 90).select("doc_id").collect()}
     assert len(a) + len(ev) == total and not (a & ev)
+
+
+def test_pii_scrub_on_planted_pii(spark, tmp_path):
+    from data_warehouse_project_spark.llm import quality
+
+    d = tmp_path / "sf"
+    (spark.createDataFrame([
+        (1, "contact bob.smith+x@example.co.uk or 10.0.0.1 now", "en",
+         "src0", 48),
+        (2, "call 555-123-4567 twice 555.987.6543", "en", "src1", 36),
+        (3, "clean text with no identifiers at all", "en", "src2", 37),
+    ], "doc_id long, text string, lang string, source string, n_chars long")
+     .write.mode("overwrite").parquet(str(d / "documents.parquet")))
+
+    rows = {r["doc_id"]: r for r in
+            quality.pii_scrub(spark, str(d)).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_ips"]) == (1, 1)
+    assert rows[1]["redacted"] == "contact <EMAIL> or <IP> now"
+    assert rows[2]["n_phones"] == 2
+    assert rows[2]["redacted"] == "call <PHONE> twice <PHONE>"
+    assert rows[3]["redacted"] == "clean text with no identifiers at all"
+    assert (rows[3]["n_emails"], rows[3]["n_ips"], rows[3]["n_phones"]) \
+        == (0, 0, 0)
+
+
+def test_gopher_flags_split_corpus(spark, sf_dir):
+    from data_warehouse_project_spark.llm import quality
+
+    rows = quality.gopher_quality_flags(spark, sf_dir).collect()
+    kept = sum(1 for r in rows if r["keep"])
+    assert 0 < kept < len(rows)      # thresholds split, not rubber-stamp
+    for r in rows:
+        assert 0.0 <= r["ttr"] <= 1.0
+        assert 0.0 <= r["top_token_frac"] <= 1.0
+        assert 0.0 <= r["dup_bigram_frac"] <= 1.0
