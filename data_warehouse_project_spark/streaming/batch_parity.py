@@ -456,3 +456,50 @@ WHERE COALESCE(abs({sql_fround('z', 6)}) >= 2.0, false)
 """
 
 register("events_hourly_anomaly", events_hourly_anomaly, EVENTS_ANOMALY_SQL)
+
+
+def events_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.jobs.click_purchase_join: every click
+    joined to the same user's purchases within [click_ts, click_ts +
+    1 hour] — the attribution-window stream-stream join, as a plain
+    self-join with an interval predicate. One shuffle on user_id;
+    AQE picks the join strategy."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("value").alias("purchase_value")))
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts")
+               + F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        )
+        .select(F.col("c_user").alias("user_id"), "click_id",
+                "purchase_id", "click_ts", "purchase_ts",
+                fround(F.col("purchase_value"), 6).alias("purchase_value"))
+    )
+
+
+EVENTS_CLICK_PURCHASE_SQL = f"""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS click_ts, p.ts AS purchase_ts,
+       {sql_fround('p.value', 6)} AS purchase_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+register("events_click_purchase_join", events_click_purchase_join,
+         EVENTS_CLICK_PURCHASE_SQL)

@@ -113,6 +113,46 @@ def deduplicated_within_watermark(events: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same
+    user's purchases within [click_ts, click_ts + 1 hour] — the
+    attribution-window shape.
+
+    Both sides carry watermarks, so the join state store evicts rows
+    once the interval + watermark delay passes: state is bounded by
+    (events per user-hour × watermark), not the stream's history —
+    the property that makes a 24/7 join viable at scale. Batch twin:
+    batch_parity.events_click_purchase_join.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"))
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts")
+               + F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        )
+        .select(F.col("c_user").alias("user_id"), "click_id",
+                "purchase_id", "click_ts", "purchase_ts", "purchase_value")
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, checkpoint: str,
                   output_mode: str = "append"):
     """Run a streaming query to completion (availableNow) into an

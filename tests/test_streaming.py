@@ -241,3 +241,18 @@ def test_dedup_within_watermark_state_eviction(spark, tmp_path):
     # id=5 duplicates it 15 min later within the same batch → dropped
     feed([(4, 13, 30, 1, "click"), (5, 13, 45, 1, "click")])
     assert run() == {1, 3, 4}
+
+
+def test_stream_stream_join_parity(spark, sf_dir, events_stream,
+                                   tmp_path_factory):
+    """Stream-stream interval join (click→purchase attribution) must
+    agree with its batch self-join twin on the same events data."""
+    ck = str(tmp_path_factory.mktemp("ck_ssj"))
+    jobs.run_to_memory(jobs.click_purchase_join(events_stream),
+                       "ssjoin_mem", ck)
+    stream_pairs = {(r["click_id"], r["purchase_id"])
+                    for r in spark.table("ssjoin_mem").collect()}
+    batch = batch_parity.events_click_purchase_join(spark, sf_dir).collect()
+    batch_pairs = {(r["click_id"], r["purchase_id"]) for r in batch}
+    assert stream_pairs == batch_pairs
+    assert len(batch_pairs) > 0
