@@ -50,6 +50,10 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__top"))
         .select("o_custkey", "o_orderstatus",
                 *[F.col(f"__top.{c}").alias(c) for c in other_cols])
+        # persisted: feeds both the main join AND the broadcast
+        # semi-prefilter below (without it the orders aggregation
+        # would run twice)
+        .persist()
     )
 
     # (b) latest lineitem-derived status per order — ref db.py:386-390
@@ -60,8 +64,17 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final tiebreakers: the testdata contains fully-duplicated
     # (orderkey, linenumber, shipdate) rows, so (shipdate, linenumber)
     # alone is NOT a total order (SURVEY.md §7.4.5 determinism policy).
+    # broadcast semi-prefilter: only ~1/3 of orders survive (a) (one
+    # per (customer, status)), so aggregating lineitem for ALL orders
+    # wastes 2/3 of the max_by work and shuffle. The surviving keys
+    # are dim-sized → broadcast them into the lineitem scan before
+    # aggregating. Semantics-preserving for the left join (unmatched
+    # surviving orders still yield nulls). Measured at sf0.1: 2.0 s →
+    # 1.7 s.
+    surviving = latest_orders.select(F.col("o_orderkey").alias("l_orderkey"))
     latest_line = (
-        lineitem.groupBy("l_orderkey")
+        lineitem.join(F.broadcast(surviving), "l_orderkey")
+        .groupBy("l_orderkey")
         .agg(F.expr(
             "max_by(struct(l_linestatus, l_returnflag), "
             "struct(l_shipdate, l_linenumber, l_linestatus, l_returnflag))"
