@@ -164,6 +164,32 @@ def record_payment(
     return new_payments, new_regs
 
 
+def record_payment_atomic(
+    payments: DataFrame,
+    registrations: DataFrame,
+    payment_row: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """S14 with single-write atomicity (the warehouse-native answer to
+    ref db.py:450-468's insert+update pair).
+
+    `record_payment` mirrors the reference's two-table mutation, which
+    is non-atomic on plain parquet — and would remain non-atomic even
+    on Delta/Iceberg, whose transactions are per-table (no multi-table
+    commit in the open formats). The robust formulation makes the
+    payment append the ONLY write and derives registration status from
+    payments (`derive_registration_status`): there is no second write
+    to lose, so a crash between statements cannot produce the
+    inconsistent Pending-with-payment state. Returns the new payments
+    table and the derived registrations view.
+    """
+    keyed = with_surrogate_keys(
+        payment_row, "payment_id", existing=payments,
+        order_by=["registration_id", "payment_date"])
+    new_payments = payments.unionByName(keyed)
+    return new_payments, derive_registration_status(
+        registrations, new_payments)
+
+
 def derive_registration_status(
     registrations: DataFrame, payments: DataFrame
 ) -> DataFrame:

@@ -89,3 +89,14 @@ def test_jdbc_env_gate_reads_env(monkeypatch):
     monkeypatch.setenv("DWPS_JDBC_USER", "svc")
     opts = cat_mod.jdbc_options("nation")
     assert opts["url"].endswith("/db") and opts["user"] == "svc"
+
+
+def test_orc_source_roundtrip(spark, sf_dir, tmp_path):
+    # ORC is the other built-in columnar source; same catalog frames
+    # round-trip through it with values intact
+    nation = Catalog(spark, sf_dir).nation
+    path = str(tmp_path / "nation_orc")
+    nation.write.orc(path)
+    back = spark.read.schema(schemas.NATION).orc(path)
+    assert sorted(r["n_nationkey"] for r in back.collect()) == \
+        sorted(r["n_nationkey"] for r in nation.collect())

@@ -104,6 +104,25 @@ def test_record_payment_pair(spark, regs):
     assert regs_out == {1: "Pending", 2: "Success"}  # only reg 2 flipped
 
 
+def test_record_payment_atomic_single_write(spark, regs):
+    payments = spark.createDataFrame(
+        [(1, 1, 1, None, 5.0, "OneTime", "Success",
+          ts("2026-08-01T00:00:00"))], schema=schemas.PAYMENTS)
+    new_payment = spark.createDataFrame(
+        [(1, 2, None, 25.0, "OneTime", "Success",
+          ts("2026-08-02T00:00:00"))],
+        "user_id long, registration_id long, card_id long, amount double,"
+        "payment_type string, payment_status string, payment_date timestamp_ntz")
+    new_pay, new_regs = writes.record_payment_atomic(
+        payments, regs, new_payment)
+    assert sorted(r["payment_id"] for r in new_pay.collect()) == [1, 2]
+    # registration status is DERIVED from payments (no second write):
+    # reg 1 has a Success payment already, reg 2 gains one
+    regs_out = {r["registration_id"]: r["payment_status"]
+                for r in new_regs.collect()}
+    assert regs_out == {1: "Success", 2: "Success"}
+
+
 def test_derive_registration_status(spark, regs):
     payments = spark.createDataFrame([
         (1, 1, 1, None, 5.0, "OneTime", "Failed", ts("2026-08-01T00:00:00")),
