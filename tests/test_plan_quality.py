@@ -126,3 +126,51 @@ def test_deep_no_python_udfs(deep_plans):
     for name, plan in deep_plans.items():
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+@pytest.fixture(scope="module")
+def ext_plans(spark, sf_dir):
+    qs = registry.queries()
+    return {name: _plan(qs[name](spark, sf_dir))
+            for name in [
+                "dedup_ngram_jaccard", "dedup_embedding_cosine",
+                "tfidf_top_terms", "vocab_top_terms",
+                "gopher_quality_flags", "events_click_purchase_join",
+            ]}
+
+
+def test_llm_blocking_paths_have_no_cartesian(ext_plans):
+    # both blocked dedup paths must never nested-loop the full corpus
+    for name in ("dedup_ngram_jaccard", "dedup_embedding_cosine"):
+        assert "CartesianProduct" not in ext_plans[name], name
+
+
+def test_ngram_candidates_verify_via_broadcast(ext_plans):
+    # hot-list anti-join and candidate verification run as broadcast
+    # joins (the corpus side never shuffles its shingle arrays)
+    plan = ext_plans["dedup_ngram_jaccard"]
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("InMemoryTableScan") >= 2   # persisted hash frame reused
+
+
+def test_vocab_topk_is_take_ordered(ext_plans):
+    # top-100 vocabulary must be a TakeOrdered, not a global sort of
+    # the whole vocabulary
+    assert "TakeOrderedAndProject" in ext_plans["vocab_top_terms"]
+
+
+def test_tfidf_corpus_count_broadcasts(ext_plans):
+    # the 1-row corpus total joins by broadcast, and term df joins
+    # shuffle only aggregated (term-level) rows
+    plan = ext_plans["tfidf_top_terms"]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_quality_aggs_are_partial_final(ext_plans):
+    # token-stat aggregates must map-side combine before the shuffle
+    plan = ext_plans["gopher_quality_flags"]
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_interval_join_no_python(ext_plans):
+    assert "BatchEvalPython" not in ext_plans["events_click_purchase_join"]
