@@ -153,6 +153,42 @@ def click_purchase_join(events: DataFrame) -> DataFrame:
     )
 
 
+#: on-disk schema for a streaming documents landing directory
+DOCUMENTS_STREAM_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+    StructField("source", StringType()),
+    StructField("n_chars", LongType()),
+])
+
+
+def document_ingest_dedup(docs: DataFrame) -> DataFrame:
+    """Incremental corpus ingestion with cross-batch exact dedup: the
+    streaming form of llm.dedup.dedup_exact. Each arriving document is
+    fingerprinted (md5 of normalized text — the same 16-byte key the
+    batch dedup groups on) and dropDuplicates on the fingerprint
+    suppresses re-ingested content across micro-batches AND across
+    restarts (state lives in the checkpoint).
+
+    State is one fingerprint per distinct document ever seen — the
+    deliberate choice for corpus ingestion, where a duplicate must be
+    suppressed no matter how far apart the copies arrive. (For
+    time-bounded state the watermarked variant in `deduplicated`
+    applies.) At 100 TB/day the state store shards the fingerprints
+    across executors; the documents' bodies themselves never enter
+    state.
+    """
+    return (
+        docs.withColumn(
+            "fingerprint",
+            F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")),
+                                           r"\s+", " "))))
+        .dropDuplicates(["fingerprint"])
+        .select("doc_id", "fingerprint", "source", "n_chars")
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, checkpoint: str,
                   output_mode: str = "append"):
     """Run a streaming query to completion (availableNow) into an

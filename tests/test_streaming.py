@@ -256,3 +256,39 @@ def test_stream_stream_join_parity(spark, sf_dir, events_stream,
     batch_pairs = {(r["click_id"], r["purchase_id"]) for r in batch}
     assert stream_pairs == batch_pairs
     assert len(batch_pairs) > 0
+
+
+def test_document_ingest_dedup_across_batches_and_restart(spark, tmp_path):
+    """Streaming corpus ingestion: re-ingested documents (same
+    normalized text, different doc_id/whitespace) are suppressed
+    across chunks and across a restart; novel documents pass."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def feed(rows):
+        spark.createDataFrame(
+            [(i, t, "en", s, len(t)) for i, t, s in rows],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    def run():
+        stream = (spark.readStream
+                  .schema(jobs.DOCUMENTS_STREAM_SCHEMA)
+                  .parquet(landing))
+        jobs.run_to_parquet(jobs.document_ingest_dedup(stream), out, ck)
+        return {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    feed([(1, "alpha beta gamma", "src0"),
+          (2, "delta epsilon zeta", "src0"),
+          (3, "Alpha  beta   gamma", "src1")])   # dup of 1 (normalized)
+    first = run()
+    assert len(first) == 2 and 2 in first
+    assert len(first & {1, 3}) == 1              # one of the dup pair
+
+    # restart with a new chunk: 4 re-ingests doc 2's content (dropped,
+    # state survived the restart via the checkpoint), 5 is novel
+    feed([(4, "delta  epsilon zeta", "src2"),
+          (5, "eta theta iota", "src2")])
+    assert run() == first | {5}
