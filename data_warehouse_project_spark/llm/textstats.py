@@ -218,3 +218,72 @@ register("text_quality", text_quality, TEXT_QUALITY_SQL)
 register("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL)
 register("token_count_bpe_ish", token_count_bpe_ish, TOKEN_COUNT_SQL)
 register("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL)
+
+
+BIGRAM_TOP_K = 50
+
+
+def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model table: top-50 bigrams with counts
+    and the conditional probability p(w2 | w1) = c(w1 w2) / c(w1 ·) —
+    the n-gram-LM statistic behind perplexity-style quality filters
+    and classic LM smoothing inputs.
+
+    Two map-side-combinable aggregations (bigram counts, left-context
+    totals) joined on w1 — both keyed by vocabulary-sized keys, never
+    by document. Ranking ties break on the rounded probability then
+    the bigram text, so cross-engine float noise cannot reorder.
+    """
+    cat = Catalog(spark, sf_dir)
+    pairs = (
+        cat.documents
+        .withColumn("tokens", F.split(F.trim(F.col("text")), r"\s+"))
+        .filter(F.size("tokens") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(0, size(tokens) - 2), "
+            "i -> struct(tokens[i] AS w1, tokens[i + 1] AS w2))"
+        )).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2").agg(F.count("*").alias("c_bigram"))
+    )
+    left_totals = pairs.groupBy("w1").agg(
+        F.sum("c_bigram").alias("c_left"))
+    return (
+        pairs.join(left_totals, "w1")
+        .select(
+            "w1", "w2",
+            F.col("c_bigram").cast("long").alias("c_bigram"),
+            F.col("c_left").cast("long").alias("c_left"),
+            fround(F.col("c_bigram") / F.col("c_left"), 6).alias("p_cond"),
+        )
+        .orderBy(F.col("c_bigram").desc(), "w1", "w2")
+        .limit(BIGRAM_TOP_K)
+    )
+
+
+BIGRAM_LM_SQL = f"""
+WITH toks AS (
+    SELECT string_split_regex(trim(text), '\\s+') AS tokens
+    FROM documents WHERE len(string_split_regex(trim(text), '\\s+')) >= 2
+),
+pairs AS (
+    SELECT u.b.w1 AS w1, u.b.w2 AS w2, COUNT(*) AS c_bigram
+    FROM toks, LATERAL (
+        SELECT UNNEST(list_transform(range(1, len(tokens)),
+               i -> struct_pack(w1 := tokens[i], w2 := tokens[i+1]))) AS b
+    ) u
+    GROUP BY 1, 2
+),
+left_totals AS (
+    SELECT w1, SUM(c_bigram) AS c_left FROM pairs GROUP BY 1
+)
+SELECT p.w1, p.w2,
+       CAST(p.c_bigram AS BIGINT) AS c_bigram,
+       CAST(l.c_left AS BIGINT) AS c_left,
+       {sql_fround('p.c_bigram / CAST(l.c_left AS DOUBLE)', 6)} AS p_cond
+FROM pairs p JOIN left_totals l ON p.w1 = l.w1
+ORDER BY c_bigram DESC, p.w1, p.w2
+LIMIT {BIGRAM_TOP_K}
+"""
+
+register("bigram_lm_counts", bigram_lm_counts, BIGRAM_LM_SQL)

@@ -286,3 +286,68 @@ FROM d
 """
 
 register("stats_moments", stats_moments, STATS_MOMENTS_SQL)
+
+
+#: columns profiled by table_profile (types chosen so min/max cast to
+#: string identically in Spark and DuckDB: integers, strings, and
+#: ISO-rendered timestamps — doubles excluded, their string forms
+#: differ between engines)
+PROFILE_COLS = ("l_orderkey", "l_linenumber", "l_returnflag",
+                "l_linestatus", "l_shipdate")
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of `lineitem`: per profiled column,
+    row/null/distinct counts and min/max — the warehouse data-quality
+    snapshot (what a catalog crawler or stats collector computes).
+
+    All stats for all columns come from ONE aggregate over the scan
+    (no per-column jobs) and are unpivoted with stack() afterward —
+    the profile of a 100 TB table is one pass, not len(cols) passes.
+    """
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+    aggs = [F.count("*").alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}_nn"),
+            F.countDistinct(c).alias(f"{c}_nd"),
+            F.min(F.col(c).cast("string")).alias(f"{c}_min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}_max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_nn, {c}_nd, {c}_min, {c}_max" for c in PROFILE_COLS)
+    return (
+        one.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+                "(column_name, n_non_null, n_distinct, min_val, max_val)"
+            ),
+        )
+        .select(
+            "column_name",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_non_null").cast("long").alias("n_non_null"),
+            (F.col("n_rows") - F.col("n_non_null")).cast("long")
+            .alias("n_nulls"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "min_val", "max_val",
+        )
+    )
+
+
+_PROFILE_BRANCHES = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       (SELECT COUNT(*) FROM lineitem) AS n_rows,
+       COUNT({c}) AS n_non_null,
+       (SELECT COUNT(*) FROM lineitem) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_val,
+       MAX(CAST({c} AS VARCHAR)) AS max_val
+FROM lineitem""" for c in PROFILE_COLS)
+
+TABLE_PROFILE_SQL = _PROFILE_BRANCHES
+
+register("table_profile", table_profile, TABLE_PROFILE_SQL)
