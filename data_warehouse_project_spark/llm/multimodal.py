@@ -161,7 +161,91 @@ def blob_metadata_stats(blobs: DataFrame) -> DataFrame:
     )
 
 
+#: frame sampling configuration: N byte-range "frames" per asset
+N_FRAMES = 4
+FRAME_SIZE = 32
+
+FRAME_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("frame_index", LongType()),
+    StructField("frame_offset", LongType()),
+    StructField("frame_len", LongType()),
+    StructField("frame_md5", StringType()),
+])
+
+
+def sample_frames(blobs: DataFrame, n_frames: int = N_FRAMES,
+                  frame_size: int = FRAME_SIZE) -> DataFrame:
+    """Uniform frame sampling over opaque payloads: N evenly-spaced
+    byte-range "frames" per asset (the video frame-sample shape —
+    a real decoder would seek keyframes; the byte-slice kernel stands
+    in, and the slicing arithmetic/fan-out/Arrow plumbing are real).
+
+    Assets shorter than one frame repeat the start slice (uniform
+    sampling with boundary replacement — the standard short-clip
+    policy), so every asset yields exactly n_frames rows:
+    deterministic fan-out, no empty partitions downstream. Map-only:
+    payloads never shuffle; each emitted frame carries offset/length
+    and an md5 — enough for downstream decode-on-demand without
+    moving the asset.
+    """
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"asset_id": [], "frame_index": [], "frame_offset": [],
+                   "frame_len": [], "frame_md5": []}
+            for aid, payload in zip(batch["asset_id"], batch["payload"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                span = max(len(data) - frame_size, 0)
+                for i in range(n_frames):
+                    off = (i * span) // max(n_frames - 1, 1)
+                    frame = data[off:off + frame_size]
+                    out["asset_id"].append(aid)
+                    out["frame_index"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_len"].append(len(frame))
+                    out["frame_md5"].append(
+                        hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+def multimodal_frame_sample(spark, sf_dir: str) -> DataFrame:
+    """Registry entry (oracle-checked): frame sampling over the
+    documents-as-blobs fixture. Because the fixture corpus is pure
+    ASCII, DuckDB can reproduce the byte slicing with substring — so
+    this mapInPandas stage is verified VALUE-exactly by the oracle,
+    not just row-counted (the strongest evidence the Arrow plumbing
+    is faithful)."""
+    from ..sources.catalog import Catalog
+    return sample_frames(
+        documents_as_blobs(Catalog(spark, sf_dir).documents))
+
+
+MULTIMODAL_FRAME_SQL = f"""
+WITH base AS (
+    SELECT doc_id AS asset_id, text,
+           octet_length(encode(text)) AS len_b
+    FROM documents
+),
+frames AS (
+    SELECT asset_id, text, len_b, i AS frame_index,
+           CAST((i * greatest(len_b - {FRAME_SIZE}, 0))
+                // {N_FRAMES - 1} AS BIGINT) AS frame_offset
+    FROM base, UNNEST(range({N_FRAMES})) AS t(i)
+)
+SELECT asset_id, CAST(frame_index AS BIGINT) AS frame_index, frame_offset,
+       CAST(least({FRAME_SIZE}, len_b - frame_offset) AS BIGINT) AS frame_len,
+       md5(substring(text, CAST(frame_offset + 1 AS INT), {FRAME_SIZE}))
+           AS frame_md5
+FROM frames
+"""
+
+
 from ..registry import register  # noqa: E402  (registration tail)
 
 register("multimodal_features", multimodal_features_query, None)
 register("multimodal_meta_stats", multimodal_meta_query, MULTIMODAL_META_SQL)
+register("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SQL)

@@ -266,3 +266,27 @@ def test_gopher_flags_split_corpus(spark, sf_dir):
         assert 0.0 <= r["ttr"] <= 1.0
         assert 0.0 <= r["top_token_frac"] <= 1.0
         assert 0.0 <= r["dup_bigram_frac"] <= 1.0
+
+
+def test_frame_sample_short_and_long_assets(spark):
+    from data_warehouse_project_spark.llm import multimodal
+
+    blobs = spark.createDataFrame(
+        [(1, "image", bytearray(b"0123456789abcdef" * 8), "{}"),  # 128 B
+         (2, "image", bytearray(b"tiny"), "{}"),                  # < frame
+         (3, "image", None, "{}")],                               # null
+        multimodal.BLOB_SCHEMA)
+    rows = multimodal.sample_frames(blobs).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    # long asset: 4 evenly spaced frames over span 128-32=96
+    offs = sorted(r["frame_offset"] for r in by_asset[1])
+    assert offs == [0, 32, 64, 96]
+    assert all(r["frame_len"] == 32 for r in by_asset[1])
+    # short asset: boundary replacement — 4 identical start slices
+    assert [r["frame_offset"] for r in by_asset[2]] == [0, 0, 0, 0]
+    assert all(r["frame_len"] == 4 for r in by_asset[2])
+    assert len({r["frame_md5"] for r in by_asset[2]}) == 1
+    # null payload yields no frames
+    assert 3 not in by_asset
