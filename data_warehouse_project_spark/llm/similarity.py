@@ -154,38 +154,51 @@ def _hyperplane_lit(n_planes: int, dim: int, seed: int = 42):
     ])
 
 
-def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 neighbors of vec_id=0 via random-hyperplane
-    LSH: 8 sign bits → bucket id; only same-bucket vectors are scored.
+#: ANN multi-table LSH: L tables of b sign-bits, OR-amplified.
+#: With moderate-similarity neighbors (cos ≈ 0.5 in the driver data,
+#: p_bit = 1 - θ/π ≈ 0.67) a true top-10 member shares some bucket
+#: with probability 1 - (1 - 0.67⁵)¹² ≈ 0.82, while a random vector
+#: (cos ≈ 0, p_bit = 0.5) is scored with probability ≈ 0.3 — i.e.
+#: ~0.8 recall for ~⅓ of brute-force cost on this deliberately
+#: cluster-free corpus. On real embedding corpora (neighbors at
+#: cos ≥ 0.9) the same L·b gives ≳0.99 recall at a few % cost; the
+#: two knobs tune to the similarity profile.
+ANN_TABLES = 12
+ANN_BITS = 5
 
-    No SQL oracle (bucketing is engine-defined); unit tests assert
-    recall ≥ threshold against knn_brute_cosine.
+
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors of vec_id=0 via multi-table
+    random-hyperplane LSH: a vector is a candidate if it shares ANY
+    table's bucket with the query; only candidates are exact-scored.
+
+    One vectorized projection assigns all L bucket ids per vector;
+    the query's L buckets broadcast; the candidate set resolves as a
+    semi-join. No SQL oracle (bucketing is engine-defined); unit
+    tests assert recall against knn_brute_cosine.
     """
-    n_planes = 8
     cat = Catalog(spark, sf_dir)
-    planes = _hyperplane_lit(n_planes, DIM)
-    bucket_bits = [
-        F.when(
-            F.expr(
-                f"aggregate(zip_with(embedding, planes[{i}], "
-                "(x, p) -> cast(x as double) * p), 0D, (acc, v) -> acc + v)"
-            ) > 0, F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i in range(n_planes)
-    ]
-    bucketed = (
-        cat.embeddings
-        .withColumn("planes", planes)
-        .withColumn("bucket", sum(bucket_bits[1:], bucket_bits[0]))
-        .drop("planes")
+    buckets_udf = _band_buckets_udf(ANN_TABLES, ANN_BITS, seed=99)
+    bucketed = cat.embeddings.select(
+        "vec_id",
+        F.posexplode(buckets_udf(F.col("embedding"))).alias("band", "bucket"),
     )
-    query = (bucketed.filter(F.col("vec_id") == QUERY_VEC_ID)
-             .select(F.col("embedding").alias("b"),
-                     F.col("bucket").alias("qbucket")))
-    return (
+    qbuckets = (bucketed.filter(F.col("vec_id") == QUERY_VEC_ID)
+                .select("band", F.col("bucket").alias("qbucket")))
+    candidates = (
         bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qbuckets),
+              (bucketed.band == qbuckets.band)
+              & (F.col("bucket") == F.col("qbucket")))
+        .select("vec_id")
+        .distinct()
+    )
+    query = (cat.embeddings.filter(F.col("vec_id") == QUERY_VEC_ID)
+             .select(F.col("embedding").alias("b")))
+    return (
+        cat.embeddings.join(candidates, "vec_id", "left_semi")
         .withColumnRenamed("embedding", "a")
-        .join(F.broadcast(query), F.col("bucket") == F.col("qbucket"))
+        .join(F.broadcast(query))
         .select("vec_id", "label",
                 fround(F.expr(_COS_EXPR), 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))

@@ -168,10 +168,10 @@ def test_ann_recall_vs_brute(spark, sf_dir):
              similarity.knn_brute_cosine(spark, sf_dir).collect()}
     ann = similarity.ann_lsh_cosine(spark, sf_dir).collect()
     ann_ids = {r["vec_id"] for r in ann}
-    # every ANN result is a genuinely scored candidate; recall of the
-    # 8-bit single-table LSH is imperfect by design — require overlap
-    assert len(ann_ids) > 0
-    assert len(ann_ids & brute) >= max(1, len(ann_ids) // 4)
+    # multi-table OR-amplified LSH: ≥ half the true top-10 recovered
+    # even on this cluster-free corpus (measured 0.6/0.7/0.8 at
+    # sf0.001/0.01/0.1; ~0.82 expected from the L=12, b=5 analysis)
+    assert len(ann_ids & brute) >= len(brute) // 2
 
 
 def test_multimodal_featurize_plumbing(spark, sf_dir):
