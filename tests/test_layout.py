@@ -55,3 +55,52 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_zorder_narrows_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered files must cover narrow ranges of BOTH cluster
+    columns; a linear sort leaves the secondary column spanning
+    ~the full range in every file (no pruning power)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_warehouse_project_spark import writes
+
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_partkey", "l_suppkey", "l_quantity")
+
+    zpath = str(tmp_path / "zorder")
+    writes.write_zordered(li, zpath, "l_partkey", "l_suppkey", n_files=8)
+    lpath = str(tmp_path / "linear")
+    (li.repartitionByRange(8, "l_partkey").sortWithinPartitions("l_partkey")
+     .write.mode("overwrite").parquet(lpath))
+
+    def avg_span(path, col):
+        gmin, gmax, spans = None, None, []
+        per_file = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        s = c.statistics
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+            if fmin is None:
+                continue
+            per_file.append((fmin, fmax))
+            gmin = fmin if gmin is None else min(gmin, fmin)
+            gmax = fmax if gmax is None else max(gmax, fmax)
+        width = max(gmax - gmin, 1)
+        return sum((b - a) / width for a, b in per_file) / len(per_file)
+
+    # the linear layout prunes its leading column well...
+    assert avg_span(lpath, "l_partkey") < 0.5
+    # ...but its secondary column spans nearly everything per file
+    assert avg_span(lpath, "l_suppkey") > 0.8
+    # z-order narrows BOTH dimensions per file
+    assert avg_span(zpath, "l_partkey") < 0.6
+    assert avg_span(zpath, "l_suppkey") < 0.6

@@ -290,3 +290,26 @@ def test_frame_sample_short_and_long_assets(spark):
     assert len({r["frame_md5"] for r in by_asset[2]}) == 1
     # null payload yields no frames
     assert 3 not in by_asset
+
+
+def test_pii_scrub_idempotent(spark, tmp_path):
+    # scrubbing already-scrubbed text finds nothing: the redaction
+    # tokens themselves never re-match any PII pattern
+    from data_warehouse_project_spark.llm import quality
+
+    d = tmp_path / "sf"
+    (spark.createDataFrame([
+        (1, "a@b.io and 10.0.0.1 and 555-123-4567 end", "en", "s", 40),
+    ], "doc_id long, text string, lang string, source string, n_chars long")
+     .write.mode("overwrite").parquet(str(d / "documents.parquet")))
+    first = quality.pii_scrub(spark, str(d)).collect()[0]
+    assert (first["n_emails"], first["n_ips"], first["n_phones"]) == (1, 1, 1)
+
+    d2 = tmp_path / "sf2"
+    (spark.createDataFrame(
+        [(1, first["redacted"], "en", "s", len(first["redacted"]))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+     .write.mode("overwrite").parquet(str(d2 / "documents.parquet")))
+    second = quality.pii_scrub(spark, str(d2)).collect()[0]
+    assert (second["n_emails"], second["n_ips"], second["n_phones"]) == (0, 0, 0)
+    assert second["redacted"] == first["redacted"]
