@@ -38,7 +38,8 @@ register("flagship_my_registrations", _flagship.flagship, _flagship.FLAGSHIP_ORA
 def _register_modules() -> None:
     """Import every module that self-registers queries."""
     from .operators import extended, relational  # noqa: F401
-    from .plans import dashboard, tpch, tpch_deep, warehouse  # noqa: F401
+    from .plans import (dashboard, incremental, tpch, tpch_deep,  # noqa: F401
+                        warehouse)
     from .streaming import batch_parity  # noqa: F401
     from .llm import (clusters, dedup, multimodal, pipeline,  # noqa: F401
                       quality, sampling, similarity, textstats)

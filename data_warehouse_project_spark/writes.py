@@ -373,6 +373,20 @@ def write_date_partitioned(df: DataFrame, path: str, ts_col: str,
     )
 
 
+def compact_parquet(spark: SparkSession, path: str,
+                    target_files: int = 8) -> int:
+    """Small-file compaction: rewrite a parquet table as
+    ``target_files`` files via the staged-swap overwrite (readers
+    never observe a partial table). The operational fix for
+    streaming/append sinks that accrete per-batch files — at 100 TB
+    the same routine runs per partition directory. coalesce(), not
+    repartition(): merging files needs no shuffle. Returns the number
+    of data files after compaction."""
+    df = spark.read.parquet(path)
+    overwrite_table(spark, df.coalesce(target_files), path)
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+
 def write_zordered(df: DataFrame, path: str, col_x: str, col_y: str,
                    n_files: int = 16) -> None:
     """Write a table Z-ordered on two numeric columns: rows are

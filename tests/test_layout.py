@@ -104,3 +104,24 @@ def test_zorder_narrows_both_dimensions(spark, sf_dir, tmp_path):
     # z-order narrows BOTH dimensions per file
     assert avg_span(zpath, "l_partkey") < 0.6
     assert avg_span(zpath, "l_suppkey") < 0.6
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir,
+                                                      tmp_path):
+    import os
+
+    from data_warehouse_project_spark import writes
+
+    path = str(tmp_path / "frag")
+    orders = Catalog(spark, sf_dir).orders
+    # simulate per-batch accretion: 24 appends of small slices
+    for i in range(24):
+        orders.filter(F.col("o_orderkey") % 24 == i).coalesce(1) \
+            .write.mode("append").parquet(path)
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert before >= 24
+    n_rows = orders.count()
+
+    after = writes.compact_parquet(spark, path, target_files=4)
+    assert after <= 4
+    assert spark.read.parquet(path).count() == n_rows

@@ -292,3 +292,34 @@ def test_document_ingest_dedup_across_batches_and_restart(spark, tmp_path):
     feed([(4, "delta  epsilon zeta", "src2"),
           (5, "eta theta iota", "src2")])
     assert run() == first | {5}
+
+
+def test_incremental_rollup_equals_full_recompute(spark, sf_dir):
+    """Merging batches into the mergeable rollup state must reproduce
+    the full recompute EXACTLY — counts/sums by addition, distinct
+    users by lossless HLL register union."""
+    from data_warehouse_project_spark.plans import incremental
+    from data_warehouse_project_spark.sources.catalog import Catalog
+
+    ev = Catalog(spark, sf_dir).events
+    # three arrival batches (uneven split)
+    b0 = ev.filter(F.col("event_id") % 3 == 0)
+    b1 = ev.filter(F.col("event_id") % 3 == 1)
+    b2 = ev.filter(F.col("event_id") % 3 == 2)
+    state = incremental.hourly_rollup_state(b0)
+    state = incremental.merge_hourly_state(state, b1)
+    state = incremental.merge_hourly_state(state, b2)
+    merged = {(r["hour"], r["event_type"]):
+              (r["n_events"], r["sum_value"], r["n_users_approx"])
+              for r in incremental.state_to_report(state).collect()}
+    full = {(r["hour"], r["event_type"]):
+            (r["n_events"], r["sum_value"], r["n_users_approx"])
+            for r in incremental.state_to_report(
+                incremental.hourly_rollup_state(ev)).collect()}
+    assert merged == full
+    # exact stats agree with a direct aggregation
+    direct = {(r["hour"], r["event_type"]): r["n"] for r in
+              ev.groupBy(F.date_trunc("hour", F.col("ts"))
+                         .cast("timestamp_ntz").alias("hour"), "event_type")
+              .agg(F.count("*").alias("n")).collect()}
+    assert {k: v[0] for k, v in merged.items()} == direct
