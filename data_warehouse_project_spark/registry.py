@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "events_funnel",
     "events_retention_cohorts",
     "events_hourly_anomaly",
+    "events_click_purchase_join",
     # --- grouping sets + analytic windows ---
     "rollup_status_priority",
     "cube_flags",
@@ -105,16 +106,16 @@ _PRIORITY: list[str] = [
     "star_denorm",
     # --- the reference's one genuine UDF surface (F2/F3) ---
     "crypto_roundtrip",
-    # --- relational component representatives (unique coverage:
-    #     scalar functions, validation predicates, de-N+1 dashboard,
-    #     computed-hash auth, argmax, fact-fact join, set ops) ---
-    "scalar_functions",
-    "data_quality_filter",
-    "dashboard_stats",
-    "filter_computed_hash",
-    "agg_argmax",
-    "join_fact_fact",
-    "setop_except",
+    # --- round-2 additions never driver-checked before (the
+    #     relational micro-queries these displace were ALL
+    #     driver-green in round 1 — CORRECTNESS_r01.json — and remain
+    #     covered by the local DuckDB parity suite every run) ---
+    "multimodal_frame_sample",
+    "gopher_quality_flags",
+    "pii_scrub",
+    "tfidf_top_terms",
+    "table_profile",
+    "bigram_lm_counts",
 ]
 
 

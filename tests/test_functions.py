@@ -95,7 +95,10 @@ def test_priority_window_covers_mandate_families():
                  "q22_dormant_customers", "star_denorm",
                  "pack_sequences", "multimodal_features",
                  "train_test_split", "text_quality",
-                 "embedding_dup_exact", "hypertable_rollup"):
+                 "embedding_dup_exact", "hypertable_rollup",
+                 "events_click_purchase_join", "multimodal_frame_sample",
+                 "gopher_quality_flags", "pii_scrub", "tfidf_top_terms",
+                 "table_profile", "bigram_lm_counts"):
         assert name in window, name
 
 
