@@ -82,6 +82,10 @@ def with_surrogate_keys_bulk(
 
     The caller should unpersist() the input's lineage after
     materializing the result (or let LRU eviction handle it).
+    Cross-run determinism of WHICH row gets WHICH id requires
+    ``order_by`` to be a total order (same contract as the OLTP
+    path); with ties, ids are still gap-free and sorted but tied
+    rows may swap between runs.
     """
     if existing is not None and key_col in existing.columns:
         base_row = existing.agg(F.max(key_col).alias("m")).collect()[0]
