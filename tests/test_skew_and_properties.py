@@ -132,3 +132,50 @@ def test_dsum_invariant_under_partitioning(spark, sf_dir, n_parts):
                     dsum(F.col("l_extendedprice")
                          * (1 - F.col("l_discount"))).alias("s")).collect()}
     assert out == expected
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's skew-join handling must engage on a hot-key join when the
+    skewed partition crosses the thresholds — the runtime complement
+    to the explicit salting operators (at 100 TB, AQE is the first
+    line of defense and salting the fallback for pathological keys)."""
+    import contextlib
+    import io
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(300_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id") % 97).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("pad"))
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = fact.join(dim, "k")
+        rows = j.count()
+        _ = j.collect()          # materialize j's own QueryExecution
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert rows == 300_000
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan       # AQE split the hot partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
