@@ -33,10 +33,18 @@ MAX_ROUNDS = 20
 def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     """(node) + (a, b) edges → (node, cluster) with cluster = min
     reachable node id. Deterministic; singletons keep their own id."""
+    # persist both loop-invariant edges and each round's labels: the
+    # per-round `changed` probe is an ACTION, and without caching it
+    # would re-execute the whole upstream lineage (pair generation
+    # included) once per round, with round k replaying rounds 1..k-1 —
+    # the classic iterative-algorithm lineage blowup. With per-round
+    # persist (and rotating the previous round out) every round costs
+    # exactly one join + one aggregation regardless of depth.
     sym = (edges.select(F.col("a").alias("n"), F.col("b").alias("m"))
-           .union(edges.select(F.col("b").alias("n"), F.col("a").alias("m"))))
+           .union(edges.select(F.col("b").alias("n"), F.col("a").alias("m")))
+           .persist())
     labels = nodes.select(F.col("node").alias("n"),
-                          F.col("node").alias("label"))
+                          F.col("node").alias("label")).persist()
     for _ in range(MAX_ROUNDS):
         neighbor_min = (
             sym.join(labels, sym.m == labels.n)
@@ -51,15 +59,21 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
                         F.coalesce(F.col("nbr_label"), F.col("label")))
                 .alias("label"),
             )
+            # localCheckpoint (eager): truncates the logical plan so
+            # round k's plan doesn't embed rounds 1..k-1 (planning
+            # time alone goes superlinear otherwise)
+            .localCheckpoint()
         )
         changed = (
             labels.alias("old").join(new_labels.alias("new"), "n")
             .filter(F.col("old.label") != F.col("new.label"))
             .limit(1).count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()
     return labels.select(F.col("n").alias("node"),
                          F.col("label").alias("cluster"))
 
