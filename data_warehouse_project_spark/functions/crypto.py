@@ -76,13 +76,15 @@ def crypto_roundtrip(spark, sf_dir: str):
     number, decrypt it back, and report round-trip integrity as one
     deterministic summary row.
 
-    Rows-only check (no SQL oracle — Fernet ciphertext embeds a
-    random IV + timestamp, so even the ciphertext column is
-    nondeterministic; the *counts* are exact): n_roundtrip_ok must
-    equal n_cards and n_ciphertext_differs must equal n_cards, both
-    pinned by unit tests. Both UDFs are Arrow-batched projections at
-    the plan edge (after the scan projection), so column pruning and
-    the parquet scan are unaffected.
+    Fernet ciphertext embeds a random IV + timestamp, so the
+    ciphertext column itself is nondeterministic — but the integrity
+    COUNTS are exact, and the oracle pins them: a correct
+    encrypt→decrypt pair means n_roundtrip_ok == n_cards ==
+    n_ciphertext_differs == COUNT(customer), which DuckDB states
+    directly. A single corrupted row fails the hash compare. Both
+    UDFs are Arrow-batched projections at the plan edge (after the
+    scan projection), so column pruning and the parquet scan are
+    unaffected.
     """
     from ..sources.catalog import Catalog
 
@@ -106,6 +108,13 @@ def crypto_roundtrip(spark, sf_dir: str):
     )
 
 
+CRYPTO_ROUNDTRIP_SQL = """
+SELECT COUNT(*) AS n_cards,
+       COUNT(*) AS n_roundtrip_ok,
+       COUNT(*) AS n_ciphertext_differs
+FROM customer
+"""
+
 if HAVE_FERNET:
     from ..registry import register
-    register("crypto_roundtrip", crypto_roundtrip, None)
+    register("crypto_roundtrip", crypto_roundtrip, CRYPTO_ROUNDTRIP_SQL)
