@@ -356,6 +356,35 @@ def scd2_apply(
     return history.unionByName(kept).unionByName(fresh)
 
 
+def scd2_as_of(dim: DataFrame, ts) -> DataFrame:
+    """Point-in-time read of an SCD2 dimension: the version of every
+    key valid at ``ts`` (valid_from ≤ ts < valid_to). A narrow filter
+    — partition pruning applies when the dim is stored partitioned on
+    valid_to month."""
+    t = F.lit(ts).cast("timestamp_ntz")
+    return dim.filter((F.col("valid_from") <= t) & (t < F.col("valid_to")))
+
+
+def scd2_lookup(
+    fact: DataFrame, dim: DataFrame, key: str, ts_col: str
+) -> DataFrame:
+    """Enrich facts with the dimension version that was current WHEN
+    each fact occurred: join on the key plus the validity interval —
+    the temporal-correctness join that prevents late-arriving facts
+    from picking up future attribute values.
+
+    Physically an equi-join on the key with an interval residual:
+    Catalyst hash-joins on ``key`` and evaluates the range predicate
+    as a post-join filter, so cost is one fact-sized shuffle (or a
+    broadcast when the dim's history fits), NOT a range nested loop.
+    """
+    return fact.join(dim.withColumnRenamed(key, f"__dim_{key}"),
+                     (fact[ts_col] >= F.col("valid_from"))
+                     & (fact[ts_col] < F.col("valid_to"))
+                     & (fact[key] == F.col(f"__dim_{key}")),
+                     "left").drop(f"__dim_{key}")
+
+
 # --------------------------------------------------------------------------
 # Physical layout for scale: date-partitioned facts + bucketed joins
 # (SURVEY.md §4 "physical layout for 100 TB orientation")

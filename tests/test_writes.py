@@ -250,3 +250,24 @@ def test_scd2_null_safe_change_detection(spark):
     out2 = writes.scd2_apply(dim, diff, "id", ["city"], "2021-01-01 00:00:00")
     assert {(r["city"], r["is_current"]) for r in out2.collect()} \
         == {(None, 0), ("NY", 1)}
+
+
+def test_scd2_as_of_and_temporal_lookup(spark, scd_dim):
+    # point-in-time dim read: during 2019, key 2 was SF; in 2020+, LA
+    as_2019 = {(r["id"], r["city"]) for r in
+               writes.scd2_as_of(scd_dim, "2019-06-01 00:00:00").collect()}
+    assert as_2019 == {(2, "SF")}                # key 1 didn't exist yet
+    as_2021 = {(r["id"], r["city"]) for r in
+               writes.scd2_as_of(scd_dim, "2021-06-01 00:00:00").collect()}
+    assert as_2021 == {(1, "NY"), (2, "LA")}
+
+    # temporal fact enrichment: each fact picks the version current at
+    # ITS timestamp, not today's
+    facts = spark.createDataFrame(
+        [(100, 2, ts("2019-03-01")),     # while key 2 was SF
+         (101, 2, ts("2020-07-01")),     # after the LA version opened
+         (102, 9, ts("2020-07-01"))],    # unknown key → left-join null
+        "fact_id long, id long, ts timestamp_ntz")
+    got = {r["fact_id"]: r["city"] for r in
+           writes.scd2_lookup(facts, scd_dim, "id", "ts").collect()}
+    assert got == {100: "SF", 101: "LA", 102: None}
