@@ -174,3 +174,13 @@ def test_quality_aggs_are_partial_final(ext_plans):
 
 def test_interval_join_no_python(ext_plans):
     assert "BatchEvalPython" not in ext_plans["events_click_purchase_join"]
+
+
+def test_flagship_prefilter_broadcasts_surviving_keys(spark, sf_dir):
+    # the lineitem latest-status aggregation must run AFTER a broadcast
+    # semi-prefilter on surviving order keys (persisted aggregate reused
+    # by both branches), not over every order
+    qs = registry.queries()
+    plan = _plan(qs["flagship_my_registrations"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
