@@ -271,3 +271,16 @@ def test_scd2_as_of_and_temporal_lookup(spark, scd_dim):
     got = {r["fact_id"]: r["city"] for r in
            writes.scd2_lookup(facts, scd_dim, "id", "ts").collect()}
     assert got == {100: "SF", 101: "LA", 102: None}
+
+
+def test_surrogate_keys_bulk_layout_invariant(spark):
+    # with a total order_by, the key assignment is a pure function of
+    # the DATA — identical across input partitionings
+    base = spark.range(5000).select(
+        (F.col("id") * 131 % 5000).alias("k"),
+        F.col("id").alias("payload"))
+    a = {r["k"]: r["sk"] for r in writes.with_surrogate_keys_bulk(
+        base.repartition(4), "sk", order_by=["k"]).collect()}
+    b = {r["k"]: r["sk"] for r in writes.with_surrogate_keys_bulk(
+        base.repartition(17), "sk", order_by=["k"]).collect()}
+    assert a == b
