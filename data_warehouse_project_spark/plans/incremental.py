@@ -74,6 +74,39 @@ def state_to_report(state: DataFrame) -> DataFrame:
     )
 
 
+def run_rollup_maintainer(events_stream: DataFrame, state_path: str,
+                          checkpoint: str):
+    """Streaming materialized-view maintenance: a foreachBatch sink
+    that folds each micro-batch into the persisted mergeable state
+    (read previous state → merge_hourly_state → staged-swap
+    overwrite). Restart-safe: the checkpoint replays unprocessed
+    batches and the swap never exposes a partial state table. This is
+    the production form of the rollup — the dashboard reads
+    state_to_report(state) at any time instead of rescanning events.
+    """
+    import os as _os
+
+    from ..writes import overwrite_table
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _os.path.exists(state_path):
+            prev = spark.read.parquet(state_path)
+            new_state = merge_hourly_state(prev, batch_df)
+        else:
+            new_state = hourly_rollup_state(batch_df)
+        overwrite_table(spark, new_state, state_path)
+
+    q = (
+        events_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (rows-only: HLL estimates aren't SQL-reproducible
     in DuckDB): split the events table into two arrival batches, build

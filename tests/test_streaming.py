@@ -323,3 +323,45 @@ def test_incremental_rollup_equals_full_recompute(spark, sf_dir):
                          .cast("timestamp_ntz").alias("hour"), "event_type")
               .agg(F.count("*").alias("n")).collect()}
     assert {k: v[0] for k, v in merged.items()} == direct
+
+
+def test_streaming_rollup_maintainer_matches_batch(spark, tmp_path):
+    """The foreachBatch rollup maintainer must converge to exactly the
+    batch recompute across chunked arrivals and a restart."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.plans import incremental
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    schema = ("ts timestamp, event_type string, value double, "
+              "user_id long")
+
+    def feed(rows):
+        spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, h, m), et, v, u)
+             for h, m, et, v, u in rows], schema,
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        incremental.run_rollup_maintainer(stream, state, ck)
+
+    feed([(10, 0, "click", 1.0, 1), (10, 30, "click", 2.0, 2),
+          (11, 0, "view", 4.0, 1)])
+    run()
+    feed([(10, 45, "click", 8.0, 1), (12, 0, "view", 16.0, 3)])
+    run()                                        # restart, second chunk
+
+    got = {(r["hour"].hour, r["event_type"]):
+           (r["n_events"], r["sum_value"], r["n_users_approx"])
+           for r in incremental.state_to_report(
+               spark.read.parquet(state)).collect()}
+    full = {(r["hour"].hour, r["event_type"]):
+            (r["n_events"], r["sum_value"], r["n_users_approx"])
+            for r in incremental.state_to_report(
+                incremental.hourly_rollup_state(
+                    spark.read.parquet(landing))).collect()}
+    assert got == full
+    assert got[(10, "click")] == (3, 11.0, 2)    # users 1,2 distinct
