@@ -203,6 +203,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(cat.documents)
 
 
+#: The oracle mirrors the query EXACTLY, including SHINGLE_DF_CAP:
+#: candidates come only from below-cap shingles (a pair whose only
+#: shared shingles are hot is dropped by BOTH engines), while the
+#: verify step counts ALL shared shingles — so query and oracle stay
+#: semantically identical on any corpus, not just ones where the cap
+#: is inert (ADVICE r2: a boilerplate-heavy corpus would otherwise
+#: silently break the driver comparison).
 DEDUP_NGRAM_JACCARD_SQL = f"""
 WITH toks AS (
     SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
@@ -220,12 +227,23 @@ exploded AS (
     SELECT doc_id, len(shingles) AS n_shingles, UNNEST(shingles) AS shingle
     FROM sh
 ),
-pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           a.n_shingles AS n_a, b.n_shingles AS n_b,
-           COUNT(*) AS shared
+hot AS (
+    SELECT shingle FROM exploded
+    GROUP BY 1 HAVING COUNT(*) > {SHINGLE_DF_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM exploded a JOIN exploded b
       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    WHERE a.shingle NOT IN (SELECT shingle FROM hot)
+),
+pairs AS (
+    SELECT c.doc_a, c.doc_b,
+           a.n_shingles AS n_a, b.n_shingles AS n_b,
+           COUNT(*) AS shared
+    FROM cand c
+    JOIN exploded a ON a.doc_id = c.doc_a
+    JOIN exploded b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
     GROUP BY 1, 2, 3, 4
 )
 SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS n_shared_shingles,

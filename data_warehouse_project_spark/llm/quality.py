@@ -315,8 +315,13 @@ def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.size("tokens")).cast("long").alias("n_tokens"))
         .withColumn(
             "weight",
-            (F.lit(1) + F.regexp_extract("source", r"([0-9]+)", 1)
-             .cast("long") % 3).cast("long"))
+            # digitless sources default to 0 (→ weight 1) on BOTH
+            # engines: Spark's '' casts to NULL (which would silently
+            # drop the row from w_total) while DuckDB's CAST('') would
+            # raise — coalesce/TRY_CAST give them one defined answer
+            (F.lit(1)
+             + F.coalesce(F.regexp_extract("source", r"([0-9]+)", 1)
+                          .cast("long"), F.lit(0)) % 3).cast("long"))
     )
     tot = per_src.agg(F.sum("weight").alias("w_total"))
     return (
@@ -339,7 +344,8 @@ WITH per_src AS (
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
                AS n_tokens,
-           CAST(1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3
+           CAST(1 + COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)', 1)
+                             AS BIGINT), 0) % 3
                 AS BIGINT) AS weight
     FROM documents GROUP BY source
 )

@@ -98,9 +98,16 @@ def with_surrogate_keys_bulk(
         .withColumn("__pid", F.spark_partition_id())
     )
     # pin the partition assignment: the count pass and the numbering
-    # pass must observe the same layout (range boundaries come from a
-    # sampling pass; persisting makes them bind exactly once)
-    part = part.persist()
+    # pass must observe the same materialized layout. localCheckpoint
+    # (NOT persist): cached blocks are evictable, and a recompute
+    # would re-run repartitionByRange's boundary SAMPLING — the two
+    # passes could then observe different __pid assignments, yielding
+    # duplicate/gapped keys with no error. Checkpointing truncates
+    # the lineage, so a lost block fails the job loudly instead of
+    # silently renumbering (at cluster scale, use reliable
+    # checkpoint() or a staging-table write for executor-loss
+    # tolerance).
+    part = part.localCheckpoint(eager=True)
     counts = part.groupBy("__pid").agg(F.count("*").alias("__cnt")).collect()
     offsets, acc = [], 0
     for r in sorted(counts, key=lambda r: r["__pid"]):

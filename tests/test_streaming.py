@@ -365,3 +365,37 @@ def test_streaming_rollup_maintainer_matches_batch(spark, tmp_path):
                     spark.read.parquet(landing))).collect()}
     assert got == full
     assert got[(10, "click")] == (3, 11.0, 2)    # users 1,2 distinct
+
+
+def test_rollup_maintainer_replay_is_idempotent(spark, tmp_path):
+    """The at-least-once crash window: a batch whose state swap
+    committed but whose checkpoint offset did NOT is replayed on
+    restart — fold_batch_into_state must skip it, not double-count
+    the additive stats (ADVICE r2, incremental.py)."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.plans import incremental
+
+    state = str(tmp_path / "state")
+    schema = ("ts timestamp, event_type string, value double, "
+              "user_id long")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, h, m), et, v, u)
+             for h, m, et, v, u in rows], schema)
+
+    b0 = batch([(10, 0, "click", 1.0, 1), (11, 0, "view", 4.0, 2)])
+    b1 = batch([(10, 30, "click", 2.0, 3)])
+
+    assert incremental.fold_batch_into_state(b0, 0, state) is True
+    assert incremental.fold_batch_into_state(b1, 1, state) is True
+    # crash after swap, before checkpoint commit → batch 1 replays
+    assert incremental.fold_batch_into_state(b1, 1, state) is False
+    # an old batch id never reapplies either
+    assert incremental.fold_batch_into_state(b0, 0, state) is False
+
+    got = {(r["hour"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+           for r in incremental.state_to_report(
+               spark.read.parquet(state)).collect()}
+    assert got == {(10, "click"): (2, 3.0), (11, "view"): (1, 4.0)}
