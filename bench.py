@@ -45,6 +45,7 @@ HEADLINE = [
     "q21_sole_late_supplier",      # EXISTS/NOT-EXISTS → one aggregation
     "dedup_ngram_jaccard",         # LLM heavy: capped blocking + verify
     "grouping_sets_mixed",         # multi-grouping aggregation
+    "dup_ngram_spans",             # exact-substring span stats (new r3)
 ]
 
 
@@ -66,19 +67,27 @@ def main() -> None:
     (cat.table("orders").limit(100).groupBy("o_orderstatus").count()
      .write.format("noop").mode("overwrite").save())
 
+    from data_warehouse_project_spark.cache import release_all
+
     queries = registry.queries()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        # min of 2 runs: the first execution of each distinct plan pays
-        # one-off janino codegen compilation (~seconds); steady-state
-        # throughput is what the engine is graded on
-        for _ in range(2):
+        # min of 3 runs: the first execution of each distinct plan pays
+        # one-off janino codegen compilation (~seconds); the min also
+        # rejects one-off machine-load spikes (BASELINE.md noise band —
+        # the r2 bench drifted +20-40% on UNCHANGED queries with 2 reps)
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            # release intra-query pinned blocks after EVERY rep: each
+            # rep then pays (and times) its own persist honestly, no
+            # storage accumulates across the run, and rep N+1 never
+            # re-caches an already-cached plan (cache.py discipline)
+            release_all()
         dt = round(best, 3)
         timings[name] = dt
         total += dt

@@ -1,0 +1,42 @@
+"""Session cache discipline for intra-query persists.
+
+A few query plans legitimately persist() an intermediate that several
+downstream branches reuse (hashed shingle arrays in the ngram/minhash
+dedups, the surviving-orders aggregate in the flagship) — the caller
+runs the returned plan once and the blocks would otherwise be left to
+Spark's LRU storage eviction. That is fine for a per-run session
+(driver/tests), but a LONG-LIVED session running many registry
+queries accumulates pinned blocks (VERDICT r2 "what's wrong" #2).
+
+Policy: every intra-query persist registers here via `pin`; hosts
+that keep a session across queries (bench.py, notebooks, a query
+service) call `release_all()` after materializing each result.
+References are STRONG on purpose: the JVM CacheManager keeps the
+cached plan alive regardless of the Python wrapper's lifetime, so a
+weak registry would silently lose the handle the moment the query
+function returns and the blocks would stay pinned forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: live intra-query persisted frames
+_PINNED: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """persist() a frame and track it for bulk release."""
+    df.persist()
+    _PINNED.append(df)
+    return df
+
+
+def release_all(blocking: bool = True) -> int:
+    """Unpersist every tracked frame (call AFTER materializing the
+    query result — an unpersisted plan re-computes if re-executed).
+    Returns the number of frames released."""
+    n = len(_PINNED)
+    while _PINNED:
+        _PINNED.pop().unpersist(blocking=blocking)
+    return n

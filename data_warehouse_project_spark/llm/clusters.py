@@ -118,3 +118,57 @@ JOIN (SELECT cluster, COUNT(*) AS cluster_size
 """
 
 register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL)
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop decision per near-duplicate document — the pass that
+    turns cluster assignments into an actual dedup: within each
+    cluster exactly one document survives, chosen by quality
+    (longest `n_chars`, ties to the smallest doc_id — a deterministic
+    stand-in for a model quality score). Output is one row per
+    clustered document with its cluster and an `is_kept` flag; the
+    downstream corpus build is `documents ⋉ (is_kept=1 ∪ unclustered)`.
+
+    Scale: the cluster table is pair-graph-sized (≪ corpus); the
+    survivor choice is one max_by aggregation per cluster plus a
+    broadcast-joinable winner table — no window over the corpus."""
+    clustered = dedup_clusters(spark, sf_dir)
+    cat = Catalog(spark, sf_dir)
+    with_q = clustered.join(
+        cat.documents.select("doc_id", "n_chars"), "doc_id")
+    # one scalar ordering key (quality major, doc_id-desc minor) so the
+    # DuckDB oracle's arg_max sees the identical comparison: n_chars
+    # ≤ ~1e5 and doc_id ≪ 1e12, so the encoding is collision-free
+    winners = (
+        with_q.groupBy("cluster")
+        .agg(F.max_by(
+            F.col("doc_id"),
+            F.col("n_chars") * F.lit(1_000_000_000_000)
+            - F.col("doc_id")).alias("keep_id"))
+    )
+    return (
+        with_q.join(F.broadcast(winners), "cluster")
+        .select(
+            "doc_id", "cluster", "cluster_size",
+            F.when(F.col("doc_id") == F.col("keep_id"), F.lit(1))
+            .otherwise(F.lit(0)).cast("long").alias("is_kept"),
+        )
+    )
+
+
+DEDUP_SURVIVORS_SQL = f"""
+WITH clustered AS ({DEDUP_CLUSTERS_SQL}),
+winners AS (
+    SELECT cluster,
+           arg_max(c.doc_id,
+                   d.n_chars * 1000000000000 - c.doc_id) AS keep_id
+    FROM clustered c JOIN documents d ON d.doc_id = c.doc_id
+    GROUP BY cluster
+)
+SELECT c.doc_id, c.cluster, c.cluster_size,
+       CAST(CASE WHEN c.doc_id = w.keep_id THEN 1 ELSE 0 END AS BIGINT)
+           AS is_kept
+FROM clustered c JOIN winners w USING (cluster)
+"""
+
+register("dedup_survivors", dedup_survivors, DEDUP_SURVIVORS_SQL)

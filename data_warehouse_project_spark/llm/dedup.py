@@ -159,16 +159,16 @@ def ngram_jaccard_pairs(docs: DataFrame,
     # a loss: that cached STRING arrays (10× serialization cost);
     # these are longs, and FIVE downstream branches reuse them
     # (measured at sf0.1: 4.5 s recompute → 2.6 s persisted). The
-    # block is left for Spark's LRU storage eviction — callers run
-    # the returned plan once, and pinning ~16 bytes × Σ shingles is
-    # the cheapest input to every downstream stage.
-    sh_all = (
+    # persist is TRACKED (cache.pin): per-run sessions let LRU/GC
+    # clean it, long-lived hosts call cache.release_all() after each
+    # materialized result.
+    from ..cache import pin
+    sh_all = pin(
         _with_shingles(docs)
         .select(
             "doc_id",
             F.expr("transform(shingles, s -> xxhash64(s))").alias("shingles"),
             F.size("shingles").alias("n_shingles"))
-        .persist()
     )
     return _verify_jaccard(sh_all, _ngram_candidates(sh_all, df_cap))
 
@@ -314,13 +314,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash family then becomes xxhash64(h, j) over the pre-hash —
     # still an independent uniform hash per seed j, and hashing a
     # fixed-width long is cheaper than re-hashing each string 32×.
-    sh_all = (
+    # Tracked persist — see cache.py.
+    from ..cache import pin
+    sh_all = pin(
         _with_shingles(cat.documents)
         .select(
             "doc_id",
             F.expr("transform(shingles, s -> xxhash64(s))").alias("shingles"),
             F.size("shingles").alias("n_shingles"))
-        .persist()
     )
     sigs = minhash_signatures_from(sh_all)
 

@@ -50,11 +50,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__top"))
         .select("o_custkey", "o_orderstatus",
                 *[F.col(f"__top.{c}").alias(c) for c in other_cols])
-        # persisted: feeds both the main join AND the broadcast
-        # semi-prefilter below (without it the orders aggregation
-        # would run twice)
-        .persist()
     )
+    # tracked persist (cache.py): feeds both the main join AND the
+    # broadcast semi-prefilter below (without it the orders
+    # aggregation would run twice)
+    from ..cache import pin
+    latest_orders = pin(latest_orders)
 
     # (b) latest lineitem-derived status per order — ref db.py:386-390
     # analog. max_by aggregation instead of a row_number window: the

@@ -100,3 +100,21 @@ def test_orc_source_roundtrip(spark, sf_dir, tmp_path):
     back = spark.read.schema(schemas.NATION).orc(path)
     assert sorted(r["n_nationkey"] for r in back.collect()) == \
         sorted(r["n_nationkey"] for r in nation.collect())
+
+
+def test_cache_release_frees_all_storage(spark, sf_dir):
+    """Back-to-back registry queries on one session must not
+    accumulate pinned storage once release_all() runs (VERDICT r2:
+    unpersist discipline for intra-query persists)."""
+    from data_warehouse_project_spark import cache
+    from data_warehouse_project_spark.llm.dedup import dedup_ngram_jaccard
+    from data_warehouse_project_spark.plans.flagship import flagship
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    for fn in (flagship, dedup_ngram_jaccard):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        assert n_cached() > 0          # the tracked persist is live
+        cache.release_all()
+        assert n_cached() == 0         # and fully released

@@ -79,26 +79,30 @@ def test_crypto_roundtrip_query(spark, sf_dir):
     assert row["n_ciphertext_differs"] == row["n_cards"]
 
 
-def test_priority_window_covers_mandate_families():
-    # the driver checks the first 50 registered queries; the mandate
-    # extension families must all land inside that window
+def test_priority_window_covers_round3_rotation():
+    # the driver checks the first 50 registered queries; the round-3
+    # window must carry (a) the flagship canary, (b) the three queries
+    # never driver-checked in r1/r2, (c) every query new or changed in
+    # round 3, and (d) the relational regression canaries
     from data_warehouse_project_spark import registry
     window = list(registry.queries())[:50]
-    assert "crypto_roundtrip" in window
-    for fam, want in [
-        ("dedup_", 6), ("events_", 8), ("knn_", 2), ("ann_", 2),
-    ]:
-        assert sum(1 for n in window if n.startswith(fam)) >= want, fam
-    for name in ("rollup_status_priority", "cube_flags",
-                 "grouping_sets_mixed", "window_running_totals",
-                 "top_k_per_group", "q19_disjunctive_revenue",
-                 "q22_dormant_customers", "star_denorm",
-                 "pack_sequences", "multimodal_features",
-                 "train_test_split", "text_quality",
-                 "embedding_dup_exact", "hypertable_rollup",
-                 "events_click_purchase_join", "multimodal_frame_sample",
-                 "gopher_quality_flags", "pii_scrub", "tfidf_top_terms",
-                 "table_profile", "bigram_lm_counts"):
+    assert window[0] == "flagship_my_registrations"
+    for name in (
+        # never-checked trio
+        "incremental_hourly_rollup", "vocab_top_terms",
+        "source_mixture_plan",
+        # new in round 3
+        "soft_delete_post_state", "record_payment_post_state",
+        "surrogate_keys_bulk_post_state", "dedup_embedding_cosine_planted",
+        "ann_lsh_multiprobe", "dup_ngram_spans", "dedup_survivors",
+        # changed in round 3
+        "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "dedup_clusters", "dedup_minhash_lsh",
+        # relational canaries
+        "q1_pricing_summary", "dashboard_stats", "join_left_coalesce",
+        "setop_except", "agg_argmax", "point_lookup",
+        "sort_limit_topk", "scalar_functions",
+    ):
         assert name in window, name
 
 

@@ -154,6 +154,63 @@ def test_dedup_embedding_lsh_matches_allpairs_at_sf(spark, sf_dir):
     assert blocked == exact
 
 
+def test_cosine_pair_dedup_chunked_matches_allpairs(spark, planted_emb_dir):
+    # force the multi-chunk path (chunk=2 splits the planted 5-vector
+    # near-dup cluster's buckets): over-cap buckets must yield EXACTLY
+    # their full pair set, distributed — not be dropped (ADVICE r2)
+    exact = {(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in
+             similarity.dedup_embedding_cosine_allpairs(
+                 spark, planted_emb_dir).collect()}
+    vecs = Catalog(spark, planted_emb_dir).embeddings.select(
+        "vec_id", "embedding")
+    chunked = {(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in
+               similarity.cosine_pair_dedup(vecs, chunk=2).collect()}
+    assert chunked == exact
+
+
+def test_planted_cosine_query_is_nonvacuous(spark, sf_dir):
+    # the registered planted query must find every scaled copy (cos
+    # exactly 1.0) — the non-vacuous driver row for the LSH path
+    rows = similarity.dedup_embedding_cosine_planted(spark, sf_dir).collect()
+    planted = {(r["vec_a"], r["vec_b"]) for r in rows
+               if r["vec_b"] >= similarity.PLANTED_ID_OFFSET}
+    assert planted == {(i, i + similarity.PLANTED_ID_OFFSET)
+                       for i in range(similarity.PLANTED_COPY_N)}
+    assert all(r["cos_sim"] == 1.0 for r in rows
+               if r["vec_b"] >= similarity.PLANTED_ID_OFFSET)
+
+
+def test_ngram_oracle_mirrors_df_cap(spark, tmp_path):
+    """The DuckDB oracle must apply SHINGLE_DF_CAP exactly like the
+    Spark query: docs whose ONLY shared shingles are hot (df > cap)
+    produce no pair in EITHER engine, even above the jaccard
+    threshold (ADVICE r2 — the old oracle reported them)."""
+    import duckdb
+
+    # 70 docs = two ubiquitous shingles (df=70 > 64) + 1 unique each:
+    # pairwise jaccard 2/(3+3-2) = 0.5 ≥ 0.4, but hot-only → dropped
+    common = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, f"{common} unique{i}") for i in range(70)]
+    # a genuine near-dup pair sharing RARE shingles survives in both
+    near = "one two three four five six seven eight nine ten"
+    rows += [(100, near), (101, near)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           dedup.ngram_jaccard_pairs(df).collect()}
+    assert got == {(100, 101)}
+
+    pdir = str(tmp_path / "documents.parquet")
+    df.write.parquet(pdir)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pdir}/*.parquet')")
+    from tests.oracle_utils import compare
+    compare(dedup.ngram_jaccard_pairs(df), con,
+            dedup.DEDUP_NGRAM_JACCARD_SQL, "ngram_cap_mirror")
+    con.close()
+
+
 def test_dedup_embedding_plan_has_no_allpairs_join(spark, sf_dir):
     # the registered plan must not contain a nested-loop over the full
     # corpus pair space (broadcast NLJ on the tiny candidate set is
@@ -172,6 +229,21 @@ def test_ann_recall_vs_brute(spark, sf_dir):
     # even on this cluster-free corpus (measured 0.6/0.7/0.8 at
     # sf0.001/0.01/0.1; ~0.82 expected from the L=12, b=5 analysis)
     assert len(ann_ids & brute) >= len(brute) // 2
+
+
+def test_multiprobe_recall_beats_single_probe(spark):
+    # deterministic (fixed seeds + fixed testdata): at sf0.01 the
+    # margin-aware multi-probe variant recovers 9/10 true neighbors
+    # with 10 tables where single-probe needs 12 tables for 7/10
+    sf = "/root/testdata/sf0.01"
+    brute = {r["vec_id"] for r in
+             similarity.knn_brute_cosine(spark, sf).collect()}
+    single = {r["vec_id"] for r in
+              similarity.ann_lsh_cosine(spark, sf).collect()}
+    multi = {r["vec_id"] for r in
+             similarity.ann_lsh_multiprobe(spark, sf).collect()}
+    assert len(multi & brute) >= 8
+    assert len(multi & brute) > len(single & brute)
 
 
 def test_multimodal_featurize_plumbing(spark, sf_dir):
@@ -313,3 +385,61 @@ def test_pii_scrub_idempotent(spark, tmp_path):
     second = quality.pii_scrub(spark, str(d2)).collect()[0]
     assert (second["n_emails"], second["n_ips"], second["n_phones"]) == (0, 0, 0)
     assert second["redacted"] == first["redacted"]
+
+
+def test_span_stats_planted(spark):
+    # doc 1 and 2 share their first 9 tokens (two duplicated 8-grams
+    # each); doc 1 also repeats nothing internally; doc 3 is unique;
+    # doc 4 is shorter than the span width and must emit no row
+    from data_warehouse_project_spark.llm.spans import span_stats
+
+    shared = "t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    docs = spark.createDataFrame(
+        [(1, shared + " aa bb"), (2, shared + " cc dd"),
+         (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+         (4, "x1 x2 x3")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in span_stats(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    # 11 tokens -> 4 spans; spans starting at positions 1,2 lie inside
+    # the shared 9-token prefix and are duplicated across docs 1/2
+    for d in (1, 2):
+        assert rows[d]["n_spans"] == 4
+        assert rows[d]["n_dup_spans"] == 2
+        assert rows[d]["dup_fraction"] == 0.5
+    assert rows[3]["n_dup_spans"] == 0
+
+
+def test_span_stats_counts_intra_doc_repeats(spark):
+    # a span repeated WITHIN one document is duplicated too (both
+    # occurrences counted), matching exact-substring semantics
+    from data_warehouse_project_spark.llm.spans import span_stats
+
+    eight = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = spark.createDataFrame(
+        [(1, eight + " mid1 mid2 mid3 mid4 mid5 mid6 mid7 mid8 " + eight)],
+        "doc_id long, text string")
+    row = span_stats(docs).collect()[0]
+    assert row["n_spans"] == 17
+    assert row["n_dup_spans"] == 2
+
+
+def test_dedup_survivors_one_keeper_per_cluster(spark, sf_dir):
+    from data_warehouse_project_spark.llm.clusters import dedup_survivors
+
+    rows = dedup_survivors(spark, sf_dir).collect()
+    assert rows, "testdata has near-dup clusters at every sf"
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    docs = {r["doc_id"]: r for r in
+            Catalog(spark, sf_dir).documents.select(
+                "doc_id", "n_chars").collect()}
+    for cluster, members in by_cluster.items():
+        kept = [m for m in members if m["is_kept"] == 1]
+        assert len(kept) == 1, cluster
+        assert len(members) == members[0]["cluster_size"]
+        # the keeper maximizes (n_chars, -doc_id)
+        best = max(members, key=lambda m: (docs[m["doc_id"]]["n_chars"],
+                                           -m["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]
