@@ -229,6 +229,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ROUNDED score then term, so cross-engine float noise below
     1e-6 cannot flip the ordering."""
     cat = Catalog(spark, sf_dir)
+    # per_tok feeds four consumers (tf scoring, per-doc totals,
+    # document frequency, corpus count), so the plan scans + explodes
+    # the corpus four times — deliberately NOT persisted: each consumer
+    # is a map-side-combined partial aggregate, so what shuffles is
+    # four SMALL aggregate outputs, while caching would materialize a
+    # per-(doc,term) table LARGER than the corpus (measured at sf0.1:
+    # pinned 2.78 s vs recompute 1.92 s steady-state). Re-scan costs
+    # CPU; caching costs corpus-scale memory/serialization — the
+    # partial-agg shuffle profile is the one that survives 100 TB.
     per_tok = (
         cat.documents
         .withColumn("tokens", F.split(F.trim(F.col("text")), r"\s+"))
@@ -366,3 +375,95 @@ register("pii_scrub", pii_scrub, PII_SCRUB_SQL)
 register("vocab_top_terms", vocab_top_terms, VOCAB_SQL)
 register("tfidf_top_terms", tfidf_top_terms, TFIDF_SQL)
 register("source_mixture_plan", source_mixture_plan, MIXTURE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Linear quality-classifier scoring
+# --------------------------------------------------------------------------
+
+#: fixed public-shape logistic weights (fasttext-style linear scorer
+#: over cheap text features — the "quality model inference" stage of a
+#: corpus pipeline, with a deterministic stand-in model so the oracle
+#: can reproduce scores exactly). Chosen so the driver corpus splits
+#: both ways at the 0.5 keep threshold.
+QSCORE_W0 = -3.8
+QSCORE_W_LOG_TOKENS = 0.6
+QSCORE_W_TTR = 2.0
+QSCORE_W_AVG_LEN = 0.1
+QSCORE_KEEP = 0.5
+
+
+def quality_score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document logistic quality score over three features
+    (log token count, type-token ratio, average token length) with a
+    keep flag at 0.5 — model scoring as pure column arithmetic.
+
+    At 100 TB this is the shape a real classifier pass wants: features
+    from one explode → partial aggregate plus per-row expressions, the
+    dot product and sigmoid JVM-side in whole-stage codegen, no Python
+    and no model service in the hot path (a learned linear model drops
+    in by replacing the weight literals; an embedding-based scorer
+    would swap the feature block for a vector column)."""
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.withColumn(
+        "tokens", F.split(F.trim(F.col("text")), r"\s+"))
+    per_tok = (
+        toks.select("doc_id", F.explode("tokens").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    )
+    sig = per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    lens = cat.documents.select(
+        "doc_id",
+        F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+        .cast("long").alias("n_letter_chars"),
+    )
+    z = (F.lit(QSCORE_W0)
+         + F.lit(QSCORE_W_LOG_TOKENS) * F.log(F.col("n_tokens"))
+         + F.lit(QSCORE_W_TTR) * (F.col("n_distinct") / F.col("n_tokens"))
+         + F.lit(QSCORE_W_AVG_LEN)
+         * (F.col("n_letter_chars") / F.col("n_tokens")))
+    return (
+        sig.join(lens, "doc_id")
+        .select(
+            "doc_id", "n_tokens",
+            fround(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        )
+        .withColumn("keep", F.col("score") >= QSCORE_KEEP)
+    )
+
+
+QSCORE_Z = (f"{QSCORE_W0} + {QSCORE_W_LOG_TOKENS} * ln(n_tokens) "
+            f"+ {QSCORE_W_TTR} * (n_distinct / CAST(n_tokens AS DOUBLE)) "
+            f"+ {QSCORE_W_AVG_LEN} * (n_letter_chars / CAST(n_tokens AS DOUBLE))")
+
+QUALITY_SCORE_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+    FROM documents
+),
+cnt AS (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST(tokens) AS tok FROM toks) GROUP BY 1, 2
+),
+sig AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct
+    FROM cnt GROUP BY 1
+),
+lens AS (
+    SELECT doc_id,
+           CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT)
+               AS n_letter_chars
+    FROM documents
+)
+SELECT s.doc_id, s.n_tokens,
+       {sql_fround(f'1.0 / (1.0 + exp(-({QSCORE_Z})))', 6)} AS score,
+       {sql_fround(f'1.0 / (1.0 + exp(-({QSCORE_Z})))', 6)} >= {QSCORE_KEEP}
+           AS keep
+FROM sig s JOIN lens USING (doc_id)
+"""
+
+register("quality_score_linear", quality_score_linear, QUALITY_SCORE_SQL)

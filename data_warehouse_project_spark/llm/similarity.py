@@ -455,6 +455,15 @@ def cosine_pair_dedup(vecs: DataFrame,
         "vec_id",
         F.posexplode(buckets_udf(F.col("embedding"))).alias("band", "bucket"),
     )
+    return _verify_pairs(vecs, _chunked_bucket_pairs(bands, chunk),
+                         DEDUP_COS_THRESHOLD)
+
+
+def _chunked_bucket_pairs(bands: DataFrame, chunk: int) -> DataFrame:
+    """(vec_id, band, bucket) → distinct candidate (vec_a < vec_b)
+    pairs, generating each bucket's full pair set in ≤chunk²-sized
+    per-task slices (the blocking-agnostic half of cosine_pair_dedup —
+    also reused by semantic_dedup with k-means cells as buckets)."""
     chunks = (
         bands.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("vec_id")).alias("vs"))
@@ -485,6 +494,14 @@ def cosine_pair_dedup(vecs: DataFrame,
         .select("p.vec_a", "p.vec_b")
         .distinct()
     )
+    return candidates
+
+
+def _verify_pairs(vecs: DataFrame, candidates: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Exact-cosine verification of a (small) candidate pair set: the
+    candidates broadcast into the vector table twice, so embeddings
+    are read scan-side and never shuffled."""
     emb_a = vecs.select(F.col("vec_id").alias("vec_a"),
                         F.col("embedding").alias("a"))
     emb_b = vecs.select(F.col("vec_id").alias("vec_b"),
@@ -493,8 +510,7 @@ def cosine_pair_dedup(vecs: DataFrame,
     return (
         emb_b.join(F.broadcast(cand_a), "vec_b")
         .withColumn("cos_sim", fround(F.expr(_COS_EXPR), 6))
-        .filter(F.coalesce(F.col("cos_sim") >= DEDUP_COS_THRESHOLD,
-                           F.lit(False)))
+        .filter(F.coalesce(F.col("cos_sim") >= threshold, F.lit(False)))
         .select("vec_a", "vec_b", "cos_sim")
     )
 
@@ -543,9 +559,10 @@ PLANTED_ID_OFFSET = 1_000_000
 PLANTED_SCALE = "1.5"
 
 
-def dedup_embedding_cosine_planted(spark: SparkSession,
-                                   sf_dir: str) -> DataFrame:
-    cat = Catalog(spark, sf_dir)
+def _planted_corpus(cat: Catalog) -> DataFrame:
+    """Base slice ∪ exact-direction scaled copies (cos = 1.0) — the
+    deterministic near-dup-bearing corpus shared by the planted LSH
+    dedup and semantic_dedup."""
     base = (cat.embeddings.filter(F.col("vec_id") < PLANTED_BASE_N)
             .select("vec_id", "embedding"))
     copies = (
@@ -558,7 +575,16 @@ def dedup_embedding_cosine_planted(spark: SparkSession,
             ).alias("embedding"),
         )
     )
-    return cosine_pair_dedup(base.unionByName(copies))
+    return base.unionByName(copies)
+
+
+def dedup_embedding_cosine_planted(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The LSH-blocked pipeline over the planted corpus — a driver row
+    with >0 result rows for the blocking path (the natural testdata
+    has no cosine near-dups, making dedup_embedding_cosine's own row a
+    vacuous 0 = 0 match)."""
+    return cosine_pair_dedup(_planted_corpus(Catalog(spark, sf_dir)))
 
 
 DEDUP_EMBEDDING_COSINE_PLANTED_SQL = f"""
@@ -635,6 +661,59 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("ann_ivf_cosine", ann_ivf_cosine, None)
+
+
+SEMDEDUP_K = 16
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public methodology:
+    cluster the corpus, exact-score only within clusters, drop
+    high-cosine pairs): k-means cells over L2-NORMALIZED embeddings
+    are the blocking structure; within-cell pair generation reuses the
+    chunked machinery (`_chunked_bucket_pairs` with cell as the
+    bucket), and exact cosine verifies candidates.
+
+    Normalization matters twice: cosine ignores magnitude, and
+    clustering unnormalized vectors would split same-direction
+    vectors of different norms across cells (Euclidean k-means).
+    After normalization, exact-direction duplicates coincide in
+    feature space and land in the same cell BY CONSTRUCTION — the
+    planted-copy unit test relies on this. Boundary-straddling
+    near-dups can still be missed (inherent SemDeDup recall trade,
+    documented in its public description; the LSH-blocked
+    dedup_embedding_cosine is the recall-lossless alternative).
+
+    Runs over the planted corpus (the natural testdata has no cosine
+    near-dups, so the query would be vacuously empty). Rows-only
+    check: cell assignment is model-dependent. At 100 TB the KMeans
+    fit runs on a sample and assignment is a broadcast-centroid map
+    stage; Σ cell² within-cell cost is bounded by k sizing
+    (cells ≈ n/k) plus the chunked per-task cap.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cat = Catalog(spark, sf_dir)
+    corpus = _planted_corpus(cat)
+    unit = corpus.withColumn(
+        "features",
+        array_to_vector(F.expr(
+            "transform(embedding, x -> cast(x as double) / "
+            "sqrt(aggregate(embedding, 0D, "
+            "(acc, v) -> acc + cast(v as double) * cast(v as double))))")))
+    model = KMeans(k=SEMDEDUP_K, seed=42, featuresCol="features").fit(unit)
+    cells = (model.transform(unit)
+             .select("vec_id", F.lit(0).alias("band"),
+                     F.col("prediction").alias("bucket")))
+    return (
+        _verify_pairs(corpus, _chunked_bucket_pairs(cells, MAX_VEC_BUCKET),
+                      DEDUP_COS_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+register("semantic_dedup", semantic_dedup, None)
 
 
 N_BATCH_QUERIES = 5

@@ -22,13 +22,15 @@ IDENTICAL digest, and md5 is the one digest both engines share —
 cross-engine agreement already proven by dedup_exact's driver row).
 Hot spans (ubiquitous boilerplate) are just large counter cells —
 aggregation state, not join fan-out, so skew cannot blow up the plan.
-Cost is linear in corpus token count with two narrow shuffles
-(span-digest, then doc_id).
+Cost is linear in corpus token count with ONE pass over the corpus and
+three narrow shuffles ((doc, span-digest) combine, span-digest window,
+doc_id rollup) — see span_stats for why the window formulation beats
+the totals-table self-join.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.compat import fround, sql_fround
 from ..registry import register
@@ -57,9 +59,17 @@ def span_stats(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
         )
     )
     per = grams.groupBy("doc_id", "span_h").agg(F.count("*").alias("c"))
-    tot = per.groupBy("span_h").agg(F.sum("c").alias("total"))
+    # corpus-wide span totals as a WINDOW SUM over the partial
+    # aggregate, not a self-join against a totals table: the naive
+    # `per ⋈ (per groupBy span_h)` plan scans + explodes the corpus
+    # TWICE (no exchange reuse across the two subtrees) and, worse,
+    # materializes a totals table as wide as the distinct-span space —
+    # broadcast-joined at test scale, a full extra shuffle at 100 TB.
+    # The unordered window needs one exchange on span_h and keeps a
+    # single lineage: scan → (doc,span) agg → window → (doc) agg.
+    total_w = Window.partitionBy("span_h")
     return (
-        per.join(tot, "span_h")
+        per.withColumn("total", F.sum("c").over(total_w))
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_spans"),

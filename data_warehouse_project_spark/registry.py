@@ -88,6 +88,8 @@ _PRIORITY: list[str] = [
     "ann_lsh_multiprobe",
     "dup_ngram_spans",
     "dedup_survivors",
+    "semantic_dedup",
+    "quality_score_linear",
     # --- changed in round 3 ---
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -113,9 +115,7 @@ _PRIORITY: list[str] = [
     "q9_product_profit",
     "q10_returned_items",
     "q11_part_value_concentration",
-    "q12_shipmode_priority",
     "q13_customer_order_histogram",
-    "q14_conditional_ratio",
     "q15_top_supplier",
     "q16_part_supplier_variety",
     "q17_small_quantity_revenue",

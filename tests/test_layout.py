@@ -125,3 +125,35 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir,
     after = writes.compact_parquet(spark, path, target_files=4)
     assert after <= 4
     assert spark.read.parquet(path).count() == n_rows
+
+
+def test_dynamic_partition_pruning_engages(spark, sf_dir, tmp_path):
+    """DPP: when the partition column is constrained only THROUGH a
+    join (a filtered dim, not a literal), Spark must inject a runtime
+    subquery that prunes fact partitions before the scan — the
+    mechanism that keeps a 100 TB date-partitioned fact from full-
+    scanning on every dim-filtered query."""
+    orders = Catalog(spark, sf_dir).orders
+    path = str(tmp_path / "orders_dpp")
+    writes.write_date_partitioned(orders, path, "o_orderdate", "month")
+    fact = spark.read.parquet(path)
+
+    months = (fact.select(F.col("o_orderdate_month").alias("month"))
+              .distinct()
+              .withColumn("quarter",
+                          F.when(F.substring("month", 6, 2)
+                                 .isin("01", "02", "03"), "Q1")
+                          .otherwise("other")))
+    dim_path = str(tmp_path / "month_dim")
+    months.write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("quarter") == "Q1")
+
+    joined = fact.join(dim, fact.o_orderdate_month == dim.month)
+    plan = _plan(joined)
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+
+    got = joined.count()
+    want = fact.filter(
+        F.substring("o_orderdate_month", 6, 2).isin("01", "02", "03")
+    ).count()
+    assert got == want > 0

@@ -443,3 +443,30 @@ def test_dedup_survivors_one_keeper_per_cluster(spark, sf_dir):
         best = max(members, key=lambda m: (docs[m["doc_id"]]["n_chars"],
                                            -m["doc_id"]))
         assert kept[0]["doc_id"] == best["doc_id"]
+
+
+def test_semantic_dedup_recovers_planted_copies(spark, sf_dir):
+    # normalized k-means cells must co-locate exact-direction copies
+    # with their originals, so SemDeDup recovers ALL planted pairs
+    rows = similarity.semantic_dedup(spark, sf_dir).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in rows}
+    want = {(i, i + similarity.PLANTED_ID_OFFSET)
+            for i in range(similarity.PLANTED_COPY_N)}
+    assert pairs == want
+    assert all(r["cos_sim"] == 1.0 for r in rows)
+
+
+def test_quality_score_splits_corpus(spark, sf_dir):
+    from data_warehouse_project_spark.llm import quality
+
+    counts = dict(
+        (r["keep"], r["count"]) for r in
+        quality.quality_score_linear(spark, sf_dir)
+        .groupBy("keep").count().collect())
+    # the fixed weights must produce a genuine decision boundary on
+    # the driver corpus, not a constant verdict
+    assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+    scores = quality.quality_score_linear(spark, sf_dir).collect()
+    assert all(0.0 < r["score"] < 1.0 for r in scores)
+    assert all((r["score"] >= quality.QSCORE_KEEP) == r["keep"]
+               for r in scores)
