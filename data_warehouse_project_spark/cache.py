@@ -15,6 +15,12 @@ References are STRONG on purpose: the JVM CacheManager keeps the
 cached plan alive regardless of the Python wrapper's lifetime, so a
 weak registry would silently lose the handle the moment the query
 function returns and the blocks would stay pinned forever.
+
+Scope note: localCheckpoint() blocks (surrogate-key bulk assignment,
+the CC loop's per-round labels) are NOT tracked here — they are
+plan-truncation points whose blocks the ContextCleaner frees
+asynchronously once the result DataFrame is dropped, and an explicit
+unpersist would corrupt still-referenced lineage.
 """
 
 from __future__ import annotations

@@ -43,6 +43,12 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     sym = (edges.select(F.col("a").alias("n"), F.col("b").alias("m"))
            .union(edges.select(F.col("b").alias("n"), F.col("a").alias("m")))
            .persist())
+    # materialize sym BEFORE labels: the first round's eager
+    # checkpoint otherwise fills the sym and labels caches inside ONE
+    # job, whose two branches each recompute the (expensive) edge
+    # lineage — pair generation ran twice per CC invocation until the
+    # order was forced (measured 21 s → 13 s first-run at sf0.1)
+    sym.count()
     labels = nodes.select(F.col("node").alias("n"),
                           F.col("node").alias("label")).persist()
     for _ in range(MAX_ROUNDS):
@@ -82,8 +88,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster assignment for every document participating in a
     near-dup pair (n-gram Jaccard graph): doc_id → cluster id (min
     doc_id of its component), plus cluster size."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    # tracked persist: the near-dup pair list feeds the symmetrized
+    # edge table AND the node set AND (without it) would re-run the
+    # whole capped-blocking ngram pipeline under each branch
+    from ..cache import pin
+    pairs = pin(dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
     nodes = (pairs.select(F.col("a").alias("node"))
              .union(pairs.select(F.col("b").alias("node"))).distinct())
     cc = connected_components(pairs, nodes)
