@@ -47,8 +47,9 @@ def _register_modules() -> None:
     from .plans import (dashboard, incremental, poststate,  # noqa: F401
                         tpch, tpch_deep, warehouse)
     from .streaming import batch_parity  # noqa: F401
-    from .llm import (clusters, dedup, multimodal, pipeline,  # noqa: F401
-                      quality, sampling, similarity, spans, textstats)
+    from .llm import (clusters, dedup, manifest, multimodal,  # noqa: F401
+                      pipeline, quality, sampling, similarity, spans,
+                      textstats)
     from .functions import crypto  # noqa: F401
 
 
@@ -90,6 +91,7 @@ _PRIORITY: list[str] = [
     "dedup_survivors",
     "semantic_dedup",
     "quality_score_linear",
+    "corpus_manifest",
     # --- changed in round 3 ---
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -115,7 +117,6 @@ _PRIORITY: list[str] = [
     "q9_product_profit",
     "q10_returned_items",
     "q11_part_value_concentration",
-    "q13_customer_order_histogram",
     "q15_top_supplier",
     "q16_part_supplier_variety",
     "q17_small_quantity_revenue",

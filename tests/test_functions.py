@@ -95,7 +95,7 @@ def test_priority_window_covers_round3_rotation():
         "soft_delete_post_state", "record_payment_post_state",
         "surrogate_keys_bulk_post_state", "dedup_embedding_cosine_planted",
         "ann_lsh_multiprobe", "dup_ngram_spans", "dedup_survivors",
-        "semantic_dedup", "quality_score_linear",
+        "semantic_dedup", "quality_score_linear", "corpus_manifest",
         # changed in round 3
         "dedup_ngram_jaccard", "dedup_embedding_cosine",
         "dedup_clusters", "dedup_minhash_lsh",

@@ -470,3 +470,22 @@ def test_quality_score_splits_corpus(spark, sf_dir):
     assert all(0.0 < r["score"] < 1.0 for r in scores)
     assert all((r["score"] >= quality.QSCORE_KEEP) == r["keep"]
                for r in scores)
+
+
+def test_corpus_manifest_composition(spark, sf_dir):
+    # the manifest must agree row-wise with its component stages
+    from data_warehouse_project_spark.llm import manifest, quality
+    from data_warehouse_project_spark.llm.clusters import dedup_survivors
+
+    m = {r["doc_id"]: r for r in
+         manifest.corpus_manifest(spark, sf_dir).collect()}
+    q = {r["doc_id"]: r for r in
+         quality.quality_score_linear(spark, sf_dir).collect()}
+    s = {r["doc_id"]: r for r in dedup_survivors(spark, sf_dir).collect()}
+    assert set(m) == set(q)            # one manifest row per document
+    for doc_id, row in m.items():
+        assert row["quality_keep"] == q[doc_id]["keep"]
+        want_dedup = (s[doc_id]["is_kept"] == 1) if doc_id in s else True
+        assert row["dedup_keep"] == want_dedup
+        assert row["final_keep"] == (want_dedup and row["quality_keep"])
+        assert row["split"] in ("train", "eval")
