@@ -184,3 +184,47 @@ def test_flagship_prefilter_broadcasts_surviving_keys(spark, sf_dir):
     plan = _plan(qs["flagship_my_registrations"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+@pytest.fixture(scope="module")
+def r3_plans(spark, sf_dir):
+    qs = registry.queries()
+    return {name: _plan(qs[name](spark, sf_dir))
+            for name in [
+                "dup_ngram_spans", "quality_score_linear",
+                "corpus_manifest", "dedup_survivors",
+                "semantic_dedup",
+            ]}
+
+
+def test_r3_text_paths_stay_jvm_side(r3_plans):
+    # span stats, quality scoring, and the composed manifest are pure
+    # expression pipelines — any Python eval in the plan is a bug
+    for name in ("dup_ngram_spans", "quality_score_linear",
+                 "corpus_manifest"):
+        assert "BatchEvalPython" not in r3_plans[name], name
+        assert "ArrowEvalPython" not in r3_plans[name], name
+
+
+def test_r3_blocked_paths_have_no_cartesian(r3_plans):
+    # chunked-bucket pair generation (LSH bands or k-means cells) must
+    # never degenerate into a corpus-wide nested loop
+    for name in ("semantic_dedup", "dedup_survivors", "corpus_manifest"):
+        assert "CartesianProduct" not in r3_plans[name], name
+
+
+def test_spans_single_scan_no_join(r3_plans):
+    # the span-total is a window over the partial aggregate: exactly
+    # one documents scan and no self-join back against a totals table
+    plan = r3_plans["dup_ngram_spans"]
+    # formatted explain names each scan once in the tree and once in
+    # the node details — 2 markers == exactly one parquet scan
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("documents.parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_manifest_survivor_side_broadcasts(r3_plans):
+    # the dedup-survivor table is pair-graph-sized and must broadcast
+    # into the corpus-wide manifest join, never shuffle the corpus
+    assert "BroadcastHashJoin" in r3_plans["corpus_manifest"]
