@@ -43,7 +43,7 @@ register("flagship_my_registrations", _flagship.flagship, _flagship.FLAGSHIP_ORA
 
 def _register_modules() -> None:
     """Import every module that self-registers queries."""
-    from .operators import extended, relational  # noqa: F401
+    from .operators import extended, quarantine, relational  # noqa: F401
     from .plans import (dashboard, incremental, poststate,  # noqa: F401
                         tpch, tpch_deep, warehouse)
     from .streaming import batch_parity  # noqa: F401
