@@ -444,7 +444,53 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+#: leading-token window for boilerplate-prefix grouping
+PREFIX_TOKENS = 12
+
+
+def prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix duplicate groups (round 4): documents that
+    share their first PREFIX_TOKENS tokens — the template/boilerplate
+    duplication shape (shared headers, scraped navigation, license
+    preambles) that full-text exact dedup misses when tails differ
+    and near-dup scoring over-matches on. Per group: size and the
+    min/max doc_id (keeper + newest member).
+
+    Scale: the prefix is md5-digested SCAN-SIDE, so the shuffle
+    carries 32-byte keys regardless of document width (same policy as
+    dup_ngram_spans); one groupBy, map-side combinable."""
+    cat = Catalog(spark, sf_dir)
+    pre = cat.documents.select(
+        "doc_id",
+        F.md5(F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"),
+                    1, PREFIX_TOKENS), " ")).alias("prefix_hash"))
+    return (
+        pre.groupBy("prefix_hash")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.min("doc_id").cast("long").alias("keeper_doc"),
+             F.max("doc_id").cast("long").alias("last_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+PREFIX_DUP_SQL = f"""
+WITH p AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(
+               string_split_regex(trim(text), '\\s+'),
+               1, {PREFIX_TOKENS}), ' ')) AS prefix_hash
+    FROM documents
+)
+SELECT prefix_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM p GROUP BY prefix_hash HAVING COUNT(*) > 1
+"""
+
+
 register("dedup_exact", dedup_exact, DEDUP_EXACT_SQL)
+register("prefix_dup_groups", prefix_dup_groups, PREFIX_DUP_SQL)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)
 register("dedup_minhash_lsh", dedup_minhash_lsh, None)
 register("dedup_simhash", dedup_simhash, None)

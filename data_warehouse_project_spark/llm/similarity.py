@@ -665,6 +665,17 @@ register("ann_ivf_cosine", ann_ivf_cosine, None)
 
 SEMDEDUP_K = 16
 
+#: L2 unit-normalization as a pure SQL expression. greatest(norm,
+#: tiny) guards the all-zero vector: without it a zero norm yields
+#: NaN features and the KMeans fit throws. A zero vector has no
+#: direction, so mapping it to the zero feature vector (its own
+#: cell) is the honest semantics.
+UNIT_NORM_EXPR = (
+    "transform(embedding, x -> cast(x as double) / "
+    "greatest(sqrt(aggregate(embedding, 0D, "
+    "(acc, v) -> acc + cast(v as double) * cast(v as double))), "
+    "1e-30D))")
+
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (public methodology:
@@ -697,11 +708,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     corpus = _planted_corpus(cat)
     unit = corpus.withColumn(
-        "features",
-        array_to_vector(F.expr(
-            "transform(embedding, x -> cast(x as double) / "
-            "sqrt(aggregate(embedding, 0D, "
-            "(acc, v) -> acc + cast(v as double) * cast(v as double))))")))
+        "features", array_to_vector(F.expr(UNIT_NORM_EXPR)))
     model = KMeans(k=SEMDEDUP_K, seed=42, featuresCol="features").fit(unit)
     cells = (model.transform(unit)
              .select("vec_id", F.lit(0).alias("band"),

@@ -107,7 +107,14 @@ _RULES_SQL = {
     "non_negative_value": "value >= 0",
     "has_user": "user_id IS NOT NULL",
     "has_ts": "ts IS NOT NULL",
-    "valid_props_json": "json_extract_string(props, '$.k') IS NOT NULL",
+    # DuckDB's json_extract_string RAISES on malformed JSON while
+    # Spark's get_json_object returns NULL — and this query plants
+    # 'not json' rows on purpose, so the extract must be guarded with
+    # json_valid to reproduce Spark's null-on-invalid semantics.
+    "valid_props_json": (
+        "CASE WHEN json_valid(props) "
+        "THEN json_extract_string(props, '$.k') END IS NOT NULL"
+    ),
 }
 
 _VIOL_SQL = " + ".join(

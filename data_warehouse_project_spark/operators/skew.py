@@ -82,3 +82,57 @@ def salted_join(
         (F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))).cast("int"))
     out = fact_salted.join(dim_salted, [key, "__salt"])
     return out.drop("__salt")
+
+
+# --------------------------------------------------------------------------
+# Driver-visible salted-aggregation query (round 4): the two-phase
+# split is algebraically exact for mergeable aggregates, so the plain
+# GROUP BY is its value-exact oracle — the driver check IS the proof
+# that salting never changes results, only the shuffle layout.
+# --------------------------------------------------------------------------
+
+def salted_agg_status(spark, sf_dir: str) -> DataFrame:
+    """Orders aggregated per o_orderstatus — a 3-distinct-value key,
+    exactly the hot-key shape salting exists for — via `salted_agg`:
+    phase 1 groups on (status, xxhash64(o_orderkey) % 16) so each hot
+    key spreads over 16 partial cells, phase 2 merges. Money sums use
+    the guard-scaled exact-long policy (compat.dsum) so the two-phase
+    re-association is bit-exact: longs are associative, doubles are
+    not."""
+    from ..functions.compat import GUARD
+    from ..sources.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    g = float(10 ** GUARD)
+    scaled = cat.orders.withColumn(
+        "__price_s",
+        F.floor(F.col("o_totalprice") * F.lit(g) + F.lit(0.5)).cast("long"))
+    out = salted_agg(
+        scaled, ["o_orderstatus"],
+        {"n_orders": "count:o_orderkey", "__total_s": "sum:__price_s"},
+        salt_col="o_orderkey", n_salts=16)
+    down = 10 ** (GUARD - 2)
+    return out.select(
+        "o_orderstatus",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        (F.floor((F.col("__total_s") + F.lit(down // 2)) / F.lit(float(down)))
+         .cast("double") / F.lit(100.0)).alias("total_price"))
+
+
+def _salted_agg_status_sql() -> str:
+    from ..functions.compat import sql_dsum
+    return f"""
+SELECT o_orderstatus,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def _register() -> None:
+    from ..registry import register
+    register("salted_agg_status", salted_agg_status,
+             _salted_agg_status_sql())
+
+
+_register()

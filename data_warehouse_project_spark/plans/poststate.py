@@ -31,11 +31,12 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.compat import fround, sql_fround
 from ..registry import register
 from ..sources.catalog import Catalog
-from ..writes import (derive_registration_status, overwrite_table,
-                      record_payment_atomic, soft_delete,
-                      with_surrogate_keys_bulk)
+from ..writes import (derive_registration_status, merge_upsert,
+                      overwrite_table, record_payment_atomic, scd2_apply,
+                      scd2_lookup, soft_delete, with_surrogate_keys_bulk)
 
 #: keys soft-deleted by the post-state query (exist at every sf:
 #: custkeys start at 0 and sf0.001 already has 150)
@@ -187,9 +188,186 @@ FROM part
 """
 
 
+def merge_upsert_post_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO driver query (round 4): the Delta-style three-way
+    MERGE (`writes.merge_upsert` — matched-update, matched-delete,
+    not-matched-insert in ONE full-outer shuffle) applied to the
+    customer dim with deterministic disjoint slices, round-tripped
+    through parquet storage, post-state returned row-exactly. Until
+    this round MERGE had only local unit-test evidence.
+
+    Slices: keys %37==3 update segment+balance; keys %53==7 delete;
+    keys %97==11 insert as new keys (+10M offset keeps the source
+    key-unique even where the mod classes overlap — delete wins via
+    a single source pass with exclusive branches)."""
+    cat = Catalog(spark, sf_dir)
+    target = cat.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+    k = F.col("c_custkey")
+    upd = (
+        target.filter((k % 37 == 3) | (k % 53 == 7))
+        .select(k.alias("c_custkey"),
+                F.lit("MERGED").alias("c_mktsegment"),
+                (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+                (k % 53 == 7).alias("do_delete"))
+    )
+    ins = (
+        target.filter(k % 97 == 11)
+        .select((k + 10_000_000).alias("c_custkey"),
+                F.lit("INSERTED").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit(False).alias("do_delete"))
+    )
+    merged = merge_upsert(
+        target, upd.unionByName(ins), keys=["c_custkey"],
+        update_cols=["c_mktsegment", "c_acctbal"],
+        delete_condition=F.col("s.do_delete"))
+    path = tempfile.mkdtemp(prefix="dwps-poststate-") + "/merged"
+    overwrite_table(spark, merged, path)
+    return spark.read.parquet(path).select(
+        "c_custkey", "c_mktsegment",
+        fround(F.col("c_acctbal"), 2).alias("acctbal_r"))
+
+
+MERGE_UPSERT_POST_STATE_SQL = f"""
+WITH src AS (
+    SELECT c_custkey, 'MERGED' AS c_mktsegment,
+           c_acctbal + 100.0 AS c_acctbal,
+           (c_custkey % 53 = 7) AS do_delete
+    FROM customer WHERE c_custkey % 37 = 3 OR c_custkey % 53 = 7
+    UNION ALL
+    SELECT c_custkey + 10000000, 'INSERTED', 0.0, FALSE
+    FROM customer WHERE c_custkey % 97 = 11
+),
+merged AS (
+    SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                ELSE t.c_mktsegment END AS c_mktsegment,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal
+    FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+               AND s.do_delete)
+)
+SELECT c_custkey, c_mktsegment,
+       {sql_fround('c_acctbal', 2)} AS acctbal_r
+FROM merged
+"""
+
+
+#: SCD2 batch timestamps (arbitrary; post-state dates, not data dates)
+SCD2_T0 = "2024-01-01 00:00:00"
+SCD2_T1 = "2024-06-01 00:00:00"
+# open-version sentinel: 2099, NOT 9999 — pandas/Arrow ns timestamps
+# (the driver's toPandas compare path) overflow beyond year 2262
+SCD2_END = "2099-12-31 00:00:00"
+
+
+def scd2_apply_post_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 driver query (round 4): `writes.scd2_apply` — close
+    changed versions, insert new ones, pass history untouched — on a
+    customer dim seeded at SCD2_T0, with an update batch exercising
+    all three paths: changed rows (keys %29==3 → segment 'MOVED'),
+    NO-OP updates (keys %31==5 resubmit their current segment — must
+    not create a version), and brand-new keys (%89==7, +5M offset).
+    Post-state = the full dim version table, value-exact."""
+    cat = Catalog(spark, sf_dir)
+    k = F.col("c_custkey")
+    dim = cat.customer.select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"),
+        F.lit(SCD2_T0).cast("timestamp_ntz").alias("valid_from"),
+        F.lit(SCD2_END).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(1).alias("is_current"))
+    changed = cat.customer.filter(k % 29 == 3).select(
+        "c_custkey", F.lit("MOVED").alias("segment"))
+    noop = cat.customer.filter((k % 31 == 5) & ~(k % 29 == 3)).select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"))
+    fresh = cat.customer.filter(k % 89 == 7).select(
+        (k + 5_000_000).alias("c_custkey"), F.lit("NEW").alias("segment"))
+    out = scd2_apply(dim, changed.unionByName(noop).unionByName(fresh),
+                     key="c_custkey", tracked_cols=["segment"],
+                     batch_ts=SCD2_T1, open_end=SCD2_END)
+    path = tempfile.mkdtemp(prefix="dwps-poststate-") + "/scd2"
+    overwrite_table(spark, out, path)
+    return spark.read.parquet(path)
+
+
+SCD2_APPLY_POST_STATE_SQL = f"""
+WITH kept AS (
+    SELECT c_custkey, c_mktsegment AS segment,
+           TIMESTAMP '{SCD2_T0}' AS valid_from,
+           CASE WHEN c_custkey % 29 = 3 THEN TIMESTAMP '{SCD2_T1}'
+                ELSE TIMESTAMP '{SCD2_END}' END AS valid_to,
+           CASE WHEN c_custkey % 29 = 3 THEN 0 ELSE 1 END AS is_current
+    FROM customer
+),
+fresh AS (
+    SELECT c_custkey, 'MOVED' AS segment,
+           TIMESTAMP '{SCD2_T1}' AS valid_from,
+           TIMESTAMP '{SCD2_END}' AS valid_to, 1 AS is_current
+    FROM customer WHERE c_custkey % 29 = 3
+    UNION ALL
+    SELECT c_custkey + 5000000, 'NEW', TIMESTAMP '{SCD2_T1}',
+           TIMESTAMP '{SCD2_END}', 1
+    FROM customer WHERE c_custkey % 89 = 7
+)
+SELECT * FROM kept UNION ALL SELECT * FROM fresh
+"""
+
+
+def scd2_lookup_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-correctness join driver query (round 4):
+    `writes.scd2_lookup` enriches each order with the customer-dim
+    version current WHEN the order was placed — an equi-join on the
+    key with the validity interval as a residual predicate (one
+    fact-sized shuffle, no range nested loop). Dim history: seeded
+    1992-01-01, segment changes to 'MOVED' for keys %29==3 at
+    1995-01-01 — the order dates straddle the change, so pre-1995
+    orders must pick up the OLD segment and later ones the new."""
+    cat = Catalog(spark, sf_dir)
+    k = F.col("c_custkey")
+    dim = cat.customer.select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
+        F.lit(SCD2_END).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(1).alias("is_current"))
+    changed = cat.customer.filter(k % 29 == 3).select(
+        "c_custkey", F.lit("MOVED").alias("segment"))
+    versioned = scd2_apply(dim, changed, key="c_custkey",
+                           tracked_cols=["segment"],
+                           batch_ts="1998-01-01 00:00:00",
+                           open_end=SCD2_END)
+    fact = cat.orders.select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderdate")
+    enriched = scd2_lookup(fact, versioned.select(
+        "c_custkey", "segment", "valid_from", "valid_to"),
+        key="c_custkey", ts_col="o_orderdate")
+    return (
+        enriched
+        .groupBy("segment", F.year("o_orderdate").alias("order_year"))
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+SCD2_LOOKUP_TEMPORAL_SQL = """
+SELECT CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                 AND c.c_custkey % 29 = 3
+            THEN 'MOVED' ELSE c.c_mktsegment END AS segment,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 register("soft_delete_post_state", soft_delete_post_state,
          SOFT_DELETE_POST_STATE_SQL)
 register("record_payment_post_state", record_payment_post_state,
          RECORD_PAYMENT_POST_STATE_SQL)
 register("surrogate_keys_bulk_post_state", surrogate_keys_bulk_post_state,
          SURROGATE_KEYS_BULK_SQL)
+register("merge_upsert_post_state", merge_upsert_post_state,
+         MERGE_UPSERT_POST_STATE_SQL)
+register("scd2_apply_post_state", scd2_apply_post_state,
+         SCD2_APPLY_POST_STATE_SQL)
+register("scd2_lookup_temporal", scd2_lookup_temporal,
+         SCD2_LOOKUP_TEMPORAL_SQL)

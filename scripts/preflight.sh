@@ -1,0 +1,12 @@
+#!/usr/bin/env bash
+# No-red-snapshot gate (adopted round 4, VERDICT r3 #3): run before
+# any end-of-round/snapshot commit. Mirrors the driver's gates
+# locally: the full pytest suite includes tests/test_registry_parity.py
+# (every registered query vs its DuckDB oracle at sf0.001), unit,
+# streaming-parity, layout, and plan-quality tests.
+#
+# Usage: scripts/preflight.sh [extra pytest args]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+python -m pytest tests/ -q "$@"
+echo "preflight green — safe to commit"

@@ -79,26 +79,30 @@ def test_crypto_roundtrip_query(spark, sf_dir):
     assert row["n_ciphertext_differs"] == row["n_cards"]
 
 
-def test_priority_window_covers_round3_rotation():
-    # the driver checks the first 50 registered queries; the round-3
-    # window must carry (a) the flagship canary, (b) the three queries
-    # never driver-checked in r1/r2, (c) every query new or changed in
-    # round 3, and (d) the relational regression canaries
+def test_priority_window_covers_round4_rotation():
+    # the driver checks the first 50 registered queries; the round-4
+    # window must carry (a) the flagship canary, (b) the fixed-oracle
+    # ingest_quarantine_report in a leading slot (its first-ever
+    # driver row — VERDICT r3 #1), (c) every query new or changed in
+    # round 4, (d) every query whose last driver check was round 1,
+    # and (e) the relational regression canaries
     from data_warehouse_project_spark import registry
     window = list(registry.queries())[:50]
     assert window[0] == "flagship_my_registrations"
+    assert window[1] == "ingest_quarantine_report"
     for name in (
-        # never-checked trio
-        "incremental_hourly_rollup", "vocab_top_terms",
-        "source_mixture_plan",
-        # new in round 3
-        "soft_delete_post_state", "record_payment_post_state",
-        "surrogate_keys_bulk_post_state", "dedup_embedding_cosine_planted",
-        "ann_lsh_multiprobe", "dup_ngram_spans", "dedup_survivors",
-        "semantic_dedup", "quality_score_linear", "corpus_manifest",
-        # changed in round 3
-        "dedup_ngram_jaccard", "dedup_embedding_cosine",
-        "dedup_clusters", "dedup_minhash_lsh",
+        # new in round 4
+        "merge_upsert_post_state", "scd2_apply_post_state",
+        "scd2_lookup_temporal", "salted_agg_status", "prefix_dup_groups",
+        # changed in round 4
+        "semantic_dedup",
+        # last driver-checked in round 1
+        "scan_filter_project", "filter_conjunctive",
+        "filter_computed_hash", "join_inner_dim", "join_fact_fact",
+        "join_semi", "join_anti", "join_cross", "agg_sum_filtered",
+        "agg_max_per_group", "agg_distinct", "agg_approx_distinct",
+        "setop_union", "setop_intersect", "q12_shipmode_priority",
+        "q13_customer_order_histogram", "q14_conditional_ratio",
         # relational canaries
         "q1_pricing_summary", "dashboard_stats", "join_left_coalesce",
         "setop_except", "agg_argmax", "point_lookup",

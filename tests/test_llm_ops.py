@@ -456,6 +456,22 @@ def test_semantic_dedup_recovers_planted_copies(spark, sf_dir):
     assert all(r["cos_sim"] == 1.0 for r in rows)
 
 
+def test_unit_norm_expr_guards_zero_vector(spark):
+    # an all-zero embedding must normalize to zeros, not NaN (the
+    # KMeans fit would throw on NaN features) — ADVICE r3
+    import math
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [3.0, 0.0, 4.0])],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["unit"] for r in df.select(
+        "vec_id",
+        F.expr(similarity.UNIT_NORM_EXPR).alias("unit")).collect()}
+    assert out[0] == [0.0, 0.0, 0.0]
+    assert all(not math.isnan(x) for x in out[0])
+    assert [round(x, 6) for x in out[1]] == [0.6, 0.0, 0.8]
+
+
 def test_quality_score_splits_corpus(spark, sf_dir):
     from data_warehouse_project_spark.llm import quality
 

@@ -228,3 +228,49 @@ def test_manifest_survivor_side_broadcasts(r3_plans):
     # the dedup-survivor table is pair-graph-sized and must broadcast
     # into the corpus-wide manifest join, never shuffle the corpus
     assert "BroadcastHashJoin" in r3_plans["corpus_manifest"]
+
+
+@pytest.fixture(scope="module")
+def r4_plans(spark, sf_dir):
+    qs = registry.queries()
+    return {name: _plan(qs[name](spark, sf_dir))
+            for name in [
+                "scd2_lookup_temporal", "salted_agg_status",
+                "prefix_dup_groups", "ingest_quarantine_report",
+            ]}
+
+
+def test_scd2_lookup_is_hash_join_not_range_loop(r4_plans):
+    # the temporal lookup joins on the equi key with the validity
+    # interval as a residual predicate — Catalyst must extract the
+    # equi-join, never fall back to a nested loop over fact×dim
+    plan = r4_plans["scd2_lookup_temporal"]
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_agg_is_two_phase(r4_plans):
+    # phase-1 groups on (key, salt), phase-2 merges: with map-side
+    # combine on both, the plan carries ≥4 HashAggregates and the
+    # salt derivation (xxhash64) appears inside the aggregation
+    plan = r4_plans["salted_agg_status"]
+    assert plan.count("HashAggregate") >= 4
+    assert "xxhash64" in plan
+
+
+def test_prefix_dedup_shuffles_digest_not_text(r4_plans):
+    # the md5 prefix digest is computed scan-side; the shuffle key is
+    # the 32-byte digest, and the raw text column must not survive
+    # past the scan projection into the exchange
+    plan = r4_plans["prefix_dup_groups"]
+    assert "md5" in plan
+    assert plan.count("HashAggregate") >= 2    # map-side combine
+    assert "hashpartitioning(prefix_hash" in plan
+    assert "hashpartitioning(text" not in plan
+
+
+def test_r4_paths_stay_jvm_side(r4_plans):
+    for name, plan in r4_plans.items():
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
