@@ -46,6 +46,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",         # LLM heavy: capped blocking + verify
     "grouping_sets_mixed",         # multi-grouping aggregation
     "dup_ngram_spans",             # exact-substring span stats (new r3)
+    "chunk_documents",             # zero-shuffle token chunking (new r4)
+    "doc_repetition_stats",        # Gopher repetition fractions (new r4)
+    "window_ntile_quartiles",      # distribution windows (new r4)
 ]
 
 

@@ -1,0 +1,188 @@
+"""Repetition signals and token-window chunking over `documents` —
+two more training-data-pipeline stages (SURVEY.md §2.11 capability
+mandate; the reference has no corpus tooling at all, ref app.py is a
+CRUD portal).
+
+`doc_repetition_stats` is the Gopher-style repetition family (Rae et
+al. 2021 §A1.1 published the recipe): a document whose mass is
+concentrated in a few repeated tokens / n-grams is boilerplate or
+spam, and the standard filters threshold on exactly these fractions.
+The corpus has no newlines (TESTDATA.md), so the line/paragraph
+variants of the family are expressed at token and bigram granularity.
+
+`chunk_documents` is the fixed-window-with-overlap chunker every
+pretraining tokenization pipeline runs before packing: split each
+document into CHUNK_TOKENS-token windows advancing by STRIDE_TOKENS
+(trailing windows may be short), one output row per chunk.
+
+Scale design (100 TB):
+- repetition stats shuffle (doc_id, small-string) pairs with map-side
+  combine — the reduction is per-document, so skew is bounded by the
+  longest single document, never by corpus-level token popularity.
+- chunking is a pure per-row explode: zero shuffle, linear in input
+  splits, and the emitted chunk carries an md5 digest + token count,
+  not necessarily the chunk body — downstream dedup/packing joins on
+  the 32-byte digest (same never-shuffle-wide-strings policy as
+  dup_ngram_spans).
+- everything is built-in Spark SQL functions; no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.compat import fround, sql_fround
+from ..registry import register
+from ..sources.catalog import Catalog
+
+
+def _tokens(cat: Catalog) -> DataFrame:
+    return cat.documents.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tokens"))
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition fractions: distinct-token ratio, the
+    fraction of tokens taken by the single most frequent token, and
+    the fraction of bigrams taken by the most frequent bigram.
+
+    Plan: explode → count per (doc, gram) → per-doc max/sum/count —
+    two map-side-combinable aggregation chains (unigram, bigram)
+    joined on doc_id. The (doc_id, gram) key keeps hot corpus-wide
+    tokens from concentrating: every document is its own key space.
+    """
+    cat = Catalog(spark, sf_dir)
+    toks = _tokens(cat)
+    uni = (
+        toks.select("doc_id", F.explode("tokens").alias("w"))
+        .groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("n_tokens"),
+             F.count("*").cast("long").alias("n_distinct"),
+             F.max("c").cast("long").alias("top_token_count"))
+    )
+    big = (
+        toks.filter(F.size("tokens") >= 2)
+        .select("doc_id", F.explode(F.expr(
+            "transform(sequence(0, size(tokens) - 2), "
+            "i -> concat(tokens[i], ' ', tokens[i + 1]))")).alias("b"))
+        .groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("n_bigrams"),
+             F.max("c").cast("long").alias("top_bigram_count"))
+    )
+    return (
+        uni.join(big, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "n_distinct",
+            fround(F.col("n_distinct") / F.col("n_tokens"), 6)
+            .alias("distinct_ratio"),
+            fround(F.col("top_token_count") / F.col("n_tokens"), 6)
+            .alias("top_token_frac"),
+            fround(F.coalesce(F.col("top_bigram_count"), F.lit(0))
+                   / F.coalesce(F.col("n_bigrams"), F.lit(1)), 6)
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
+DOC_REPETITION_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+    FROM documents
+),
+uni AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS top_token_count
+    FROM (
+        SELECT doc_id, u.w AS w, COUNT(*) AS c
+        FROM toks, LATERAL (SELECT UNNEST(tokens) AS w) u
+        GROUP BY doc_id, u.w
+    ) GROUP BY doc_id
+),
+big AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(MAX(c) AS BIGINT) AS top_bigram_count
+    FROM (
+        SELECT doc_id, u.b AS b, COUNT(*) AS c
+        FROM toks, LATERAL (
+            SELECT UNNEST(list_transform(range(1, len(tokens)),
+                   i -> tokens[i] || ' ' || tokens[i + 1])) AS b
+        ) u
+        WHERE len(tokens) >= 2
+        GROUP BY doc_id, u.b
+    ) GROUP BY doc_id
+)
+SELECT uni.doc_id, n_tokens, n_distinct,
+       {sql_fround('n_distinct / CAST(n_tokens AS DOUBLE)', 6)}
+           AS distinct_ratio,
+       {sql_fround('top_token_count / CAST(n_tokens AS DOUBLE)', 6)}
+           AS top_token_frac,
+       {sql_fround('COALESCE(top_bigram_count, 0)'
+                   ' / CAST(COALESCE(n_bigrams, 1) AS DOUBLE)', 6)}
+           AS top_bigram_frac
+FROM uni LEFT JOIN big ON uni.doc_id = big.doc_id
+"""
+
+
+#: chunk window and stride (tokens); stride < window → overlap, the
+#: standard pretraining setting so no boundary context is lost
+CHUNK_TOKENS = 64
+STRIDE_TOKENS = 48
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into CHUNK_TOKENS-token windows advancing
+    by STRIDE_TOKENS; one row per chunk with its token count and md5
+    digest. Trailing chunks are short (never empty): window starts
+    enumerate 0, STRIDE, ... while start < n_tokens.
+
+    Zero-shuffle: sequence + explode + slice are all per-row codegen
+    expressions — chunking 100 TB is exactly a full scan."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        _tokens(cat)
+        .select(
+            "doc_id", "tokens",
+            F.explode(F.expr(
+                f"sequence(0, size(tokens) - 1, {STRIDE_TOKENS})"))
+            .alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / STRIDE_TOKENS).cast("long").alias("chunk_idx"),
+            F.slice(F.col("tokens"), F.col("start") + 1, CHUNK_TOKENS)
+            .alias("chunk"))
+        .select(
+            "doc_id", "chunk_idx",
+            F.size("chunk").cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join(F.col("chunk"), " ")).alias("chunk_hash"))
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+    FROM documents
+),
+starts AS (
+    SELECT doc_id, tokens, u.start AS start
+    FROM toks, LATERAL (
+        SELECT UNNEST(range(0, len(tokens), {STRIDE_TOKENS})) AS start
+    ) u
+)
+SELECT doc_id,
+       CAST(start / {STRIDE_TOKENS} AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(tokens, start + 1, start + {CHUNK_TOKENS}))
+            AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(
+           list_slice(tokens, start + 1, start + {CHUNK_TOKENS}), ' '))
+           AS chunk_hash
+FROM starts
+"""
+
+
+register("doc_repetition_stats", doc_repetition_stats, DOC_REPETITION_SQL)
+register("chunk_documents", chunk_documents, CHUNK_DOCUMENTS_SQL)

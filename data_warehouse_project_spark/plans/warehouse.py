@@ -17,8 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.compat import (davg, dsum, dsum_over, sql_davg, sql_dsum,
-                                sql_dsum_over)
+from ..functions.compat import (davg, dsum, dsum_over, fround, sql_davg,
+                                sql_dsum, sql_dsum_over, sql_fround)
 from ..registry import register
 from ..sources.catalog import Catalog
 
@@ -183,7 +183,83 @@ FROM (
 """
 
 
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (round 4, SURVEY.md §2.5 engine surface):
+    NTILE(4) price quartiles per order status, summarized per
+    quartile with the mean percent_rank / cume_dist of its members.
+
+    Determinism policy: the window orders by (o_totalprice,
+    o_orderkey) — a unique total order, so NTILE bucket assignment is
+    identical in both engines (SQL-standard: first N mod k buckets
+    take the extra row). The per-quartile means are computed from
+    SUM(row_number) — exact integer arithmetic, one IEEE divide at
+    the end — because averaging per-row double fractions would be
+    FP-order-dependent across engines (compat.py policy).
+
+    Scale: one shuffle on o_orderstatus serves all three window
+    functions (same frame); the groupBy reuses that partitioning, so
+    the second aggregation is shuffle-free under AQE."""
+    from pyspark.sql import Window
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey")
+    wp = Window.partitionBy("o_orderstatus")
+    ranked = cat.orders.select(
+        "o_orderstatus", "o_totalprice",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count("*").over(wp).cast("long").alias("n_part"))
+    n, sum_r, n_part = F.col("n_orders"), F.col("sum_r"), F.col("n_part")
+    return (
+        ranked.groupBy("o_orderstatus", "quartile")
+        .agg(F.count("*").cast("long").alias("n_orders"),
+             F.min("o_totalprice").alias("min_price"),
+             F.max("o_totalprice").alias("max_price"),
+             F.sum("r").cast("long").alias("sum_r"),
+             F.max("n_part").alias("n_part"))
+        .select(
+            "o_orderstatus", "quartile", "n_orders", "min_price",
+            "max_price",
+            fround((sum_r - n) /
+                   (n * F.greatest(n_part - 1, F.lit(1))), 6)
+            .alias("avg_percent_rank"),
+            fround(sum_r / (n * n_part), 6).alias("avg_cume_dist"),
+        )
+    )
+
+
+WINDOW_NTILE_SQL = f"""
+WITH ranked AS (
+    SELECT o_orderstatus, o_totalprice,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS r,
+           CAST(COUNT(*) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+               AS n_part
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+),
+agg AS (
+    SELECT o_orderstatus, quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           MAX(n_part) AS n_part
+    FROM ranked GROUP BY 1, 2
+)
+SELECT o_orderstatus, quartile, n_orders, min_price, max_price,
+       {sql_fround('(sum_r - n_orders) / CAST(n_orders'
+                   ' * GREATEST(n_part - 1, 1) AS DOUBLE)', 6)}
+           AS avg_percent_rank,
+       {sql_fround('sum_r / CAST(n_orders * n_part AS DOUBLE)', 6)}
+           AS avg_cume_dist
+FROM agg
+"""
+
+
 register("star_denorm", star_denorm, STAR_DENORM_SQL)
+register("window_ntile_quartiles", window_ntile_quartiles, WINDOW_NTILE_SQL)
 register("rollup_status_priority", rollup_status_priority, ROLLUP_SQL)
 register("cube_flags", cube_flags, CUBE_SQL)
 register("grouping_sets_mixed", grouping_sets_mixed, GROUPING_SETS_SQL)

@@ -48,8 +48,8 @@ def _register_modules() -> None:
                         tpch, tpch_deep, warehouse)
     from .streaming import batch_parity  # noqa: F401
     from .llm import (clusters, dedup, manifest, multimodal,  # noqa: F401
-                      pipeline, quality, sampling, similarity, spans,
-                      textstats)
+                      pipeline, quality, repetition, sampling, similarity,
+                      spans, textstats)
     from .functions import crypto  # noqa: F401
 
 
@@ -62,16 +62,19 @@ def _register_modules() -> None:
 #:    (registered past the cap in r3 while its DuckDB oracle was
 #:    broken; oracle fixed this round with a json_valid guard —
 #:    VERDICT r3 #1);
-#: 3. the six NEW/changed round-4 queries: MERGE, SCD2 apply, SCD2
-#:    temporal lookup, salted aggregation, prefix dedup, plus
+#: 3. the nine NEW/changed round-4 queries: MERGE, SCD2 apply, SCD2
+#:    temporal lookup, salted aggregation, prefix dedup, repetition
+#:    stats, token-window chunking, NTILE quartiles, plus
 #:    semantic_dedup whose normalization gained a zero-norm guard
 #:    (ADVICE r3);
 #: 4. every query last driver-checked in ROUND 1 (17 — the oldest
 #:    coverage in the registry);
 #: 5. eight relational regression canaries (green r1+r3);
 #: 6. refreshers last checked in round 2 (the streaming family,
-#:    dedup_exact, crypto, deep TPC-H q19-q22, table_profile) fill
-#:    the window to 50.
+#:    dedup_exact, crypto, q19, table_profile) fill the window to 50;
+#:    q20-q22 sit at positions 51-53 (displaced by the three late
+#:    round-4 additions — r2-green, locally parity-guarded, rotate
+#:    back in round 5).
 #: Displaced queries (LLM text/quality families, grouping sets,
 #: windows, multimodal, remaining ANN) were driver-green in r2/r3 and
 #: are regression-guarded by tests/test_registry_parity.py's local
@@ -87,6 +90,9 @@ _PRIORITY: list[str] = [
     "scd2_lookup_temporal",
     "salted_agg_status",
     "prefix_dup_groups",
+    "doc_repetition_stats",
+    "chunk_documents",
+    "window_ntile_quartiles",
     # --- changed in round 4 (zero-norm normalization guard) ---
     "semantic_dedup",
     # --- last driver-checked in round 1 ---

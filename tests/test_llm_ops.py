@@ -505,3 +505,79 @@ def test_corpus_manifest_composition(spark, sf_dir):
         assert row["dedup_keep"] == want_dedup
         assert row["final_keep"] == (want_dedup and row["quality_keep"])
         assert row["split"] in ("train", "eval")
+
+
+def test_chunking_covers_every_token_once_per_window(spark, sf_dir):
+    # chunk starts advance by STRIDE while < n_tokens: chunk count is
+    # ceil(n/STRIDE); the last chunk is short, everything else is
+    # CHUNK_TOKENS wide; token coverage is exact
+    from data_warehouse_project_spark.llm import repetition as rep
+
+    docs = {r["doc_id"]: len(r["text"].strip().split())
+            for r in Catalog(spark, sf_dir).documents.collect()}
+    chunks = rep.chunk_documents(spark, sf_dir).collect()
+    per_doc: dict[int, list] = {}
+    for r in chunks:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == set(docs)
+    for doc_id, rows in per_doc.items():
+        n = docs[doc_id]
+        want = -(-n // rep.STRIDE_TOKENS)        # ceil
+        assert len(rows) == want, doc_id
+        rows.sort(key=lambda r: r["chunk_idx"])
+        for i, r in enumerate(rows):
+            start = i * rep.STRIDE_TOKENS
+            assert r["n_chunk_tokens"] == min(rep.CHUNK_TOKENS, n - start)
+
+
+def test_repetition_stats_on_crafted_docs(spark):
+    # a doc of one token repeated 10× vs an all-distinct doc
+    from data_warehouse_project_spark.llm.repetition import (
+        doc_repetition_stats)
+    import data_warehouse_project_spark.llm.repetition as rep
+    from unittest import mock
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["spam"] * 10)),
+         (2, "a b c d e f g h i j"),
+         (3, "x")],                              # 1 token: no bigrams
+        "doc_id long, text string")
+
+    class FakeCat:
+        def __init__(self, *a):
+            self.documents = df
+
+    with mock.patch.object(rep, "Catalog", FakeCat):
+        out = {r["doc_id"]: r
+               for r in doc_repetition_stats(spark, "ignored").collect()}
+    assert out[1]["n_tokens"] == 10 and out[1]["n_distinct"] == 1
+    assert out[1]["top_token_frac"] == 1.0
+    assert out[1]["top_bigram_frac"] == 1.0      # 'spam spam' × 9 / 9
+    assert out[2]["distinct_ratio"] == 1.0
+    assert out[2]["top_token_frac"] == 0.1
+    assert out[3]["n_tokens"] == 1 and out[3]["top_bigram_frac"] == 0.0
+
+
+def test_ntile_quartiles_partition_the_counts(spark, sf_dir):
+    from data_warehouse_project_spark.plans.warehouse import (
+        window_ntile_quartiles)
+
+    rows = window_ntile_quartiles(spark, sf_dir).collect()
+    by_status: dict[str, list] = {}
+    for r in rows:
+        by_status.setdefault(r["o_orderstatus"], []).append(r)
+    orders = Catalog(spark, sf_dir).orders
+    totals = {r["o_orderstatus"]: r["n"] for r in
+              orders.groupBy("o_orderstatus").agg(
+                  F.count("*").alias("n")).collect()}
+    for status, qs in by_status.items():
+        qs.sort(key=lambda r: r["quartile"])
+        sizes = [r["n_orders"] for r in qs]
+        assert sum(sizes) == totals[status]
+        assert max(sizes) - min(sizes) <= 1      # NTILE balance
+        # quartiles are contiguous price ranges: maxes are sorted and
+        # the mean ranks rise with the quartile
+        assert [r["min_price"] for r in qs] == sorted(
+            r["min_price"] for r in qs)
+        prs = [r["avg_percent_rank"] for r in qs]
+        assert prs == sorted(prs) and 0.0 <= prs[0] <= prs[-1] <= 1.0

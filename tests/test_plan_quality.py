@@ -237,6 +237,8 @@ def r4_plans(spark, sf_dir):
             for name in [
                 "scd2_lookup_temporal", "salted_agg_status",
                 "prefix_dup_groups", "ingest_quarantine_report",
+                "doc_repetition_stats", "chunk_documents",
+                "window_ntile_quartiles",
             ]}
 
 
@@ -268,6 +270,36 @@ def test_prefix_dedup_shuffles_digest_not_text(r4_plans):
     assert plan.count("HashAggregate") >= 2    # map-side combine
     assert "hashpartitioning(prefix_hash" in plan
     assert "hashpartitioning(text" not in plan
+
+
+def test_chunking_is_zero_shuffle(r4_plans):
+    # chunking is a pure per-row explode: the plan must be scan →
+    # generate → project with NO exchange — at 100 TB chunking is
+    # exactly one full scan, nothing else
+    plan = r4_plans["chunk_documents"]
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_repetition_stats_combine_map_side(r4_plans):
+    # both gram chains must partial-aggregate on (doc_id, gram)
+    # before the shuffle (map-side combine) and broadcast the smaller
+    # per-doc bigram side into the final join — no sort-merge join,
+    # no cartesian
+    plan = r4_plans["doc_repetition_stats"]
+    assert plan.count("HashAggregate") >= 8
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ntile_reuses_window_partitioning(r4_plans):
+    # the status-partitioned window shuffle must also serve the
+    # (status, quartile) groupBy: hash(status) clusters every
+    # (status, quartile) group, so exactly one shuffle in the plan
+    plan = r4_plans["window_ntile_quartiles"]
+    assert "Window" in plan
+    assert plan.count("hashpartitioning(o_orderstatus") <= 2  # 1 node + detail
+    assert plan.count("ENSURE_REQUIREMENTS") == 1
 
 
 def test_r4_paths_stay_jvm_side(r4_plans):
