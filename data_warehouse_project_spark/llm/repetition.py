@@ -147,8 +147,14 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tokens(cat)
         .select(
             "doc_id", "tokens",
+            # greatest(.., 1): a size-0 token array (possible if a
+            # future fixture carries a truly empty text after split
+            # semantics change) must yield ONE empty chunk, not raise —
+            # sequence(0, -1, k) errors where DuckDB range(0, 0, k)
+            # silently returns nothing (VERDICT r4 #7)
             F.explode(F.expr(
-                f"sequence(0, size(tokens) - 1, {STRIDE_TOKENS})"))
+                f"sequence(0, greatest(size(tokens), 1) - 1, "
+                f"{STRIDE_TOKENS})"))
             .alias("start"))
         .select(
             "doc_id",
@@ -170,7 +176,8 @@ WITH toks AS (
 starts AS (
     SELECT doc_id, tokens, u.start AS start
     FROM toks, LATERAL (
-        SELECT UNNEST(range(0, len(tokens), {STRIDE_TOKENS})) AS start
+        SELECT UNNEST(range(0, greatest(len(tokens), 1),
+                            {STRIDE_TOKENS})) AS start
     ) u
 )
 SELECT doc_id,

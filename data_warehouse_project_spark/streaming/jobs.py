@@ -3,9 +3,10 @@
 
 Each job is the incremental form of a batch query in
 streaming.batch_parity; tests assert batch/stream parity (§5.4).
-Sources: the parquet file source (schema mandatory for streams; ts is
-read as long nanos — same workaround as the batch catalog — and
-converted in-plan). Sinks: memory (tests) or foreachBatch→parquet.
+Sources: the parquet file source (schema mandatory for streams; the
+on-disk ts type is sniffed at plan-build time — same defensive
+dispatch as the batch catalog — and converted in-plan only when it is
+raw long nanos). Sinks: memory (tests) or foreachBatch→parquet.
 
 Scale design: watermarks bound all state; tumbling/session windows
 keyed by (window, type) / (user, session) shuffle once on their keys;
@@ -24,16 +25,36 @@ from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
 
 from ..session import tune
 
-#: on-disk schema for the streaming reader: ts as raw nanos (the
-#: parquet TIMESTAMP(NANOS) workaround, see sources.catalog)
-EVENTS_STREAM_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
+
+def events_stream_schema(ts_type) -> StructType:
+    """The file-stream read schema for events, parameterized on the
+    on-disk `ts` type (file streams require an explicit schema)."""
+    return StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", ts_type),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+
+
+def sniff_events_ts_type(spark: SparkSession, src: str):
+    """Sniff how Spark reads the on-disk `ts` column of an events
+    parquet file — the stream-side twin of the batch catalog's
+    defensive dispatch (sources.catalog.load_table).
+
+    Returns ``(data_type, needs_nanos_convert)``. A one-time
+    footer-schema read at plan-build time (no data scan): with
+    ``nanosAsLong`` set, TIMESTAMP(NANOS) columns surface as `long`
+    (convert in-plan, lossless at µs granularity); TIMESTAMP(MICROS)
+    columns surface as timestamp/timestamp_ntz and need no conversion.
+    Hard-coding either branch breaks when the producer's physical
+    encoding changes — which is exactly what a long-lived streaming
+    job must survive.
+    """
+    disk_type = spark.read.parquet(src).schema["ts"].dataType
+    return disk_type, disk_type.typeName() == "long"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,9 +71,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events-000.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(stage)
-    return raw.withColumn(
-        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+    ts_type, needs_convert = sniff_events_ts_type(spark, src)
+    raw = spark.readStream.schema(events_stream_schema(ts_type)).parquet(stage)
+    if needs_convert:
+        # raw long nanos → µs-granular TimestampType (lossless)
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type.typeName() == "timestamp_ntz":
+        # watermarks require TIMESTAMP, not NTZ; the session tz is
+        # pinned to UTC (session.tune) so the cast is value-preserving
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_hourly(events: DataFrame) -> DataFrame:

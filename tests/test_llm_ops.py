@@ -558,6 +558,47 @@ def test_repetition_stats_on_crafted_docs(spark):
     assert out[3]["n_tokens"] == 1 and out[3]["top_bigram_frac"] == 0.0
 
 
+def test_chunking_empty_text_row_both_engines(spark):
+    # VERDICT r4 #7: a whitespace-only/empty document must yield ONE
+    # empty chunk on BOTH engines (Spark's split gives [''], and the
+    # greatest(size,1) guard keeps sequence() from raising if a future
+    # split semantics change ever yields a size-0 array)
+    from unittest import mock
+
+    import duckdb
+    import pandas as pd
+
+    import data_warehouse_project_spark.llm.repetition as rep
+
+    docs = [(1, ""), (2, "   "), (3, "a b c")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    class FakeCat:
+        def __init__(self, *a):
+            self.documents = df
+
+    with mock.patch.object(rep, "Catalog", FakeCat):
+        got = sorted(
+            (r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"],
+             r["chunk_hash"])
+            for r in rep.chunk_documents(spark, "ignored").collect())
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs,
+                                           columns=["doc_id", "text"]))
+    want = sorted(map(tuple, con.execute(
+        rep.CHUNK_DOCUMENTS_SQL).fetchall()))
+    assert got == want
+    assert [g[:3] for g in got if g[0] in (1, 2)] \
+        == [(1, 0, 1), (2, 0, 1)]                # one 1-token chunk each
+
+    # the size-0 guard itself: sequence must not raise on an empty array
+    one = spark.sql(
+        f"SELECT sequence(0, greatest(size(array()), 1) - 1, "
+        f"{rep.STRIDE_TOKENS}) AS s").collect()[0]["s"]
+    assert one == [0]
+
+
 def test_ntile_quartiles_partition_the_counts(spark, sf_dir):
     from data_warehouse_project_spark.plans.warehouse import (
         window_ntile_quartiles)
