@@ -49,6 +49,8 @@ HEADLINE = [
     "chunk_documents",             # zero-shuffle token chunking (new r4)
     "doc_repetition_stats",        # Gopher repetition fractions (new r4)
     "window_ntile_quartiles",      # distribution windows (new r4)
+    "dup_ngram_char_fracs",        # Gopher dup-char fractions (new r5)
+    "length_band_filter",          # histogram exact percentiles (new r5)
 ]
 
 

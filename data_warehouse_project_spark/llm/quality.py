@@ -467,3 +467,123 @@ FROM sig s JOIN lens USING (doc_id)
 """
 
 register("quality_score_linear", quality_score_linear, QUALITY_SCORE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Exact-percentile length band filter
+# --------------------------------------------------------------------------
+
+#: band bounds: drop the shortest 5% and longest 5% of documents
+BAND_LO_PCT = 0.05
+BAND_HI_PCT = 0.95
+
+
+def length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents whose n_chars lies within the exact
+    [p05, p95] length band — the standard outlier-length filter every
+    corpus pipeline applies before quality scoring.
+
+    Exact discrete percentiles, cross-engine deterministic: the pXX
+    threshold is the smallest length L whose cumulative doc count
+    reaches ceil(pct * n_docs) (quantile_disc semantics, spelled out
+    as identical integer math in both engines rather than trusting
+    each engine's quantile tie-breaking).
+
+    Scale design (100 TB): the naive plan globally sorts every doc by
+    length; this one aggregates to a length HISTOGRAM first (distinct
+    n_chars values — a few thousand rows no matter how many docs), so
+    the only single-partition window runs over the tiny histogram and
+    the thresholds broadcast back to the corpus scan. One shuffle
+    (histogram groupBy); the filter itself is scan-local.
+    """
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    hist = docs.groupBy("n_chars").agg(F.count("*").alias("c"))
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "n_chars", F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n_docs"))
+    bounds = cum.groupBy().agg(
+        F.min(F.when(
+            F.col("cum") >= F.ceil(F.lit(BAND_LO_PCT) * F.col("n_docs")),
+            F.col("n_chars"))).alias("lo"),
+        F.min(F.when(
+            F.col("cum") >= F.ceil(F.lit(BAND_HI_PCT) * F.col("n_docs")),
+            F.col("n_chars"))).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds))
+        .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .select("doc_id", "n_chars", "source")
+    )
+
+
+LENGTH_BAND_SQL = f"""
+WITH hist AS (
+    SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY n_chars
+),
+cum AS (
+    SELECT n_chars,
+           SUM(c) OVER (ORDER BY n_chars) AS cum,
+           SUM(c) OVER () AS n_docs
+    FROM hist
+),
+bounds AS (
+    SELECT
+        MIN(CASE WHEN cum >= CEIL({BAND_LO_PCT} * n_docs)
+                 THEN n_chars END) AS lo,
+        MIN(CASE WHEN cum >= CEIL({BAND_HI_PCT} * n_docs)
+                 THEN n_chars END) AS hi
+    FROM cum
+)
+SELECT d.doc_id, d.n_chars, d.source
+FROM documents d, bounds b
+WHERE d.n_chars BETWEEN b.lo AND b.hi
+"""
+
+register("length_band_filter", length_band_filter, LENGTH_BAND_SQL)
+
+
+# --------------------------------------------------------------------------
+# Sketch-based heavy hitters
+# --------------------------------------------------------------------------
+
+#: max items each partial sketch tracks — bounds executor memory
+#: regardless of vocabulary size (the scale knob)
+SKETCH_MAX_ITEMS = 100_000
+
+
+def vocab_top_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter vocabulary via Spark's `approx_top_k` frequency
+    sketch — the sublinear-state twin of the exact `vocab_top_terms`.
+
+    Scale design (100 TB): the exact path shuffles one (term, count)
+    pair per distinct term — fine until the vocabulary itself is huge
+    (web-scale corpora: 1e9+ distinct tokens). The sketch path keeps a
+    bounded `SKETCH_MAX_ITEMS`-entry summary per partial aggregate and
+    merges summaries, so shuffle volume is O(partitions × sketch),
+    independent of vocabulary size. Estimated counts are exact
+    whenever a partial's distinct-token count fits the sketch (true
+    for the driver fixtures — pinned by a unit test against the exact
+    vocabulary); at true web scale they are the documented
+    approximation every frequency-sketch pipeline accepts.
+
+    Rows-only by design: sketch internals (merge order, tie handling)
+    are engine-defined, and DuckDB has no approx_top_k analog.
+    """
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+    sk = toks.agg(F.expr(
+        f"approx_top_k(term, {VOCAB_TOP_K}, {SKETCH_MAX_ITEMS})"
+    ).alias("top"))
+    return (
+        sk.select(F.explode("top").alias("e"))
+        .select(F.col("e.item").alias("term"),
+                F.col("e.count").cast("long").alias("est_occurrences"))
+        .orderBy(F.col("est_occurrences").desc(), F.col("term"))
+    )
+
+
+register("vocab_top_terms_sketch", vocab_top_terms_sketch, None)

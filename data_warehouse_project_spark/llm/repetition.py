@@ -191,5 +191,86 @@ FROM starts
 """
 
 
+def dup_ngram_char_fracs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram character fractions — the remaining half of the
+    Gopher repetition family (Rae et al. 2021 §A1.1 measure, for
+    n=2..4, the fraction of *characters* inside duplicated n-grams;
+    doc_repetition_stats covers the top-gram fractions).
+
+    Deterministic cross-engine definition: an n-gram occurrence is
+    "duplicated" when its gram appears ≥ 2 times in the document; the
+    fraction is (char mass of duplicated occurrences) / (char mass of
+    all occurrences), where an occurrence's char mass is the length of
+    the space-joined gram. Documents with < n tokens score 0.0.
+
+    Plan: two explode → (doc_id, gram) count → per-doc sum chains
+    (n=2, n=5) joined on doc_id — map-side combinable throughout, and
+    the (doc_id, gram) key bounds skew to the longest single document
+    exactly like doc_repetition_stats. No Python anywhere.
+    """
+    cat = Catalog(spark, sf_dir)
+    toks = _tokens(cat)
+
+    def chain(n: int, out: str) -> DataFrame:
+        grams = toks.filter(F.size("tokens") >= n).select(
+            "doc_id",
+            F.explode(F.expr(
+                f"transform(sequence(0, size(tokens) - {n}), i -> "
+                f"array_join(slice(tokens, i + 1, {n}), ' '))")).alias("g"))
+        return (
+            grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(fround(
+                F.sum(F.when(F.col("c") >= 2,
+                             F.col("c") * F.length("g")).otherwise(0))
+                / F.sum(F.col("c") * F.length("g")), 6).alias(out))
+        )
+    return (
+        cat.documents.select("doc_id")
+        .join(chain(2, "dup_2gram_char_frac"), "doc_id", "left")
+        .join(chain(5, "dup_5gram_char_frac"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_2gram_char_frac", F.lit(0.0))
+            .alias("dup_2gram_char_frac"),
+            F.coalesce("dup_5gram_char_frac", F.lit(0.0))
+            .alias("dup_5gram_char_frac"),
+        )
+    )
+
+
+def _dup_chain_sql(n: int, out: str) -> str:
+    return f"""
+    SELECT doc_id,
+           {sql_fround('SUM(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)'
+                       ' / CAST(SUM(c * length(g)) AS DOUBLE)', 6)} AS {out}
+    FROM (
+        SELECT doc_id, u.g AS g, COUNT(*) AS c
+        FROM toks, LATERAL (
+            SELECT UNNEST(list_transform(range(0, len(tokens) - {n} + 1),
+                   i -> array_to_string(tokens[i + 1 : i + {n}], ' '))) AS g
+        ) u
+        WHERE len(tokens) >= {n}
+        GROUP BY doc_id, u.g
+    ) GROUP BY doc_id"""
+
+
+DUP_NGRAM_CHAR_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+    FROM documents
+),
+c2 AS ({_dup_chain_sql(2, 'f2')}),
+c5 AS ({_dup_chain_sql(5, 'f5')})
+SELECT d.doc_id,
+       COALESCE(f2, 0.0) AS dup_2gram_char_frac,
+       COALESCE(f5, 0.0) AS dup_5gram_char_frac
+FROM documents d
+LEFT JOIN c2 ON d.doc_id = c2.doc_id
+LEFT JOIN c5 ON d.doc_id = c5.doc_id
+"""
+
+
 register("doc_repetition_stats", doc_repetition_stats, DOC_REPETITION_SQL)
 register("chunk_documents", chunk_documents, CHUNK_DOCUMENTS_SQL)
+register("dup_ngram_char_fracs", dup_ngram_char_fracs, DUP_NGRAM_CHAR_SQL)

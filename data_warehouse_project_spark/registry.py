@@ -67,11 +67,12 @@ def _register_modules() -> None:
 #:    canaries: their shared helpers (compat rounding, Catalog, the
 #:    repetition module that round 5's chunk guard touches) changed
 #:    this round;
-#: 4. eight round-3 refreshers: the three queries whose standing-
+#: 4. the two round-5-new queries (dup-ngram char fractions, length
+#:    band filter) — never driver-checked;
+#: 5. six round-3 refreshers: the three queries whose standing-
 #:    baseline readings were elevated on the regenerated testdata
-#:    (q6/q10/asof — fresh rows against the re-baselined table),
-#:    the quarantine sibling data_quality_filter, and the write-path
-#:    post-state family.
+#:    (q6/q10/asof — fresh rows against the re-baselined table) and
+#:    the write-path post-state family.
 #: Displaced queries (r3/r4-green relational + streaming + deep
 #: TPC-H) are regression-guarded by tests/test_registry_parity.py's
 #: local DuckDB oracle on every pytest run; they rotate back in
@@ -125,15 +126,21 @@ _PRIORITY: list[str] = [
     "chunk_documents",
     "window_ntile_quartiles",
     "semantic_dedup",
+    # --- NEW in round 5 (never driver-checked) ---
+    "dup_ngram_char_fracs",
+    "length_band_filter",
+    "vocab_top_terms_sketch",
     # --- round-3 refreshers: re-baselined perf trio + write path ---
     "q6_forecast_revenue",
     "q10_returned_items",
     "asof_latest_click",
-    "data_quality_filter",
-    "agg_count_per_group",
     "soft_delete_post_state",
     "record_payment_post_state",
+    # positions 51+: displaced to round 6 (r3-green, locally
+    # parity-guarded every pytest run)
     "surrogate_keys_bulk_post_state",
+    "data_quality_filter",
+    "agg_count_per_group",
 ]
 
 

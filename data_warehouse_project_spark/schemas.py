@@ -89,9 +89,11 @@ LINEITEM = StructType([
     StructField("l_shipdate", TimestampNTZType()),
 ])
 
-#: events.ts is TIMESTAMP(NANOS) on disk; the catalog reads it as long
-#: nanos (legacy conf) and converts to TimestampNTZType — this is the
-#: post-load logical schema the rest of the engine sees.
+#: events.ts physical encoding has varied across driver testdata
+#: regenerations (TIMESTAMP(NANOS) through round 4, TIMESTAMP(MICROS)
+#: since); the catalog sniffs the on-disk type and normalizes to
+#: TimestampNTZType — this is the post-load logical schema the rest
+#: of the engine sees regardless of encoding.
 EVENTS = StructType([
     StructField("event_id", LongType()),
     StructField("ts", TimestampNTZType()),

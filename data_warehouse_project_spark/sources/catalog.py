@@ -112,14 +112,20 @@ def load_table_jdbc(spark: SparkSession, name: str, **kw) -> DataFrame:
             f"JDBC table {name!r} missing expected columns {sorted(missing)}")
     return df.select(*expected)
 
-#: Table whose on-disk ts is TIMESTAMP(NANOS): read nanos as long, then
-#: convert (data is µs-granular, so `div 1000` is lossless — verified
-#: against the DuckDB read of the same files).
-_NANOS_TS_TABLES = {"events": "ts"}
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table as a DataFrame with its canonical schema.
+
+    Every DECLARED timestamp column (schemas.STAR_TABLES) is
+    type-sniffed against the on-disk read type and normalized — the
+    driver has regenerated the testdata with a different physical
+    encoding mid-project once already (events.ts TIMESTAMP(NANOS) →
+    TIMESTAMP(MICROS) after round 4), so the dispatch is generic, not
+    a per-table special case:
+    - on-disk long (TIMESTAMP(NANOS) under the nanosAsLong conf) →
+      `timestamp_micros(x div 1000)` (lossless: data is µs-granular);
+    - on-disk timestamp vs declared ntz (or vice versa) → cast, which
+      is value-preserving under the UTC-pinned session tz;
+    - matching type → passthrough.
 
     If $DWPS_JDBC_URL is set the table loads over JDBC instead (the
     reference's live-MySQL source, ref db.py:42-48)."""
@@ -128,13 +134,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return load_table_jdbc(spark, name)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    ns_col = _NANOS_TS_TABLES.get(name)
-    if ns_col is not None and df.schema[ns_col].dataType.typeName() == "long":
-        df = df.withColumn(
-            ns_col,
-            F.expr(f"cast(timestamp_micros({ns_col} div 1000) as timestamp_ntz)"),
-        )
-        # keep the on-disk column order
+    changed = False
+    for field in schemas.STAR_TABLES[name].fields:
+        want = field.dataType.typeName()
+        if want not in ("timestamp", "timestamp_ntz"):
+            continue
+        got = df.schema[field.name].dataType.typeName()
+        if got == "long":
+            df = df.withColumn(field.name, F.expr(
+                f"cast(timestamp_micros({field.name} div 1000) as {want})"))
+            changed = True
+        elif got != want and got in ("timestamp", "timestamp_ntz"):
+            df = df.withColumn(field.name, F.col(field.name).cast(want))
+            changed = True
+    if changed:
+        # keep the declared column order
         df = df.select(*[f.name for f in schemas.STAR_TABLES[name].fields])
     return df
 

@@ -102,6 +102,48 @@ def test_orc_source_roundtrip(spark, sf_dir, tmp_path):
         sorted(r["n_nationkey"] for r in nation.collect())
 
 
+def test_catalog_normalizes_every_ts_encoding(spark, sf_dir, tmp_path):
+    """The catalog's generic timestamp dispatch: the same events data
+    written as TIMESTAMP(NANOS) (reads as long under nanosAsLong),
+    TIMESTAMP(MICROS) ntz, and TIMESTAMP(MICROS) tz-adjusted must all
+    load to the identical TimestampNTZType values — the driver has
+    already flipped the physical encoding once mid-project."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_project_spark.sources.catalog import load_table
+
+    base_us = 1_700_000_000_000_000
+    us_vals = [base_us + i * 60_000_000 for i in range(3)]
+
+    def write_events(d, ts_arr):
+        d.mkdir()
+        pq.write_table(pa.table({
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": ts_arr,
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "event_type": pa.array(["click", "view", "click"]),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }), str(d / "events.parquet"), version="2.6")
+
+    write_events(tmp_path / "nanos",
+                 pa.array([v * 1000 for v in us_vals], pa.timestamp("ns")))
+    write_events(tmp_path / "micros",
+                 pa.array(us_vals, pa.timestamp("us")))
+    write_events(tmp_path / "micros_utc",
+                 pa.array(us_vals, pa.timestamp("us", tz="UTC")))
+
+    results = {}
+    for enc in ("nanos", "micros", "micros_utc"):
+        df = load_table(spark, str(tmp_path / enc), "events")
+        assert df.schema["ts"].dataType.typeName() == "timestamp_ntz", enc
+        results[enc] = [r["ts"] for r in
+                        df.orderBy("event_id").collect()]
+    assert results["nanos"] == results["micros"] == results["micros_utc"]
+    assert results["micros"][0].year >= 2000
+
+
 def test_cache_release_frees_all_storage(spark, sf_dir):
     """Back-to-back registry queries on one session must not
     accumulate pinned storage once release_all() runs (VERDICT r2:

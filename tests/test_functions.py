@@ -79,34 +79,35 @@ def test_crypto_roundtrip_query(spark, sf_dir):
     assert row["n_ciphertext_differs"] == row["n_cards"]
 
 
-def test_priority_window_covers_round4_rotation():
-    # the driver checks the first 50 registered queries; the round-4
-    # window must carry (a) the flagship canary, (b) the fixed-oracle
-    # ingest_quarantine_report in a leading slot (its first-ever
-    # driver row — VERDICT r3 #1), (c) every query new or changed in
-    # round 4, (d) every query whose last driver check was round 1,
-    # and (e) the relational regression canaries
+def test_priority_window_covers_round5_rotation():
+    # the driver checks the first 50 registered queries; the round-5
+    # window must carry (a) the flagship canary, (b) every query
+    # whose last driver row was round 2 (the oldest coverage — 31
+    # queries), (c) the round-4-new/changed regression canaries, and
+    # (d) the round-5-new queries (never driver-checked)
     from data_warehouse_project_spark import registry
     window = list(registry.queries())[:50]
     assert window[0] == "flagship_my_registrations"
-    assert window[1] == "ingest_quarantine_report"
     for name in (
-        # new in round 4
-        "merge_upsert_post_state", "scd2_apply_post_state",
-        "scd2_lookup_temporal", "salted_agg_status", "prefix_dup_groups",
-        # changed in round 4
-        "semantic_dedup",
-        # last driver-checked in round 1
-        "scan_filter_project", "filter_conjunctive",
-        "filter_computed_hash", "join_inner_dim", "join_fact_fact",
-        "join_semi", "join_anti", "join_cross", "agg_sum_filtered",
-        "agg_max_per_group", "agg_distinct", "agg_approx_distinct",
-        "setop_union", "setop_intersect", "q12_shipmode_priority",
-        "q13_customer_order_histogram", "q14_conditional_ratio",
-        # relational canaries
-        "q1_pricing_summary", "dashboard_stats", "join_left_coalesce",
-        "setop_except", "agg_argmax", "point_lookup",
-        "sort_limit_topk", "scalar_functions",
+        # last driver-checked in round 2 (spot checks per family)
+        "q20_heavy_shippers", "q21_sole_late_supplier",
+        "q22_dormant_customers", "star_denorm", "rollup_status_priority",
+        "cube_flags", "grouping_sets_mixed", "window_running_totals",
+        "top_k_per_group", "dedup_simhash", "gopher_quality_flags",
+        "pii_scrub", "tfidf_top_terms", "train_test_split",
+        "stratified_sample", "pack_sequences", "decontaminate_report",
+        "text_quality", "lang_id_heuristic", "token_count_bpe_ish",
+        "doc_fingerprint", "bigram_lm_counts", "multimodal_features",
+        "multimodal_meta_stats", "multimodal_frame_sample",
+        "knn_brute_cosine", "knn_batch_cosine", "centroid_per_label",
+        "ann_lsh_cosine", "ann_ivf_cosine", "embedding_dup_exact",
+        # round-4 canaries
+        "ingest_quarantine_report", "merge_upsert_post_state",
+        "scd2_apply_post_state", "scd2_lookup_temporal",
+        "salted_agg_status", "prefix_dup_groups", "doc_repetition_stats",
+        "chunk_documents", "window_ntile_quartiles", "semantic_dedup",
+        # new in round 5
+        "dup_ngram_char_fracs", "length_band_filter",
     ):
         assert name in window, name
 

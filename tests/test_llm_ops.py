@@ -599,6 +599,82 @@ def test_chunking_empty_text_row_both_engines(spark):
     assert one == [0]
 
 
+def test_dup_ngram_char_fracs_on_crafted_docs(spark):
+    # all-repeated doc → every bigram duplicated (frac 1.0); an
+    # all-distinct doc → 0.0; a short doc (< 5 tokens) → 5-gram frac
+    # 0.0 by definition
+    from unittest import mock
+
+    import data_warehouse_project_spark.llm.repetition as rep
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["spam"] * 10)),
+         (2, "a b c d e f g h i j"),
+         (3, "x y z"),
+         (4, "u v u v u v u v u v")],            # period-2 repetition
+        "doc_id long, text string")
+
+    class FakeCat:
+        def __init__(self, *a):
+            self.documents = df
+
+    with mock.patch.object(rep, "Catalog", FakeCat):
+        out = {r["doc_id"]: r for r in
+               rep.dup_ngram_char_fracs(spark, "ignored").collect()}
+    assert out[1]["dup_2gram_char_frac"] == 1.0
+    assert out[1]["dup_5gram_char_frac"] == 1.0
+    assert out[2]["dup_2gram_char_frac"] == 0.0
+    assert out[2]["dup_5gram_char_frac"] == 0.0
+    assert out[3]["dup_5gram_char_frac"] == 0.0  # too short for 5-grams
+    assert out[4]["dup_2gram_char_frac"] == 1.0  # 'u v'×5 + 'v u'×4 dup
+
+
+def test_length_band_filter_exact_percentile_bounds(spark, sf_dir):
+    # thresholds must be the quantile_disc values: smallest length
+    # whose cumulative count reaches ceil(pct * n) — recompute in
+    # plain Python over the real corpus and compare survivors
+    import math
+
+    from data_warehouse_project_spark.llm.quality import (
+        BAND_HI_PCT, BAND_LO_PCT, length_band_filter)
+
+    lens = sorted(r["n_chars"] for r in
+                  Catalog(spark, sf_dir).documents.collect())
+    n = len(lens)
+    lo = lens[math.ceil(BAND_LO_PCT * n) - 1]
+    hi = lens[math.ceil(BAND_HI_PCT * n) - 1]
+    want = {r_id for r_id, nc in
+            ((r["doc_id"], r["n_chars"]) for r in
+             Catalog(spark, sf_dir).documents.collect())
+            if lo <= nc <= hi}
+    got = {r["doc_id"] for r in length_band_filter(spark, sf_dir).collect()}
+    assert got == want
+    assert 0 < len(got) < n                      # both tails trimmed
+
+
+def test_vocab_sketch_matches_exact_on_fixture(spark, sf_dir):
+    # with the sketch sized far above the fixture's distinct-token
+    # count, approx_top_k is exact — every (term, count) the sketch
+    # reports must equal the exact vocabulary's, and the top-K count
+    # multiset must match exactly (term ties at the boundary may pick
+    # different members, hence multiset on counts, exact on mapping)
+    from data_warehouse_project_spark.llm.quality import (
+        VOCAB_TOP_K, vocab_top_terms, vocab_top_terms_sketch)
+
+    sketch = {r["term"]: r["est_occurrences"] for r in
+              vocab_top_terms_sketch(spark, sf_dir).collect()}
+    exact_all = {r["term"]: r["n_occurrences"] for r in
+                 vocab_top_terms(spark, sf_dir).collect()}
+    # the synthetic fixture vocabulary may be smaller than K — both
+    # paths then return the whole vocabulary
+    assert len(sketch) == len(exact_all) <= VOCAB_TOP_K
+    exact_counts = sorted(exact_all.values(), reverse=True)
+    assert sorted(sketch.values(), reverse=True) == exact_counts
+    for term, c in sketch.items():
+        if term in exact_all:
+            assert exact_all[term] == c
+
+
 def test_ntile_quartiles_partition_the_counts(spark, sf_dir):
     from data_warehouse_project_spark.plans.warehouse import (
         window_ntile_quartiles)

@@ -306,3 +306,41 @@ def test_r4_paths_stay_jvm_side(r4_plans):
     for name, plan in r4_plans.items():
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+@pytest.fixture(scope="module")
+def r5_plans(spark, sf_dir):
+    qs = registry.queries()
+    return {name: _plan(qs[name](spark, sf_dir))
+            for name in ["dup_ngram_char_fracs", "length_band_filter"]}
+
+
+def test_dup_ngram_chains_combine_map_side(r5_plans):
+    # both n-gram chains (n=2, n=5) partial-aggregate on
+    # (doc_id, gram) before shuffling, and the per-doc results join
+    # back by broadcast — no cartesian, no sort-merge over the corpus
+    plan = r5_plans["dup_ngram_char_fracs"]
+    assert plan.count("HashAggregate") >= 8
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_length_band_windows_over_histogram_only(r5_plans):
+    # the single-partition window must consume the length HISTOGRAM
+    # (post-aggregation), never the raw corpus: a HashAggregate feeds
+    # the SinglePartition exchange, and the one-row bounds attach to
+    # the corpus scan by broadcast nested loop (scalar attach), not a
+    # shuffled join
+    plan = r5_plans["length_band_filter"]
+    assert "Window" in plan
+    assert "SinglePartition" in plan
+    pre_window = plan.split("Window")[0]
+    assert "HashAggregate" in pre_window       # histogram before window
+    assert "BroadcastNestedLoopJoin" in plan   # one-row bounds attach
+    assert "CartesianProduct" not in plan
+
+
+def test_r5_paths_stay_jvm_side(r5_plans):
+    for name, plan in r5_plans.items():
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
