@@ -51,6 +51,7 @@ HEADLINE = [
     "window_ntile_quartiles",      # distribution windows (new r4)
     "dup_ngram_char_fracs",        # Gopher dup-char fractions (new r5)
     "length_band_filter",          # histogram exact percentiles (new r5)
+    "corpus_refinery_report",      # band∘repetition∘dedup funnel (new r5)
 ]
 
 

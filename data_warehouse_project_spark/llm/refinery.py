@@ -1,0 +1,164 @@
+"""End-to-end corpus refinery funnel — the round-5 signals composed
+into one oracle-checked pipeline (SURVEY.md §2.11 capability mandate;
+the reference has no corpus tooling, ref app.py is a CRUD portal).
+
+`corpus_refinery_report` chains, per source:
+  documents → exact [p05,p95] length band (quality.length_band_filter)
+            → duplicate-bigram repetition filter
+              (repetition.dup_ngram_char_fracs ≤ MAX_DUP_2GRAM)
+            → exact content dedup (normalized-text md5, keep min doc_id)
+            → per-source funnel counts + retention rate.
+
+Like `corpus_manifest` (dedup ∘ quality ∘ split), the value is the
+END-TO-END oracle: every stage is deterministic, so the whole funnel
+hash-matches a DuckDB twin — evidence the composed plan, not just each
+stage, is correct.
+
+Scale design (100 TB): the band bounds broadcast (histogram-sized
+single-partition window, see quality.length_band_filter); the
+repetition chain keys on (doc_id, gram) so skew is bounded by the
+longest document; the dedup shuffle carries 16-byte md5 fingerprints,
+never text; the final report aggregates on `source` (small domain).
+No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.compat import fround, sql_fround
+from ..registry import register
+from ..sources.catalog import Catalog
+# constants come from the LEAF params module — importing them from
+# .quality/.repetition at module top would break when those modules
+# are themselves mid-import (registry._register_modules circularity)
+from .params import BAND_HI_PCT, BAND_LO_PCT, MAX_DUP_2GRAM
+
+
+def corpus_refinery_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source funnel: docs_in → docs_band → docs_clean →
+    docs_unique, with the end-to-end retention rate."""
+    # deferred sibling imports (see the module-top comment)
+    from .quality import length_band_filter
+    from .repetition import _tokens, dup_char_frac_chain
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+
+    band = length_band_filter(spark, sf_dir)          # doc_id, n_chars, source
+    # only the n=2 chain — paying for the 5-gram chain here would
+    # double the repetition cost for a signal the filter never reads
+    dupf2 = dup_char_frac_chain(_tokens(cat), 2, "f2")
+    clean = (
+        band.join(dupf2, "doc_id", "left")
+        .filter(F.coalesce("f2", F.lit(0.0)) <= MAX_DUP_2GRAM)
+        .select("doc_id", "source")
+    )
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")),
+                                       r"\s+", " "))).alias("fp"))
+    survivors = (
+        clean.join(fp, "doc_id")
+        .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count("*").cast("long").alias(out))
+
+    return (
+        counts(docs, "docs_in")
+        .join(counts(band, "docs_band"), "source", "left")
+        .join(counts(clean, "docs_clean"), "source", "left")
+        .join(counts(survivors, "docs_unique"), "source", "left")
+        .select(
+            "source",
+            "docs_in",
+            F.coalesce("docs_band", F.lit(0)).alias("docs_band"),
+            F.coalesce("docs_clean", F.lit(0)).alias("docs_clean"),
+            F.coalesce("docs_unique", F.lit(0)).alias("docs_unique"),
+            fround(F.coalesce("docs_unique", F.lit(0))
+                   / F.col("docs_in"), 6).alias("retention"),
+        )
+        .orderBy("source")
+    )
+
+
+REFINERY_SQL = f"""
+WITH hist AS (
+    SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY n_chars
+),
+cum AS (
+    SELECT n_chars, SUM(c) OVER (ORDER BY n_chars) AS cum,
+           SUM(c) OVER () AS n_docs
+    FROM hist
+),
+bounds AS (
+    SELECT MIN(CASE WHEN cum >= CEIL({BAND_LO_PCT} * n_docs)
+                    THEN n_chars END) AS lo,
+           MIN(CASE WHEN cum >= CEIL({BAND_HI_PCT} * n_docs)
+                    THEN n_chars END) AS hi
+    FROM cum
+),
+band AS (
+    SELECT d.doc_id, d.source FROM documents d, bounds b
+    WHERE d.n_chars BETWEEN b.lo AND b.hi
+),
+toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+    FROM documents
+),
+dup2 AS (
+    SELECT doc_id,
+           {sql_fround('SUM(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)'
+                       ' / CAST(SUM(c * length(g)) AS DOUBLE)', 6)} AS f2
+    FROM (
+        SELECT doc_id, u.g AS g, COUNT(*) AS c
+        FROM toks, LATERAL (
+            SELECT UNNEST(list_transform(range(0, len(tokens) - 1),
+                   i -> array_to_string(tokens[i + 1 : i + 2], ' '))) AS g
+        ) u
+        WHERE len(tokens) >= 2
+        GROUP BY doc_id, u.g
+    ) GROUP BY doc_id
+),
+clean AS (
+    SELECT band.doc_id, band.source
+    FROM band LEFT JOIN dup2 ON band.doc_id = dup2.doc_id
+    WHERE COALESCE(f2, 0.0) <= {MAX_DUP_2GRAM}
+),
+fp AS (
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+),
+survivors AS (
+    SELECT s.doc_id, d.source
+    FROM (SELECT MIN(clean.doc_id) AS doc_id
+          FROM clean JOIN fp ON clean.doc_id = fp.doc_id
+          GROUP BY fp.fp) s
+    JOIN documents d ON s.doc_id = d.doc_id
+),
+per AS (
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_in
+    FROM documents d GROUP BY d.source
+)
+SELECT per.source, per.docs_in,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS docs_band,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS docs_clean,
+       CAST(COALESCE(u.n, 0) AS BIGINT) AS docs_unique,
+       {sql_fround('COALESCE(u.n, 0) / CAST(per.docs_in AS DOUBLE)', 6)}
+           AS retention
+FROM per
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM band GROUP BY source) b
+       ON per.source = b.source
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM clean GROUP BY source) c
+       ON per.source = c.source
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM survivors GROUP BY source) u
+       ON per.source = u.source
+ORDER BY per.source
+"""
+
+register("corpus_refinery_report", corpus_refinery_report, REFINERY_SQL)

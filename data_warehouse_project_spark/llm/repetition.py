@@ -191,6 +191,28 @@ FROM starts
 """
 
 
+def dup_char_frac_chain(toks: DataFrame, n: int, out: str) -> DataFrame:
+    """One duplicate-n-gram character-fraction aggregation chain:
+    explode n-grams → (doc_id, gram) count → per-doc dup-char-mass /
+    total-char-mass, rounded to 6dp. Docs with < n tokens are absent
+    (callers left-join and coalesce to 0). Shared by
+    dup_ngram_char_fracs and refinery (which needs only n=2 and
+    must not pay for the n=5 chain)."""
+    grams = toks.filter(F.size("tokens") >= n).select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, size(tokens) - {n}), i -> "
+            f"array_join(slice(tokens, i + 1, {n}), ' '))")).alias("g"))
+    return (
+        grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(fround(
+            F.sum(F.when(F.col("c") >= 2,
+                         F.col("c") * F.length("g")).otherwise(0))
+            / F.sum(F.col("c") * F.length("g")), 6).alias(out))
+    )
+
+
 def dup_ngram_char_fracs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-n-gram character fractions — the remaining half of the
     Gopher repetition family (Rae et al. 2021 §A1.1 measure, for
@@ -210,25 +232,12 @@ def dup_ngram_char_fracs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cat = Catalog(spark, sf_dir)
     toks = _tokens(cat)
-
-    def chain(n: int, out: str) -> DataFrame:
-        grams = toks.filter(F.size("tokens") >= n).select(
-            "doc_id",
-            F.explode(F.expr(
-                f"transform(sequence(0, size(tokens) - {n}), i -> "
-                f"array_join(slice(tokens, i + 1, {n}), ' '))")).alias("g"))
-        return (
-            grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-            .groupBy("doc_id")
-            .agg(fround(
-                F.sum(F.when(F.col("c") >= 2,
-                             F.col("c") * F.length("g")).otherwise(0))
-                / F.sum(F.col("c") * F.length("g")), 6).alias(out))
-        )
     return (
         cat.documents.select("doc_id")
-        .join(chain(2, "dup_2gram_char_frac"), "doc_id", "left")
-        .join(chain(5, "dup_5gram_char_frac"), "doc_id", "left")
+        .join(dup_char_frac_chain(toks, 2, "dup_2gram_char_frac"),
+              "doc_id", "left")
+        .join(dup_char_frac_chain(toks, 5, "dup_5gram_char_frac"),
+              "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("dup_2gram_char_frac", F.lit(0.0))

@@ -48,8 +48,8 @@ def _register_modules() -> None:
                         tpch, tpch_deep, warehouse)
     from .streaming import batch_parity  # noqa: F401
     from .llm import (clusters, dedup, manifest, multimodal,  # noqa: F401
-                      pipeline, quality, repetition, sampling, similarity,
-                      spans, textstats)
+                      pipeline, quality, refinery, repetition, sampling,
+                      similarity, spans, textstats)
     from .functions import crypto  # noqa: F401
 
 
@@ -130,14 +130,15 @@ _PRIORITY: list[str] = [
     "dup_ngram_char_fracs",
     "length_band_filter",
     "vocab_top_terms_sketch",
+    "corpus_refinery_report",
     # --- round-3 refreshers: re-baselined perf trio + write path ---
     "q6_forecast_revenue",
     "q10_returned_items",
     "asof_latest_click",
     "soft_delete_post_state",
-    "record_payment_post_state",
     # positions 51+: displaced to round 6 (r3-green, locally
     # parity-guarded every pytest run)
+    "record_payment_post_state",
     "surrogate_keys_bulk_post_state",
     "data_quality_filter",
     "agg_count_per_group",
@@ -155,23 +156,45 @@ def _reorder() -> None:
     REGISTRY.update(ordered)
 
 
-try:
+#: set once _register_modules has completed in full. The import-time
+#: attempt below can legitimately abort: if THIS module's import was
+#: triggered from inside some llm module's own import (tests import
+#: llm modules directly), that module is partially initialized, and a
+#: sibling's `from .X import name` raises ImportError mid-registration
+#: — the registry would silently stay partial (order-dependent: 86 of
+#: 125 queries, depending on which module led). queries()/oracle_sql()
+#: therefore re-attempt until a full pass succeeds; by call time no
+#: import is mid-flight, so the retry completes.
+_REGISTERED = False
+
+
+def _ensure_registered() -> None:
+    global _REGISTERED
+    if _REGISTERED:
+        return
     _register_modules()
+    _REGISTERED = True
+
+
+try:
+    _ensure_registered()
 except ImportError:
-    # During early bring-up some modules may not exist yet; the
-    # registry stays partial rather than failing the whole contract.
+    # a sibling module is mid-import (see _REGISTERED note) — the
+    # first queries()/oracle_sql() call retries and completes
     pass
 _reorder()
 
 
 def queries() -> dict[str, SparkQuery]:
-    # re-apply the priority order: a module imported directly (before
-    # this module finished loading) self-registers after the load-time
-    # _reorder() ran
+    # complete any aborted registration, then re-apply the priority
+    # order (a module imported directly self-registers after the
+    # load-time _reorder() ran)
+    _ensure_registered()
     _reorder()
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _ensure_registered()
     _reorder()
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

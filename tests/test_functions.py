@@ -79,6 +79,32 @@ def test_crypto_roundtrip_query(spark, sf_dir):
     assert row["n_ciphertext_differs"] == row["n_cards"]
 
 
+def test_registry_complete_regardless_of_import_order():
+    # importing an llm module FIRST makes that module mid-import when
+    # it pulls in the registry; a sibling's `from .X import name` then
+    # hits the partially initialized module and the import-time
+    # registration pass aborts. queries() must retry and return the
+    # full registry anyway (fresh interpreter so this test controls
+    # the import order).
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import sys; sys.path.insert(0, '.');"
+        "import data_warehouse_project_spark.llm.dedup;"
+        "from data_warehouse_project_spark import registry;"
+        "qs = registry.queries();"
+        "assert 'tfidf_top_terms' in qs and 'corpus_refinery_report' in qs,"
+        " sorted(qs);"
+        "assert len(qs) == len(registry.REGISTRY);"
+        "print(len(qs))"
+    )
+    out = subprocess.run([_sys.executable, "-c", code], cwd="/root/repo",
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert int(out.stdout.strip()) >= 125
+
+
 def test_priority_window_covers_round5_rotation():
     # the driver checks the first 50 registered queries; the round-5
     # window must carry (a) the flagship canary, (b) every query

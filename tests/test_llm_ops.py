@@ -675,6 +675,25 @@ def test_vocab_sketch_matches_exact_on_fixture(spark, sf_dir):
             assert exact_all[term] == c
 
 
+def test_refinery_funnel_monotone_and_reduces(spark, sf_dir):
+    # each funnel stage can only drop documents (docs_in ≥ docs_band ≥
+    # docs_clean ≥ docs_unique per source), retention ∈ [0,1], and on
+    # the fixture the band+repetition stages must actually drop some
+    from data_warehouse_project_spark.llm.refinery import (
+        corpus_refinery_report)
+
+    rows = corpus_refinery_report(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["docs_in"] >= r["docs_band"] >= r["docs_clean"] \
+            >= r["docs_unique"] >= 0, r
+        assert 0.0 <= r["retention"] <= 1.0
+    assert sum(r["docs_band"] for r in rows) \
+        < sum(r["docs_in"] for r in rows)        # tails trimmed
+    assert sum(r["docs_clean"] for r in rows) \
+        < sum(r["docs_band"] for r in rows)      # repetition filter bites
+
+
 def test_ntile_quartiles_partition_the_counts(spark, sf_dir):
     from data_warehouse_project_spark.plans.warehouse import (
         window_ntile_quartiles)

@@ -312,7 +312,20 @@ def test_r4_paths_stay_jvm_side(r4_plans):
 def r5_plans(spark, sf_dir):
     qs = registry.queries()
     return {name: _plan(qs[name](spark, sf_dir))
-            for name in ["dup_ngram_char_fracs", "length_band_filter"]}
+            for name in ["dup_ngram_char_fracs", "length_band_filter",
+                         "corpus_refinery_report"]}
+
+
+def test_refinery_no_cartesian_and_digest_dedup(r5_plans):
+    # the composed funnel must inherit its stages' plan guarantees:
+    # no cartesian product anywhere (the only nested-loop join is the
+    # broadcast one-row band-bounds attach), and the dedup shuffle
+    # carries the md5 fingerprint, never raw text
+    plan = r5_plans["corpus_refinery_report"]
+    assert "CartesianProduct" not in plan
+    assert "md5" in plan
+    assert "hashpartitioning(fp" in plan
+    assert "hashpartitioning(text" not in plan
 
 
 def test_dup_ngram_chains_combine_map_side(r5_plans):
