@@ -768,3 +768,73 @@ SELECT query_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 5
 """
 
 register("knn_batch_cosine", knn_batch_cosine, KNN_BATCH_SQL)
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall of batch LSH-ANN against exact brute-force
+    KNN — the evaluation loop every production ANN deployment runs
+    before trusting an index (recall@k on a held-out query batch).
+
+    Batch-LSH shape (vs the single-query ann_lsh_cosine): ALL query
+    vectors bucket in the same corpus-wide pipeline, candidates
+    resolve as ONE (band, bucket) join for the whole batch, and one
+    exact-scoring pass + per-query top-k window finishes the job. At
+    100 TB the bucket join is the scale path: the corpus side
+    shuffles by (band, bucket) once regardless of batch size, where
+    per-query broadcast probing would rescan per query.
+
+    Rows-only by design (LSH bucketing is engine-defined); a unit
+    test pins the recall floor and that recall ≤ 1 by construction.
+    """
+    cat = Catalog(spark, sf_dir)
+    buckets_udf = _band_buckets_udf(ANN_TABLES, ANN_BITS, seed=99)
+    bucketed = cat.embeddings.select(
+        "vec_id",
+        F.posexplode(buckets_udf(F.col("embedding"))).alias("band", "bucket"),
+    )
+    qb = (bucketed.filter(F.col("vec_id") < N_BATCH_QUERIES)
+          .select(F.col("vec_id").alias("query_id"), "band",
+                  F.col("bucket").alias("qbucket")))
+    candidates = (
+        bucketed.join(F.broadcast(qb),
+                      (bucketed.band == qb.band)
+                      & (F.col("bucket") == F.col("qbucket"))
+                      & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    queries = (cat.embeddings.filter(F.col("vec_id") < N_BATCH_QUERIES)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("b")))
+    scored = (
+        candidates
+        .join(cat.embeddings.withColumnRenamed("embedding", "a"), "vec_id")
+        .join(F.broadcast(queries), F.col("query_id") == F.col("qid"))
+        .select("query_id", "vec_id",
+                fround(F.expr(_COS_EXPR), 6).alias("cos_sim"))
+    )
+    from ..operators.windows import top_k_per_group
+    lsh_topk = top_k_per_group(
+        scored, ["query_id"], [F.col("cos_sim"), -F.col("vec_id")],
+        k=5, descending=True, rank_col="rank",
+    ).select("query_id", "vec_id")
+    true_topk = knn_batch_cosine(spark, sf_dir).select("query_id", "vec_id")
+    found = (
+        true_topk.join(lsh_topk, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id").agg(F.count("*").cast("long").alias("n_found"))
+    )
+    return (
+        true_topk.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_true"))
+        .join(found, "query_id", "left")
+        .select(
+            "query_id", "n_true",
+            F.coalesce("n_found", F.lit(0)).alias("n_found"),
+            fround(F.coalesce("n_found", F.lit(0)) / F.col("n_true"), 6)
+            .alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+register("ann_recall_report", ann_recall_report, None)

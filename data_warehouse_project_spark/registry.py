@@ -131,13 +131,14 @@ _PRIORITY: list[str] = [
     "length_band_filter",
     "vocab_top_terms_sketch",
     "corpus_refinery_report",
+    "ann_recall_report",
     # --- round-3 refreshers: re-baselined perf trio + write path ---
     "q6_forecast_revenue",
     "q10_returned_items",
     "asof_latest_click",
-    "soft_delete_post_state",
     # positions 51+: displaced to round 6 (r3-green, locally
     # parity-guarded every pytest run)
+    "soft_delete_post_state",
     "record_payment_post_state",
     "surrogate_keys_bulk_post_state",
     "data_quality_filter",

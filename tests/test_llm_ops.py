@@ -675,6 +675,24 @@ def test_vocab_sketch_matches_exact_on_fixture(spark, sf_dir):
             assert exact_all[term] == c
 
 
+def test_ann_recall_report_bounds_and_floor(spark, sf_dir):
+    # recall@5 of batch LSH vs exact brute force: every row well-formed
+    # (n_true=5, 0 ≤ n_found ≤ 5, recall = n_found/5) and the batch
+    # mean stays above the analytic floor for this deliberately
+    # cluster-free corpus (neighbors at cos ≈ 0.5 — the hardest case
+    # for sign-LSH; measured 0.56-0.64 across fixtures, floor 0.4)
+    from data_warehouse_project_spark.llm.similarity import (
+        ann_recall_report)
+
+    rows = ann_recall_report(spark, sf_dir).collect()
+    assert [r["query_id"] for r in rows] == [0, 1, 2, 3, 4]
+    for r in rows:
+        assert r["n_true"] == 5
+        assert 0 <= r["n_found"] <= 5
+        assert abs(r["recall"] - r["n_found"] / 5) < 1e-9
+    assert sum(r["recall"] for r in rows) / len(rows) >= 0.4
+
+
 def test_refinery_funnel_monotone_and_reduces(spark, sf_dir):
     # each funnel stage can only drop documents (docs_in ≥ docs_band ≥
     # docs_clean ≥ docs_unique per source), retention ∈ [0,1], and on
