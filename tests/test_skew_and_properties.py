@@ -179,3 +179,62 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# MERGE property test: Spark merge_upsert vs a Python reference model
+# ---------------------------------------------------------------------------
+
+#: target: key-unique dim rows (key, seg, bal); source: key-unique change
+#: rows (key, seg, bal, do_delete)
+_merge_target = st.lists(
+    st.tuples(st.integers(0, 9), st.sampled_from(["A", "B"]),
+              st.integers(-5, 5)),
+    min_size=0, max_size=12, unique_by=lambda r: r[0])
+_merge_source = st.lists(
+    st.tuples(st.integers(0, 12), st.sampled_from(["X", "Y"]),
+              st.integers(-5, 5), st.booleans()),
+    min_size=0, max_size=12, unique_by=lambda r: r[0])
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(target=_merge_target, source=_merge_source)
+def test_merge_upsert_matches_reference_model(spark, target, source):
+    # ANSI/Delta MERGE reference semantics, modeled in plain Python:
+    # matched+delete → drop; matched → update update_cols; unmatched
+    # source → insert; target-only rows pass through
+    from data_warehouse_project_spark.writes import merge_upsert
+
+    if not target and not source:
+        return
+    tdf = spark.createDataFrame(
+        target or [(999, "Z", 0)], "k long, seg string, bal long")
+    if not target:
+        tdf = tdf.filter(F.lit(False))
+    sdf = spark.createDataFrame(
+        source or [(999, "Z", 0, False)],
+        "k long, seg string, bal long, do_delete boolean")
+    if not source:
+        sdf = sdf.filter(F.lit(False))
+
+    got = sorted(
+        (r["k"], r["seg"], r["bal"])
+        for r in merge_upsert(tdf, sdf, keys=["k"],
+                              update_cols=["seg", "bal"],
+                              delete_condition=F.col("s.do_delete"))
+        .collect())
+
+    model = {k: (seg, bal) for k, seg, bal in target}
+    for k, seg, bal, dodel in source:
+        if k in model:
+            if dodel:
+                del model[k]
+            else:
+                model[k] = (seg, bal)
+        else:
+            model[k] = (seg, bal)            # insert (delete flag of an
+                                             # unmatched key is a no-op:
+                                             # WHEN MATCHED ... DELETE)
+    expected = sorted((k, seg, bal) for k, (seg, bal) in model.items())
+    assert got == expected, (target, source)
