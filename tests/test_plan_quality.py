@@ -362,6 +362,36 @@ def test_length_band_windows_over_histogram_only(r5_plans):
     assert "CartesianProduct" not in plan
 
 
+#: the ONLY queries allowed an ArrowEvalPython node — each is a
+#: documented, justified Arrow-vectorized pandas_udf (LSH band
+#: bucketing, simhash bit-vote, Fernet crypto); anything else
+#: appearing here is an accidental Python hot path
+ARROW_JUSTIFIED = {
+    "dedup_simhash", "ann_lsh_cosine", "ann_lsh_multiprobe",
+    "ann_recall_report", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_planted", "crypto_roundtrip",
+}
+
+
+def test_registry_wide_plan_hygiene(spark, sf_dir):
+    """EVERY registered query — current and future — must be free of
+    row-at-a-time Python (BatchEvalPython) and cartesian products,
+    and may carry Arrow-vectorized Python only if it is on the
+    documented justified list. A new query that silently introduces a
+    Python hot path or an accidental cross join fails here without
+    needing a per-family fixture."""
+    offenders = []
+    for name, fn in registry.queries().items():
+        plan = _plan(fn(spark, sf_dir))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "ArrowEvalPython" in plan and name not in ARROW_JUSTIFIED:
+            offenders.append((name, "undocumented ArrowEvalPython"))
+    assert not offenders, offenders
+
+
 def test_r5_paths_stay_jvm_side(r5_plans):
     for name, plan in r5_plans.items():
         if name == "ann_recall_report":
