@@ -52,6 +52,8 @@ HEADLINE = [
     "dup_ngram_char_fracs",        # Gopher dup-char fractions (new r5)
     "length_band_filter",          # histogram exact percentiles (new r5)
     "corpus_refinery_report",      # band∘repetition∘dedup funnel (new r5)
+    "doc_lm_cross_entropy",        # bigram-LM perplexity filter (new r5)
+    "events_top_transitions",      # sequence/transition mining (new r5)
 ]
 
 

@@ -287,3 +287,122 @@ LIMIT {BIGRAM_TOP_K}
 """
 
 register("bigram_lm_counts", bigram_lm_counts, BIGRAM_LM_SQL)
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM cross-entropy scoring (perplexity-style quality filter)
+# --------------------------------------------------------------------------
+
+#: add-K smoothing constant for the bigram LM
+LM_SMOOTH_K = 1.0
+
+
+def doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy (bits/bigram) under the corpus's own
+    add-K-smoothed bigram LM — the CCNet-style perplexity filter
+    (public recipe: score documents under an n-gram LM; outliers are
+    boilerplate or gibberish). Self-scoring over the driver corpus
+    keeps the operator deterministic; production would swap in a
+    reference LM table.
+
+    Cross-engine determinism: FP SUM of log terms is order-dependent
+    (compat.py hazard #1), so each bigram type's -log2(p) term is
+    quantized to a 6-decimal integer ONCE, weighted by the exact
+    occurrence count, and summed as integers — order-independent;
+    one IEEE divide at the end. P(w2|w1) = (c(w1w2)+K)/(c(w1·)+K·V).
+
+    Scale: two vocabulary-keyed aggregations (the LM), one
+    (doc_id, w1, w2) aggregation, one vocabulary-keyed join — no
+    per-document state beyond its own bigram types; V attaches as a
+    broadcast one-row scalar. Docs with < 2 tokens report n_bigrams=0
+    and NULL entropy.
+    """
+    cat = Catalog(spark, sf_dir)
+    toks = (cat.documents
+            .withColumn("tokens", F.split(F.trim(F.col("text")), r"\s+")))
+    doc_pairs = (
+        toks.filter(F.size("tokens") >= 2)
+        .select("doc_id", F.explode(F.expr(
+            "transform(sequence(0, size(tokens) - 2), "
+            "i -> struct(tokens[i] AS w1, tokens[i + 1] AS w2))")).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+        .groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("m"))
+    )
+    lm_pairs = (doc_pairs.groupBy("w1", "w2")
+                .agg(F.sum("m").alias("c_bigram")))
+    left_totals = lm_pairs.groupBy("w1").agg(
+        F.sum("c_bigram").alias("c_left"))
+    vocab = (toks.select(F.explode("tokens").alias("w"))
+             .agg(F.countDistinct("w").alias("v")))
+    scored = (
+        doc_pairs
+        .join(lm_pairs, ["w1", "w2"])
+        .join(left_totals, "w1")
+        .join(F.broadcast(vocab))
+        .withColumn("p", (F.col("c_bigram") + F.lit(LM_SMOOTH_K))
+                    / (F.col("c_left") + F.lit(LM_SMOOTH_K) * F.col("v")))
+        .withColumn("term",
+                    F.floor(-F.log2("p") * F.lit(1e6) + F.lit(0.5))
+                    .cast("long"))
+        .groupBy("doc_id")
+        .agg(F.sum("m").cast("long").alias("n_bigrams"),
+             F.sum(F.col("m") * F.col("term")).alias("tsum"))
+    )
+    return (
+        cat.documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            fround(F.col("tsum")
+                   / (F.col("n_bigrams").cast("double") * F.lit(1e6)), 6)
+            .alias("cross_entropy_bits"),
+        )
+    )
+
+
+DOC_LM_ENTROPY_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+    FROM documents
+),
+doc_pairs AS (
+    SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2, COUNT(*) AS m
+    FROM toks, LATERAL (
+        SELECT UNNEST(list_transform(range(1, len(tokens)),
+               i -> struct_pack(w1 := tokens[i], w2 := tokens[i+1]))) AS b
+    ) u
+    WHERE len(tokens) >= 2
+    GROUP BY 1, 2, 3
+),
+lm_pairs AS (
+    SELECT w1, w2, SUM(m) AS c_bigram FROM doc_pairs GROUP BY 1, 2
+),
+left_totals AS (
+    SELECT w1, SUM(c_bigram) AS c_left FROM lm_pairs GROUP BY 1
+),
+vocab AS (
+    SELECT COUNT(DISTINCT u.w) AS v
+    FROM toks, LATERAL (SELECT UNNEST(tokens) AS w) u
+),
+scored AS (
+    SELECT dp.doc_id,
+           CAST(SUM(dp.m) AS BIGINT) AS n_bigrams,
+           SUM(dp.m * CAST(FLOOR(
+               -log2((lp.c_bigram + {LM_SMOOTH_K})
+                     / (lt.c_left + {LM_SMOOTH_K} * vocab.v)) * 1000000.0
+               + 0.5) AS BIGINT)) AS tsum
+    FROM doc_pairs dp
+    JOIN lm_pairs lp ON dp.w1 = lp.w1 AND dp.w2 = lp.w2
+    JOIN left_totals lt ON dp.w1 = lt.w1
+    CROSS JOIN vocab
+    GROUP BY dp.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       {sql_fround('s.tsum / (CAST(s.n_bigrams AS DOUBLE) * 1000000.0)', 6)}
+           AS cross_entropy_bits
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+register("doc_lm_cross_entropy", doc_lm_cross_entropy, DOC_LM_ENTROPY_SQL)

@@ -132,12 +132,15 @@ _PRIORITY: list[str] = [
     "vocab_top_terms_sketch",
     "corpus_refinery_report",
     "ann_recall_report",
-    # --- round-3 refreshers: re-baselined perf trio + write path ---
+    "doc_lm_cross_entropy",
+    "events_top_transitions",
+    # --- round-3 refresher ---
     "q6_forecast_revenue",
+    # positions 51+: displaced to round 6 (r3-green, locally
+    # parity-guarded every pytest run; q10/asof perf evidence comes
+    # from BENCH_r05, which times them regardless of this window)
     "q10_returned_items",
     "asof_latest_click",
-    # positions 51+: displaced to round 6 (r3-green, locally
-    # parity-guarded every pytest run)
     "soft_delete_post_state",
     "record_payment_post_state",
     "surrogate_keys_bulk_post_state",

@@ -503,3 +503,66 @@ JOIN events p
 
 register("events_click_purchase_join", events_click_purchase_join,
          EVENTS_CLICK_PURCHASE_SQL)
+
+
+#: transition report size
+TRANSITION_TOP_K = 20
+
+
+def events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence transition mining: order each user's
+    events by time, form (prev_type → next_type) transitions with
+    LAG, and report the TRANSITION_TOP_K most frequent transitions
+    with their share of all transitions — the Markov-chain /
+    clickstream-path statistic behind funnel discovery (where the
+    funnel family assumes a known path, this one finds the paths).
+
+    Scale: one shuffle on user_id for the LAG window (per-user
+    partitions, bounded by the most active user), then a tiny
+    (type × type) aggregation; the global total attaches as a
+    broadcast one-row scalar. Ties rank deterministically on
+    (count desc, prev, next).
+    """
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        cat.events
+        .select("user_id", "event_id", "ts", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    total = trans.agg(F.sum("n").alias("total"))
+    return (
+        trans.join(F.broadcast(total))
+        .select("prev_type", "next_type", "n",
+                fround(F.col("n") / F.col("total"), 6).alias("share"))
+        .orderBy(F.col("n").desc(), "prev_type", "next_type")
+        .limit(TRANSITION_TOP_K)
+    )
+
+
+EVENTS_TRANSITIONS_SQL = f"""
+WITH ordered AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+trans AS (
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+),
+total AS (SELECT SUM(n) AS total FROM trans)
+SELECT t.prev_type, t.next_type, t.n,
+       {sql_fround('t.n / CAST(total.total AS DOUBLE)', 6)} AS share
+FROM trans t CROSS JOIN total
+ORDER BY t.n DESC, t.prev_type, t.next_type
+LIMIT {TRANSITION_TOP_K}
+"""
+
+register("events_top_transitions", events_top_transitions,
+         EVENTS_TRANSITIONS_SQL)

@@ -675,6 +675,68 @@ def test_vocab_sketch_matches_exact_on_fixture(spark, sf_dir):
             assert exact_all[term] == c
 
 
+def test_doc_lm_entropy_orders_repetitive_below_diverse(spark):
+    # a document repeating one bigram scores much lower cross-entropy
+    # than an all-distinct-bigram document under the corpus LM; a
+    # 1-token document has no bigrams → NULL entropy
+    from unittest import mock
+
+    import data_warehouse_project_spark.llm.textstats as ts
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["la"] * 20)),                 # one bigram ×19
+         (2, "a b c d e f g h i j k l m n o p"),    # all distinct
+         (3, "x")],                                 # no bigrams
+        "doc_id long, text string")
+
+    class FakeCat:
+        def __init__(self, *a):
+            self.documents = df
+
+    with mock.patch.object(ts, "Catalog", FakeCat):
+        out = {r["doc_id"]: r for r in
+               ts.doc_lm_cross_entropy(spark, "ignored").collect()}
+    assert out[1]["n_bigrams"] == 19
+    assert out[2]["n_bigrams"] == 15
+    assert out[3]["n_bigrams"] == 0
+    assert out[3]["cross_entropy_bits"] is None
+    assert out[1]["cross_entropy_bits"] < out[2]["cross_entropy_bits"]
+    assert out[1]["cross_entropy_bits"] > 0
+
+
+def test_events_transitions_counts_on_crafted_stream(spark):
+    # two users with known sequences: transitions must count LAG pairs
+    # per user (no cross-user bleed), shares sum to 1 over the report
+    from unittest import mock
+
+    import datetime as dt
+
+    import data_warehouse_project_spark.streaming.batch_parity as bp
+
+    rows = [
+        # user 1: a -> b -> a   (a->b, b->a)
+        (1, 1, dt.datetime(2024, 1, 1, 10, 0), "a", 1.0, "{}"),
+        (2, 1, dt.datetime(2024, 1, 1, 10, 1), "b", 1.0, "{}"),
+        (3, 1, dt.datetime(2024, 1, 1, 10, 2), "a", 1.0, "{}"),
+        # user 2: b -> a        (b->a)
+        (4, 2, dt.datetime(2024, 1, 1, 11, 0), "b", 1.0, "{}"),
+        (5, 2, dt.datetime(2024, 1, 1, 11, 5), "a", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double, props string")
+
+    class FakeCat:
+        def __init__(self, *a):
+            self.events = df
+
+    with mock.patch.object(bp, "Catalog", FakeCat):
+        got = {(r["prev_type"], r["next_type"]): (r["n"], r["share"])
+               for r in bp.events_top_transitions(spark, "ignored").collect()}
+    assert got == {("a", "b"): (1, round(1 / 3, 6)),
+                   ("b", "a"): (2, round(2 / 3, 6))}
+
+
 def test_ann_recall_report_bounds_and_floor(spark, sf_dir):
     # recall@5 of batch LSH vs exact brute force: every row well-formed
     # (n_true=5, 0 ≤ n_found ≤ 5, recall = n_found/5) and the batch
