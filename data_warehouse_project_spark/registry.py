@@ -134,11 +134,12 @@ _PRIORITY: list[str] = [
     "ann_recall_report",
     "doc_lm_cross_entropy",
     "events_top_transitions",
-    # --- round-3 refresher ---
-    "q6_forecast_revenue",
+    "events_anomaly_mad",
     # positions 51+: displaced to round 6 (r3-green, locally
-    # parity-guarded every pytest run; q10/asof perf evidence comes
-    # from BENCH_r05, which times them regardless of this window)
+    # parity-guarded every pytest run; q6/q10/asof perf evidence
+    # comes from BENCH_r05, which times them regardless of this
+    # window)
+    "q6_forecast_revenue",
     "q10_returned_items",
     "asof_latest_click",
     "soft_delete_post_state",

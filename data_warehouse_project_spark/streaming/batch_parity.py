@@ -566,3 +566,96 @@ LIMIT {TRANSITION_TOP_K}
 
 register("events_top_transitions", events_top_transitions,
          EVENTS_TRANSITIONS_SQL)
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume anomaly per (hour, event_type): flag hours whose
+    count deviates from the type's MEDIAN hourly count by more than
+    3× the median absolute deviation (MAD) — the robust complement to
+    events_hourly_anomaly's z-score (a single traffic spike inflates
+    mean AND stddev and can mask itself; it cannot move the median).
+
+    Exact discrete medians (quantile_disc semantics: the value at
+    rank ceil(0.5·n) in sorted order), spelled out as identical
+    integer rank math in both engines — all-integer inputs make every
+    intermediate deterministic. The windows run over the HOURLY
+    aggregate (≈ hours × types rows), never the raw events — the same
+    aggregate-first discipline as length_band_filter's histogram.
+    """
+    cat = Catalog(spark, sf_dir)
+    hourly = (
+        cat.events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+    def disc_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(val, "hour")
+        ranked = df.select(
+            "event_type", val,
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("event_type")).alias("c"))
+        return (ranked
+                .filter(F.col("rn") >= F.ceil(F.col("c") / 2))
+                .groupBy("event_type").agg(F.min(val).alias(out)))
+
+    med = disc_median(hourly, "n", "med")
+    dev = (hourly.join(med, "event_type")
+           .withColumn("adev", F.abs(F.col("n") - F.col("med"))))
+    mad = disc_median(dev.select("event_type", "adev",
+                                 F.col("hour")), "adev", "mad")
+    return (
+        dev.join(mad, "event_type")
+        # greatest(mad, 1): a hyper-stable series has MAD 0 and the
+        # bare 3×MAD rule would flag EVERY non-median hour; counts are
+        # integers, so 1 is the minimum meaningful deviation scale
+        .filter(F.col("adev") > 3 * F.greatest(F.col("mad"), F.lit(1)))
+        .select("event_type", "hour", "n",
+                F.col("med").cast("long").alias("med"),
+                F.col("mad").cast("long").alias("mad"))
+        .orderBy("event_type", "hour")
+    )
+
+
+EVENTS_ANOMALY_MAD_SQL = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY n, hour) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS c
+    FROM hourly
+),
+med AS (
+    SELECT event_type, MIN(n) AS med FROM ranked
+    WHERE rn >= CEIL(c / 2.0) GROUP BY event_type
+),
+dev AS (
+    SELECT h.event_type, h.hour, h.n, m.med,
+           ABS(h.n - m.med) AS adev
+    FROM hourly h JOIN med m ON h.event_type = m.event_type
+),
+dranked AS (
+    SELECT event_type, adev,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY adev, hour) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS c
+    FROM dev
+),
+mad AS (
+    SELECT event_type, MIN(adev) AS mad FROM dranked
+    WHERE rn >= CEIL(c / 2.0) GROUP BY event_type
+)
+SELECT d.event_type, d.hour, d.n,
+       CAST(d.med AS BIGINT) AS med,
+       CAST(ma.mad AS BIGINT) AS mad
+FROM dev d JOIN mad ma ON d.event_type = ma.event_type
+WHERE d.adev > 3 * GREATEST(ma.mad, 1)
+ORDER BY d.event_type, d.hour
+"""
+
+register("events_anomaly_mad", events_anomaly_mad, EVENTS_ANOMALY_MAD_SQL)

@@ -737,6 +737,44 @@ def test_events_transitions_counts_on_crafted_stream(spark):
                    ("b", "a"): (2, round(2 / 3, 6))}
 
 
+def test_mad_anomaly_flags_spike_median_unmoved(spark):
+    # a flat series with one huge spike: the median and MAD ignore the
+    # spike (robustness — the z-score's mean/stddev would not), and
+    # ONLY the spike hour is flagged
+    from unittest import mock
+
+    import datetime as dt
+
+    import data_warehouse_project_spark.streaming.batch_parity as bp
+
+    rows = []
+    eid = 0
+    counts = [3, 3, 4, 3, 4, 3, 100, 4, 3, 3]    # hour 6 spikes
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, 1, dt.datetime(2024, 1, 1, h), "click",
+                         1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double, props string")
+
+    class FakeCat:
+        def __init__(self, *a):
+            self.events = df
+
+    with mock.patch.object(bp, "Catalog", FakeCat):
+        got = bp.events_anomaly_mad(spark, "ignored").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["hour"].hour == 6 and r["n"] == 100
+    # sorted counts: 3,3,3,3,3,4,4,4,4,100 → rank ceil(10/2)=5 → med 3
+    # |dev| sorted: 0×5,1×4,97 → rank 5 → mad 0; the greatest(mad,1)
+    # floor keeps the 1-off hours unflagged while 97 > 3 flags the
+    # spike — the median/MAD ignored it entirely (robustness)
+    assert r["med"] == 3 and r["mad"] == 0
+
+
 def test_ann_recall_report_bounds_and_floor(spark, sf_dir):
     # recall@5 of batch LSH vs exact brute force: every row well-formed
     # (n_true=5, 0 ≤ n_found ≤ 5, recall = n_found/5) and the batch
