@@ -265,3 +265,136 @@ register("cube_flags", cube_flags, CUBE_SQL)
 register("grouping_sets_mixed", grouping_sets_mixed, GROUPING_SETS_SQL)
 register("window_running_totals", window_running_totals, WINDOW_RUNNING_SQL)
 register("top_k_per_group", top_k_per_group_query, TOP_K_PER_GROUP_SQL)
+
+
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period seasonality: monthly gross revenue with the
+    previous month's value (LAG) and the month-over-month growth rate
+    — the time-series reporting shape missing from the cumulative
+    windows (window_running_totals is a running total; this is a
+    lagged delta).
+
+    Revenue sums are order-independent exact (compat.dsum guard-scaled
+    integers) BEFORE the window, so LAG operates on identical doubles
+    in both engines; growth rounds to 6dp. The window runs over the
+    ~84-row monthly aggregate, never the fact table — at 100 TB the
+    shuffle is the month groupBy, and the single-partition LAG window
+    sees only months × 1 rows.
+    """
+    cat = Catalog(spark, sf_dir)
+    from pyspark.sql import Window
+    monthly = (
+        cat.lineitem
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("month"))
+        .agg(dsum(F.col("l_extendedprice")
+                  * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly
+        .withColumn("prev_revenue", F.lag("revenue").over(w))
+        .select(
+            "month", "revenue", "prev_revenue",
+            fround((F.col("revenue") - F.col("prev_revenue"))
+                   / F.col("prev_revenue"), 6).alias("mom_growth"),
+        )
+        .orderBy("month")
+    )
+
+
+MONTHLY_GROWTH_SQL = f"""
+WITH monthly AS (
+    SELECT date_trunc('month', l_shipdate) AS month,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem GROUP BY 1
+),
+lagged AS (
+    SELECT month, revenue,
+           LAG(revenue) OVER (ORDER BY month) AS prev_revenue
+    FROM monthly
+)
+SELECT month, revenue, prev_revenue,
+       {sql_fround('(revenue - prev_revenue) / prev_revenue', 6)}
+           AS mom_growth
+FROM lagged ORDER BY month
+"""
+
+
+#: Pareto report size
+PARETO_TOP_N = 25
+
+
+def part_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto/ABC) report: the PARETO_TOP_N
+    highest-revenue parts with each part's share and the running
+    cumulative share of TOTAL corpus revenue — the 80/20 analysis
+    behind assortment and inventory-tiering decisions.
+
+    Scale: per-part revenue is one map-side-combinable groupBy; the
+    top-N survivors come from TakeOrdered (no global sort), and the
+    cumulative window runs over those N rows only, with the corpus
+    total attached as a broadcast one-row scalar. Exact integer-guard
+    sums make every share deterministic cross-engine.
+    """
+    cat = Catalog(spark, sf_dir)
+    from pyspark.sql import Window
+    per_part = (
+        cat.lineitem.groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice")
+                  * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    total = per_part.agg(dsum_like_total(per_part))
+    top = (per_part
+           .orderBy(F.col("revenue").desc(), F.col("l_partkey"))
+           .limit(PARETO_TOP_N))
+    w = (Window.orderBy(F.col("revenue").desc(), F.col("l_partkey"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            "l_partkey", "revenue",
+            fround(F.col("revenue") / F.col("total_revenue"), 6)
+            .alias("share"),
+            fround(F.sum("revenue").over(w) / F.col("total_revenue"), 6)
+            .alias("cum_share"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_partkey"))
+    )
+
+
+def dsum_like_total(per_part: DataFrame):
+    """Exact total of already-rounded per-part revenues: 2dp values
+    scale losslessly to integer hundredths, sum exactly, come back —
+    the same order-independence policy as compat.dsum."""
+    return (F.sum(F.floor(F.col("revenue") * 100 + F.lit(0.5)).cast("long"))
+            .cast("double") / F.lit(100.0)).alias("total_revenue")
+
+
+PART_PARETO_SQL = f"""
+WITH per_part AS (
+    SELECT l_partkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem GROUP BY 1
+),
+total AS (
+    SELECT CAST(SUM(CAST(FLOOR(revenue * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS total_revenue
+    FROM per_part
+),
+top AS (
+    SELECT l_partkey, revenue FROM per_part
+    ORDER BY revenue DESC, l_partkey LIMIT {PARETO_TOP_N}
+)
+SELECT t.l_partkey, t.revenue,
+       {sql_fround('t.revenue / total.total_revenue', 6)} AS share,
+       {sql_fround('SUM(t.revenue) OVER (ORDER BY t.revenue DESC,'
+                   ' t.l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND'
+                   ' CURRENT ROW) / total.total_revenue', 6)} AS cum_share
+FROM top t CROSS JOIN total
+ORDER BY t.revenue DESC, t.l_partkey
+"""
+
+register("monthly_revenue_growth", monthly_revenue_growth,
+         MONTHLY_GROWTH_SQL)
+register("part_pareto_concentration", part_pareto_concentration,
+         PART_PARETO_SQL)

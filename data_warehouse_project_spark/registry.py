@@ -135,10 +135,13 @@ _PRIORITY: list[str] = [
     "doc_lm_cross_entropy",
     "events_top_transitions",
     "events_anomaly_mad",
-    # positions 51+: displaced to round 6 (r3-green, locally
-    # parity-guarded every pytest run; q6/q10/asof perf evidence
-    # comes from BENCH_r05, which times them regardless of this
-    # window)
+    # positions 51+: rotate into the round-6 window. The two late
+    # round-5 warehouse additions (locally parity-guarded every
+    # pytest run) lead; the r3-green refreshers follow (q6/q10/asof
+    # perf evidence comes from BENCH_r05, which times them regardless
+    # of this window)
+    "monthly_revenue_growth",
+    "part_pareto_concentration",
     "q6_forecast_revenue",
     "q10_returned_items",
     "asof_latest_click",
