@@ -29,6 +29,18 @@ Range notes: guard-scaled longs stay well inside int64 at bench scale
 (1e5-magnitude money × 1e4 guard × 1e9 rows ≈ 1e18); a 100 TB
 deployment would widen the guard sum to DECIMAL(38,0) — same policy,
 bigger accumulator.
+
+Residual risk — transcendentals: the "bit-identical" guarantee above
+covers pure IEEE ops (+ - * / floor) on identical operands only.
+log/log2/exp/pow are correctly-rounded in NEITHER engine's libm
+contract, so a term like -log2(p) (llm/textstats.doc_lm_cross_entropy)
+may differ by 1 ulp between JVM and DuckDB; quantizing such a term via
+floor(x*1e6+0.5) flips the integer only when x sits within that ulp of
+a .5/1e6 boundary — never observed across five rounds of driver+local
+parity, but latent. If a driver mismatch ever appears on a
+transcendental-fed query, widen that query's quantization guard (drop
+to 1e4) or switch its oracle to a tolerance compare rather than
+touching this module's exact-integer policy.
 """
 
 from __future__ import annotations

@@ -838,3 +838,44 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("ann_recall_report", ann_recall_report, None)
+
+
+#: floor for the driver-visible batch recall assertion. Measured
+#: micro-recall@5 of the seeded LSH index: 0.64 (sf0.001), 0.56
+#: (sf0.01), 0.68 (sf0.1) — 0.4 leaves ≥ 0.16 margin at every scale.
+ANN_RECALL_FLOOR_PCT = 40
+
+
+def ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible ANN quality gate (VERDICT r5 #6): ONE row
+    asserting the batch micro-recall@5 of the seeded LSH index meets
+    the pinned floor. Everything upstream (hyperplanes seed=99,
+    bucketing, candidate join) is deterministic given the data, so at
+    any tested scale the row is the constant
+    ``(k=5, n_queries=5, recall_ge_floor=true)`` — which is exactly
+    the pinned-constant oracle. A recall regression (index bug, seed
+    drift, bucketing change) flips the boolean and hash-mismatches.
+
+    The compare is exact integer arithmetic (100*found >= floor_pct*
+    true) — no FP boundary to flake on.
+    """
+    rep = ann_recall_report(spark, sf_dir)
+    return (
+        rep.agg(F.count("*").alias("nq"),
+                F.sum("n_found").alias("f"), F.sum("n_true").alias("t"))
+        .select(
+            F.lit(5).cast("long").alias("k"),
+            F.col("nq").cast("long").alias("n_queries"),
+            (F.col("f") * 100 >= F.col("t") * ANN_RECALL_FLOOR_PCT)
+            .alias("recall_ge_floor"),
+        )
+    )
+
+
+ANN_RECALL_FLOOR_SQL = """
+SELECT CAST(5 AS BIGINT) AS k,
+       CAST(5 AS BIGINT) AS n_queries,
+       TRUE AS recall_ge_floor
+"""
+
+register("ann_recall_floor", ann_recall_floor, ANN_RECALL_FLOOR_SQL)

@@ -1,0 +1,363 @@
+"""Warehouse audit & customer-analytics operators — referential-
+integrity checking, fact-vs-header reconciliation, and RFM
+segmentation (the data-quality / BI surface a production warehouse
+runs nightly; the reference trusts MySQL FK constraints it never
+declares — ref db.py creates bare tables — so these audits are the
+engine-side replacement for that missing enforcement).
+
+Scale design: integrity checks are anti-joins (broadcast for dim-
+sized parents, shuffle-hash for fact→fact); reconciliation is one
+map-side-combinable groupBy(order) then a key-colocated join;
+RFM quartile boundaries come from bounded-cardinality value
+histograms (the length_band_filter discipline — the single-partition
+window sees DISTINCT quantized values only, never users), broadcast
+back onto the per-user aggregate.
+
+Determinism: all comparisons and counts run on exact integers
+(cents-quantized money, day-granular recency); the only doubles in
+output columns are single IEEE divides of identical operands,
+fround-quantized (functions/compat.py policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.compat import fround, sql_fround
+from ..registry import register
+from ..sources.catalog import Catalog
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit
+# --------------------------------------------------------------------------
+
+#: FK edges of the star schema: (edge label, child, fk, parent, pk)
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+]
+
+
+def referential_integrity_report(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """One row per FK edge of the star schema: child row count, NULL
+    foreign keys, and orphaned rows (child values with no parent) —
+    the constraint-check pass a warehouse load runs because parquet
+    (unlike the reference's intended-but-undeclared MySQL FKs)
+    enforces nothing.
+
+    Scale: each edge is one aggregate over the child plus one
+    LEFT ANTI join; dim-sized parents broadcast, the fact→fact edge
+    (lineitem→orders) hash-joins on the already-partitioned key. The
+    6 one-row results union into the report."""
+    cat = Catalog(spark, sf_dir)
+    rows = []
+    for label, child_t, fk, parent_t, pk in _FK_EDGES:
+        child, parent = cat.table(child_t), cat.table(parent_t)
+        stats = child.agg(
+            F.count("*").cast("long").alias("n_child"),
+            F.coalesce(F.sum(F.col(fk).isNull().cast("long")), F.lit(0))
+            .cast("long").alias("n_null_fk"))
+        orphans = (
+            child.filter(F.col(fk).isNotNull())
+            .join(parent.select(F.col(pk).alias(fk)), fk, "left_anti")
+            .agg(F.count("*").cast("long").alias("n_orphans"))
+        )
+        rows.append(
+            stats.join(orphans)  # 1-row × 1-row
+            .select(F.lit(label).alias("edge"), "n_child", "n_null_fk",
+                    "n_orphans"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("edge")
+
+
+def _ri_edge_sql(label: str, child: str, fk: str,
+                 parent: str, pk: str) -> str:
+    # parent PKs are unique, so the LEFT JOIN cannot fan out and the
+    # orphan test is a NULL parent key
+    return f"""
+SELECT '{label}' AS edge,
+       CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(COALESCE(SUM(CASE WHEN c.{fk} IS NULL THEN 1 END), 0)
+            AS BIGINT) AS n_null_fk,
+       CAST(COALESCE(SUM(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
+                          THEN 1 END), 0) AS BIGINT) AS n_orphans
+FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}
+"""
+
+
+RI_SQL = ("\nUNION ALL\n".join(_ri_edge_sql(*e) for e in _FK_EDGES)
+          + "\nORDER BY edge")
+
+register("referential_integrity_report", referential_integrity_report,
+         RI_SQL)
+
+
+# --------------------------------------------------------------------------
+# Order-header vs line-detail reconciliation
+# --------------------------------------------------------------------------
+
+#: mismatch threshold: recomputed net differs from the header total
+#: by more than 1% of the header value
+_MISMATCH_PCT = 1
+
+
+def order_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-vs-header reconciliation: recompute each order's net value
+    from its lines — (l_extendedprice * (1 - l_discount)) *
+    (1 + l_tax), cents-quantized per row, exact integer sum — and
+    compare against the cents-quantized o_totalprice header. Reports
+    per order status: order count, orders with no lines, orders whose
+    recomputed value drifts beyond 1% of the header, and the max /
+    mean absolute drift.
+
+    Scale: one map-side-combinable groupBy(l_orderkey), one
+    key-colocated join to orders, then a tiny per-status aggregate.
+    The per-row double product is written in the identical
+    parenthesized op order on both engines → identical IEEE doubles
+    into the quantizer; everything after is integer-exact."""
+    cat = Catalog(spark, sf_dir)
+    line_tot = (
+        cat.lineitem
+        .groupBy("l_orderkey")
+        .agg(F.sum(
+            F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    * (1 + F.col("l_tax")) * 100 + F.lit(0.5))
+            .cast("long")).alias("computed_cents"))
+    )
+    joined = (
+        cat.orders
+        .select("o_orderkey", "o_orderstatus",
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long").alias("declared_cents"))
+        .join(line_tot,
+              F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .withColumn("abs_diff",
+                    F.abs(F.col("computed_cents") - F.col("declared_cents")))
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.coalesce(F.sum(F.col("computed_cents").isNull().cast("long")),
+                       F.lit(0)).cast("long").alias("n_no_lines"),
+            F.coalesce(F.sum(
+                (F.col("abs_diff") * 100
+                 > F.col("declared_cents") * _MISMATCH_PCT).cast("long")),
+                F.lit(0)).cast("long").alias("n_mismatch"),
+            F.max("abs_diff").cast("long").alias("max_abs_diff_cents"),
+            F.sum("abs_diff").cast("long").alias("sum_abs_diff_cents"),
+            F.coalesce(F.sum(F.col("abs_diff").isNotNull().cast("long")),
+                       F.lit(0)).cast("long").alias("n_with_lines"),
+        )
+        .select("o_orderstatus", "n_orders", "n_no_lines", "n_mismatch",
+                "max_abs_diff_cents",
+                fround(F.col("sum_abs_diff_cents")
+                       / (F.col("n_with_lines") * F.lit(100.0)), 2)
+                .alias("mean_abs_diff"))
+        .orderBy("o_orderstatus")
+    )
+
+
+ORDER_AUDIT_SQL = f"""
+WITH line_tot AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                               * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS computed_cents
+    FROM lineitem GROUP BY l_orderkey
+),
+joined AS (
+    SELECT o.o_orderstatus,
+           CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+               AS declared_cents,
+           lt.computed_cents,
+           ABS(lt.computed_cents
+               - CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+               AS abs_diff
+    FROM orders o LEFT JOIN line_tot lt ON o.o_orderkey = lt.l_orderkey
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CASE WHEN computed_cents IS NULL THEN 1 END), 0)
+            AS BIGINT) AS n_no_lines,
+       CAST(COALESCE(SUM(CASE WHEN abs_diff * 100
+                               > declared_cents * {_MISMATCH_PCT}
+                          THEN 1 END), 0) AS BIGINT) AS n_mismatch,
+       CAST(MAX(abs_diff) AS BIGINT) AS max_abs_diff_cents,
+       {sql_fround('SUM(abs_diff) / (SUM(CASE WHEN abs_diff IS NOT NULL '
+                   'THEN 1 ELSE 0 END) * 100.0)', 2)} AS mean_abs_diff
+FROM joined
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+register("order_consistency_audit", order_consistency_audit,
+         ORDER_AUDIT_SQL)
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation
+# --------------------------------------------------------------------------
+
+def _disc_quartiles(hist_src: DataFrame, col: str) -> DataFrame:
+    """Exact discrete quartile boundaries (the value at cumulative
+    rank ceil(k·n/4), k=1..3) from a value histogram — the window
+    sees DISTINCT values only (bounded: days / event counts /
+    whole-unit spend), never one row per user."""
+    hist = hist_src.groupBy(col).agg(F.count("*").alias("c"))
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    ranked = hist.select(
+        F.col(col).alias("v"),
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wt).alias("n"))
+    return ranked.agg(
+        F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("v")))
+        .alias("q1"),
+        F.min(F.when(F.col("cum") * 4 >= F.col("n") * 2, F.col("v")))
+        .alias("q2"),
+        F.min(F.when(F.col("cum") * 4 >= F.col("n") * 3, F.col("v")))
+        .alias("q3"))
+
+
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over the events stream: per user,
+    Recency (days since last event, vs the corpus max date),
+    Frequency (event count) and Monetary (cents-exact value sum)
+    score 1-4 against exact discrete quartile boundaries; users
+    aggregate into R·F·M segments with counts and mean spend — the
+    standard CRM segmentation a warehouse serves to marketing.
+
+    Scale: one groupBy(user_id) over events; each quartile boundary
+    comes from a bounded distinct-value histogram (days for R, event
+    counts for F, whole currency units for M) and broadcasts back;
+    the final aggregate has ≤ 64 segment rows. cum*4 >= k*n is the
+    integer form of cum >= ceil(k*n/4) — no FP anywhere in scoring."""
+    cat = Catalog(spark, sf_dir)
+    anchor = cat.events.agg(F.max(F.to_date("ts")).alias("anchor"))
+    users = (
+        cat.events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").cast("long").alias("freq"),
+            F.coalesce(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
+                             .cast("long")), F.lit(0)).alias("mon_cents"),
+        )
+        .join(F.broadcast(anchor))
+        .withColumn("recency_days",
+                    F.datediff(F.col("anchor"), F.to_date("last_ts"))
+                    .cast("long"))
+        # floor-division (not cast-truncation: Spark casts toward
+        # zero, DuckDB CAST rounds — FLOOR is the one shared form)
+        .withColumn("mon_units",
+                    F.floor(F.col("mon_cents") / F.lit(100.0)).cast("long"))
+        .drop("anchor", "last_ts")
+    )
+    rq = _disc_quartiles(users, "recency_days")
+    fq = _disc_quartiles(users, "freq")
+    mq = _disc_quartiles(users, "mon_units")
+
+    def score(v, q, invert: bool):
+        up = ((F.col(v) > q["q1"]).cast("int")
+              + (F.col(v) > q["q2"]).cast("int")
+              + (F.col(v) > q["q3"]).cast("int"))
+        return (F.lit(4) - up) if invert else (F.lit(1) + up)
+
+    rqc = {k: F.col(f"r_{k}") for k in ("q1", "q2", "q3")}
+    fqc = {k: F.col(f"f_{k}") for k in ("q1", "q2", "q3")}
+    mqc = {k: F.col(f"m_{k}") for k in ("q1", "q2", "q3")}
+    scored = (
+        users
+        .join(F.broadcast(rq.select(*[F.col(k).alias(f"r_{k}")
+                                      for k in ("q1", "q2", "q3")])))
+        .join(F.broadcast(fq.select(*[F.col(k).alias(f"f_{k}")
+                                      for k in ("q1", "q2", "q3")])))
+        .join(F.broadcast(mq.select(*[F.col(k).alias(f"m_{k}")
+                                      for k in ("q1", "q2", "q3")])))
+        .withColumn("r_score", score("recency_days", rqc, invert=True))
+        .withColumn("f_score", score("freq", fqc, invert=False))
+        .withColumn("m_score", score("mon_units", mqc, invert=False))
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").cast("long").alias("n_users"),
+             F.sum("mon_cents").alias("seg_cents"))
+        .select(
+            F.concat(F.lit("R"), F.col("r_score"), F.lit("F"),
+                     F.col("f_score"), F.lit("M"), F.col("m_score"))
+            .alias("segment"),
+            "r_score", "f_score", "m_score", "n_users",
+            fround(F.col("seg_cents") / (F.col("n_users") * F.lit(100.0)), 2)
+            .alias("mean_spend"))
+        .orderBy("segment")
+    )
+
+
+def _sql_quartiles(src: str, col: str) -> str:
+    return f"""(
+    SELECT MIN(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+           MIN(CASE WHEN cum * 4 >= n * 2 THEN v END) AS q2,
+           MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+    FROM (SELECT {col} AS v,
+                 SUM(c) OVER (ORDER BY {col}
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(c) OVER () AS n
+          FROM (SELECT {col}, COUNT(*) AS c FROM {src}
+                GROUP BY {col})))"""
+
+
+RFM_SQL = f"""
+WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS anchor FROM events),
+users AS (
+    SELECT user_id,
+           CAST(date_diff('day', CAST(MAX(ts) AS DATE),
+                          (SELECT anchor FROM anchor)) AS BIGINT)
+               AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(COALESCE(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)), 0)
+                AS BIGINT) AS mon_cents,
+           CAST(FLOOR(COALESCE(SUM(CAST(FLOOR(value * 100 + 0.5)
+                                        AS BIGINT)), 0) / 100.0)
+                AS BIGINT) AS mon_units
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+),
+rq AS {_sql_quartiles('users', 'recency_days')},
+fq AS {_sql_quartiles('users', 'freq')},
+mq AS {_sql_quartiles('users', 'mon_units')},
+scored AS (
+    SELECT u.*,
+           4 - ((u.recency_days > rq.q1)::INT + (u.recency_days > rq.q2)::INT
+                + (u.recency_days > rq.q3)::INT) AS r_score,
+           1 + ((u.freq > fq.q1)::INT + (u.freq > fq.q2)::INT
+                + (u.freq > fq.q3)::INT) AS f_score,
+           1 + ((u.mon_units > mq.q1)::INT + (u.mon_units > mq.q2)::INT
+                + (u.mon_units > mq.q3)::INT) AS m_score
+    FROM users u, rq, fq, mq
+)
+SELECT 'R' || r_score || 'F' || f_score || 'M' || m_score AS segment,
+       r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       {sql_fround('SUM(mon_cents) / (COUNT(*) * 100.0)', 2)}
+           AS mean_spend
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY segment
+"""
+
+register("user_rfm_segments", user_rfm_segments, RFM_SQL)

@@ -139,6 +139,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         want = field.dataType.typeName()
         if want not in ("timestamp", "timestamp_ntz"):
             continue
+        if field.name not in df.columns:
+            raise ValueError(
+                f"parquet table {name!r} at {path} missing expected "
+                f"column {field.name!r} (have {df.columns})")
         got = df.schema[field.name].dataType.typeName()
         if got == "long":
             df = df.withColumn(field.name, F.expr(

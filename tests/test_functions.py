@@ -105,35 +105,46 @@ def test_registry_complete_regardless_of_import_order():
     assert int(out.stdout.strip()) >= 125
 
 
-def test_priority_window_covers_round5_rotation():
-    # the driver checks the first 50 registered queries; the round-5
-    # window must carry (a) the flagship canary, (b) every query
-    # whose last driver row was round 2 (the oldest coverage — 31
-    # queries), (c) the round-4-new/changed regression canaries, and
-    # (d) the round-5-new queries (never driver-checked)
+def test_priority_window_covers_round6_rotation():
+    # the driver checks the first 50 registered queries; the round-6
+    # window must carry (a) the flagship canary, (b) the two late-r5
+    # warehouse queries (the only ones with zero driver rows), (c)
+    # every query whose last driver row was round 3 (the oldest
+    # coverage — 40 queries, VERDICT r5 #2), and (d) the round-6-new
+    # queries (never driver-checked)
     from data_warehouse_project_spark import registry
     window = list(registry.queries())[:50]
     assert window[0] == "flagship_my_registrations"
     for name in (
-        # last driver-checked in round 2 (spot checks per family)
-        "q20_heavy_shippers", "q21_sole_late_supplier",
-        "q22_dormant_customers", "star_denorm", "rollup_status_priority",
-        "cube_flags", "grouping_sets_mixed", "window_running_totals",
-        "top_k_per_group", "dedup_simhash", "gopher_quality_flags",
-        "pii_scrub", "tfidf_top_terms", "train_test_split",
-        "stratified_sample", "pack_sequences", "decontaminate_report",
-        "text_quality", "lang_id_heuristic", "token_count_bpe_ish",
-        "doc_fingerprint", "bigram_lm_counts", "multimodal_features",
-        "multimodal_meta_stats", "multimodal_frame_sample",
-        "knn_brute_cosine", "knn_batch_cosine", "centroid_per_label",
-        "ann_lsh_cosine", "ann_ivf_cosine", "embedding_dup_exact",
-        # round-4 canaries
-        "ingest_quarantine_report", "merge_upsert_post_state",
-        "scd2_apply_post_state", "scd2_lookup_temporal",
-        "salted_agg_status", "prefix_dup_groups", "doc_repetition_stats",
-        "chunk_documents", "window_ntile_quartiles", "semantic_dedup",
-        # new in round 5
-        "dup_ngram_char_fracs", "length_band_filter",
+        # never driver-checked before round 6
+        "monthly_revenue_growth", "part_pareto_concentration",
+        # last driver-checked in round 3: deep TPC-H spine
+        "q2_min_unitprice_supplier", "q3_shipping_priority",
+        "q4_order_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "q7_nation_trade", "q8_market_share",
+        "q9_product_profit", "q10_returned_items",
+        "q11_part_value_concentration", "q15_top_supplier",
+        "q16_part_supplier_variety", "q17_small_quantity_revenue",
+        "q18_large_volume_customers",
+        # round 3: relational / extended operators
+        "agg_count_per_group", "data_quality_filter", "json_extraction",
+        "lateral_explode_tokens", "percentiles_quantity",
+        "pivot_status_by_priority", "unpivot_lineitem_measures",
+        "range_join_price_bands", "asof_latest_click", "stats_moments",
+        # round 3: write-path post-states + incremental rollup
+        "soft_delete_post_state", "record_payment_post_state",
+        "surrogate_keys_bulk_post_state", "incremental_hourly_rollup",
+        # round 3: capped dedup / similarity / corpus families
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_clusters",
+        "dedup_survivors", "dedup_embedding_cosine",
+        "dedup_embedding_cosine_planted", "ann_lsh_multiprobe",
+        "dup_ngram_spans", "corpus_manifest", "source_mixture_plan",
+        "quality_score_linear", "vocab_top_terms",
+        # new in round 6
+        "ann_recall_floor", "events_transitions_incremental",
+        "source_mixture_temperature", "lang_vocab_overlap",
+        "referential_integrity_report", "order_consistency_audit",
+        "user_rfm_segments",
     ):
         assert name in window, name
 

@@ -793,6 +793,19 @@ def test_ann_recall_report_bounds_and_floor(spark, sf_dir):
     assert sum(r["recall"] for r in rows) / len(rows) >= 0.4
 
 
+def test_ann_recall_floor_one_row_constant(spark, sf_dir):
+    # the driver-visible ANN quality gate: exactly the pinned-constant
+    # row its oracle declares (k=5, n_queries=5, recall_ge_floor=true)
+    # — a recall regression below 0.4 would flip the boolean
+    from data_warehouse_project_spark.llm.similarity import (
+        ann_recall_floor)
+
+    rows = ann_recall_floor(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["k"], r["n_queries"], r["recall_ge_floor"]) == (5, 5, True)
+
+
 def test_refinery_funnel_monotone_and_reduces(spark, sf_dir):
     # each funnel stage can only drop documents (docs_in ≥ docs_band ≥
     # docs_clean ≥ docs_unique per source), retention ∈ [0,1], and on

@@ -368,7 +368,7 @@ def test_length_band_windows_over_histogram_only(r5_plans):
 #: appearing here is an accidental Python hot path
 ARROW_JUSTIFIED = {
     "dedup_simhash", "ann_lsh_cosine", "ann_lsh_multiprobe",
-    "ann_recall_report", "dedup_embedding_cosine",
+    "ann_recall_report", "ann_recall_floor", "dedup_embedding_cosine",
     "dedup_embedding_cosine_planted", "crypto_roundtrip",
 }
 

@@ -509,3 +509,97 @@ def test_rollup_maintainer_replay_is_idempotent(spark, tmp_path):
            for r in incremental.state_to_report(
                spark.read.parquet(state)).collect()}
     assert got == {(10, "click"): (2, 3.0), (11, "view"): (1, 4.0)}
+
+
+def test_transitions_maintainer_restart_matches_batch(spark, tmp_path):
+    """VERDICT r5 #7 — checkpoint-restart parity for the incremental
+    transition miner: the foreachBatch maintainer fed ts-ordered
+    chunks across TWO runs of the same checkpoint (run 2 is a restart)
+    must converge to exactly the batch twin's full recompute,
+    including the transition that CROSSES the restart boundary (the
+    carried last-event row is what stitches it)."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import transitions
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+
+    def feed(rows):
+        spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 1, h, m), et)
+             for u, e, h, m, et in rows], schema,
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        transitions.run_transitions_maintainer(stream, state, ck)
+
+    # user 1: click→view within chunk 1; user 2: single click
+    feed([(1, 10, 9, 0, "click"), (1, 11, 9, 30, "view"),
+          (2, 12, 9, 45, "click")])
+    run()
+    # chunk 2 (restart): user 1 view→purchase CROSSES the boundary;
+    # user 2 click→click crosses too; user 3 is new (no transition)
+    feed([(1, 20, 10, 0, "purchase"), (2, 21, 10, 15, "click"),
+          (3, 22, 10, 30, "view")])
+    run()
+
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in transitions.state_to_report(
+               spark.read.parquet(state)).collect()}
+    assert got == {("click", "view"): 1, ("view", "purchase"): 1,
+                   ("click", "click"): 1}
+    # full-recompute parity on the same landing data
+    full = {(r["prev_type"], r["next_type"]): r["n"]
+            for r in transitions.state_to_report(
+                transitions.transitions_state(
+                    spark.read.parquet(landing))).collect()}
+    assert got == full
+    # restart with no new data: nothing changes (exactly-once)
+    run()
+    again = {(r["prev_type"], r["next_type"]): r["n"]
+             for r in transitions.state_to_report(
+                 spark.read.parquet(state)).collect()}
+    assert again == got
+
+
+def test_transitions_fold_replay_is_idempotent(spark, tmp_path):
+    """The at-least-once crash window for the transition maintainer:
+    a replayed batch id must be skipped, not double-counted."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import transitions
+
+    state = str(tmp_path / "state")
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 1, h, m), et)
+             for u, e, h, m, et in rows], schema)
+
+    b0 = batch([(1, 10, 9, 0, "click"), (1, 11, 9, 30, "view")])
+    b1 = batch([(1, 20, 10, 0, "purchase")])
+
+    assert transitions.fold_batch_into_state(b0, 0, state) is True
+    assert transitions.fold_batch_into_state(b1, 1, state) is True
+    assert transitions.fold_batch_into_state(b1, 1, state) is False
+    assert transitions.fold_batch_into_state(b0, 0, state) is False
+
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in transitions.state_to_report(
+               spark.read.parquet(state)).collect()}
+    assert got == {("click", "view"): 1, ("view", "purchase"): 1}
+
+
+def test_transitions_incremental_equals_batch_twin(spark, sf_dir):
+    """The registered incremental form must be value-identical to the
+    batch twin's full recompute on the driver fixture."""
+    from data_warehouse_project_spark.streaming import transitions
+
+    inc = transitions.events_transitions_incremental(spark, sf_dir).collect()
+    full = batch_parity.events_top_transitions(spark, sf_dir).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in full]
