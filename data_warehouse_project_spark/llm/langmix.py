@@ -135,9 +135,13 @@ def lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit reads before trusting per-language splits. Explode →
     distinct keys one shuffle on (lang, term); the pair join runs on
     the VOCABULARY (term-keyed, each term carrying its ≤ #langs
-    rows), never on documents."""
+    rows), never on documents. The vocab aggregate is pinned
+    (cache.pin) so the corpus is tokenized ONCE — its three
+    consumers (sizes + both join sides) would otherwise each
+    re-scan and re-explode the raw text."""
+    from ..cache import pin
     cat = Catalog(spark, sf_dir)
-    vocab = _lang_vocab(cat)
+    vocab = pin(_lang_vocab(cat))
     sizes = vocab.groupBy("lang").agg(F.count("*").cast("long").alias("v"))
     a = vocab.select(F.col("lang").alias("lang_a"), "term")
     b = vocab.select(F.col("lang").alias("lang_b"), "term")

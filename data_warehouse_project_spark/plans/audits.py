@@ -246,7 +246,11 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from a bounded distinct-value histogram (days for R, event
     counts for F, whole currency units for M) and broadcasts back;
     the final aggregate has ≤ 64 segment rows. cum*4 >= k*n is the
-    integer form of cum >= ceil(k*n/4) — no FP anywhere in scoring."""
+    integer form of cum >= ceil(k*n/4) — no FP anywhere in scoring.
+    The per-user aggregate is pinned (cache.pin): its four consumers
+    (three quartile histograms + the scoring pass) would otherwise
+    each re-scan and re-aggregate the raw events."""
+    from ..cache import pin
     cat = Catalog(spark, sf_dir)
     anchor = cat.events.agg(F.max(F.to_date("ts")).alias("anchor"))
     users = (
@@ -268,6 +272,7 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(F.col("mon_cents") / F.lit(100.0)).cast("long"))
         .drop("anchor", "last_ts")
     )
+    users = pin(users)
     rq = _disc_quartiles(users, "recency_days")
     fq = _disc_quartiles(users, "freq")
     mq = _disc_quartiles(users, "mon_units")

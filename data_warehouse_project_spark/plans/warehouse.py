@@ -398,3 +398,157 @@ register("monthly_revenue_growth", monthly_revenue_growth,
          MONTHLY_GROWTH_SQL)
 register("part_pareto_concentration", part_pareto_concentration,
          PART_PARETO_SQL)
+
+
+# --------------------------------------------------------------------------
+# Shipping-latency SLA quantiles
+# --------------------------------------------------------------------------
+
+def ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA report: exact discrete p50/p90/p99 of
+    (l_shipdate - o_orderdate) in days, per order priority — the
+    fulfillment-ops percentile dashboard. Latency days are a BOUNDED
+    integer domain (TPC-H ships within ~122 days), so the quantiles
+    come from a (priority, latency_day) count histogram: the fact-fact
+    join shuffles once on orderkey, the ranking windows see only the
+    tiny histogram — the aggregate-first percentile discipline
+    (length_band_filter / events_anomaly_mad) applied to a join.
+
+    cum*100 >= n*K is the integer form of cum >= ceil(K·n/100)
+    (discrete quantile at rank ceil(q·n)) — no FP in rank math.
+    """
+    from pyspark.sql import Window as W
+    cat = Catalog(spark, sf_dir)
+    hist = (
+        cat.lineitem
+        .join(cat.orders,
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderpriority",
+                F.datediff("l_shipdate", "o_orderdate").alias("lat"))
+        .groupBy("o_orderpriority", "lat")
+        .agg(F.count("*").alias("c"))
+    )
+    w = (W.partitionBy("o_orderpriority").orderBy("lat")
+         .rowsBetween(W.unboundedPreceding, 0))
+    wt = W.partitionBy("o_orderpriority")
+    ranked = hist.select(
+        "o_orderpriority", "lat",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wt).alias("n"))
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n_lines"),
+            F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("lat")))
+            .cast("long").alias("p50_days"),
+            F.min(F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("lat")))
+            .cast("long").alias("p90_days"),
+            F.min(F.when(F.col("cum") * 100 >= F.col("n") * 99, F.col("lat")))
+            .cast("long").alias("p99_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SHIP_LATENCY_SQL = """
+WITH hist AS (
+    SELECT o.o_orderpriority,
+           date_diff('day', o.o_orderdate, l.l_shipdate) AS lat,
+           COUNT(*) AS c
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT o_orderpriority, lat,
+           SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY lat
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+    FROM hist
+)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_lines,
+       CAST(MIN(CASE WHEN cum * 2 >= n THEN lat END) AS BIGINT)
+           AS p50_days,
+       CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN lat END) AS BIGINT)
+           AS p90_days,
+       CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN lat END) AS BIGINT)
+           AS p99_days
+FROM ranked
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+register("ship_latency_quantiles", ship_latency_quantiles,
+         SHIP_LATENCY_SQL)
+
+
+# --------------------------------------------------------------------------
+# Customer acquisition-cohort revenue matrix
+# --------------------------------------------------------------------------
+
+def customer_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-cohort LTV matrix: customers cohort by the month of
+    their FIRST order; each (cohort_month, months_since_first) cell
+    reports active customers and revenue — the retention/LTV view
+    every subscription/commerce warehouse serves (the events-side
+    events_retention_cohorts applied to the revenue fact).
+
+    Scale: first-order month is one map-side-combinable
+    groupBy(custkey); the cohort join shuffles on custkey (or
+    broadcasts when the customer dim is small); the output aggregate
+    is months × months rows. Month arithmetic is pure integers
+    (year·12+month), revenue is compat.dsum exact."""
+    cat = Catalog(spark, sf_dir)
+    om = F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    first = (
+        cat.orders
+        .groupBy("o_custkey")
+        .agg(F.min(om).alias("cohort_m"))
+    )
+    return (
+        cat.orders
+        .withColumn("order_m", om)
+        .join(first, "o_custkey")
+        .groupBy(
+            # floor-division, not cast-truncation: Spark's double→int
+            # cast truncates while DuckDB's CAST rounds — FLOOR (and
+            # DuckDB's // int division) is the shared exact form
+            F.make_date(F.floor(F.col("cohort_m") / 12).cast("int"),
+                        F.col("cohort_m") % 12 + 1, F.lit(1))
+            .cast("timestamp_ntz")  # timestamp, not date: both engines
+            .alias("cohort_month"),  # then normalize identically
+            (F.col("order_m") - F.col("cohort_m")).cast("long")
+            .alias("months_since"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").cast("long")
+            .alias("n_active_customers"),
+            F.count("*").cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+COHORT_SQL = f"""
+WITH om AS (
+    SELECT o_custkey, o_totalprice,
+           YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS order_m
+    FROM orders
+),
+first AS (
+    SELECT o_custkey, MIN(order_m) AS cohort_m FROM om GROUP BY o_custkey
+)
+SELECT CAST(MAKE_DATE(CAST(f.cohort_m // 12 AS INT),
+                      CAST(f.cohort_m % 12 + 1 AS INT), 1)
+            AS TIMESTAMP) AS cohort_month,
+       CAST(o.order_m - f.cohort_m AS BIGINT) AS months_since,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o.o_totalprice')} AS revenue
+FROM om o JOIN first f ON o.o_custkey = f.o_custkey
+GROUP BY 1, 2
+ORDER BY cohort_month, months_since
+"""
+
+register("customer_cohort_revenue", customer_cohort_revenue, COHORT_SQL)

@@ -127,16 +127,26 @@ _PRIORITY: list[str] = [
     "source_mixture_plan",
     "quality_score_linear",
     "vocab_top_terms",
-    # --- positions 44-50: round-6-new queries (never driver-checked) ---
+    # --- positions 44-50: round-6-new queries (never driver-checked).
+    #     11 queries are new this round; the 7 in-window slots go to
+    #     the two index-quality gates, the incremental miner, the
+    #     three audits, and the temperature mixture. The other four
+    #     (lang_vocab_overlap, lang_head_coverage,
+    #     ship_latency_quantiles, customer_cohort_revenue — all
+    #     parity-green locally on every pytest run) lead the round-7
+    #     window with the r4-stale family. ---
     "ann_recall_floor",
+    "minhash_accuracy_floor",
     "events_transitions_incremental",
     "source_mixture_temperature",
-    "lang_vocab_overlap",
     "referential_integrity_report",
     "order_consistency_audit",
     "user_rfm_segments",
-    # position 51: lang_head_coverage (r6-new, leads the r7 window)
+    # positions 51+: r6-new queries that lead the r7 window
+    "lang_vocab_overlap",
     "lang_head_coverage",
+    "ship_latency_quantiles",
+    "customer_cohort_revenue",
 ]
 
 

@@ -141,8 +141,8 @@ def test_priority_window_covers_round6_rotation():
         "dup_ngram_spans", "corpus_manifest", "source_mixture_plan",
         "quality_score_linear", "vocab_top_terms",
         # new in round 6
-        "ann_recall_floor", "events_transitions_incremental",
-        "source_mixture_temperature", "lang_vocab_overlap",
+        "ann_recall_floor", "minhash_accuracy_floor",
+        "events_transitions_incremental", "source_mixture_temperature",
         "referential_integrity_report", "order_consistency_audit",
         "user_rfm_segments",
     ):
