@@ -57,6 +57,7 @@ HEADLINE = [
     "monthly_revenue_growth",      # LAG seasonality over monthly agg (new r6 measure)
     "part_pareto_concentration",   # top-N cumulative share (new r6 measure)
     "events_transitions_incremental",  # carry-state incremental miner (new r6)
+    "quality_calibration_report",  # score-decile calibration composition (new r6)
 ]
 
 # Log note (VERDICT r5 #8): repeated `WindowExec: No Partition

@@ -586,3 +586,90 @@ def vocab_top_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("vocab_top_terms_sketch", vocab_top_terms_sketch, None)
+
+
+# --------------------------------------------------------------------------
+# Score-decile calibration against the Gopher rule flags
+# --------------------------------------------------------------------------
+
+def quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration report: documents ranked into score deciles
+    by the linear quality scorer, each decile scored against the
+    INDEPENDENT Gopher rule-based keep flags — the lift/agreement
+    table a pipeline owner reads before trusting a cheap learned
+    scorer to replace hand rules (a well-calibrated scorer shows
+    keep_frac rising monotonically with the decile).
+
+    Scale: decile boundaries come from the QUANTIZED-score histogram
+    (scores are 6dp-rounded; floor(score·1000) gives ≤ 1001 distinct
+    buckets), so the ranking windows see the bounded histogram, never
+    per-document rows — the same aggregate-first percentile
+    discipline as length_band_filter, with the bucket→decile map
+    broadcast back. (10·cum + n − 1) div n is the integer form of
+    ceil(10·cum/n); mean/frac outputs are single IEEE divides of
+    exact integer sums."""
+    scores = quality_score_linear(spark, sf_dir).select("doc_id", "score")
+    flags = gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    docs = (scores.join(flags, "doc_id")
+            .withColumn("sb", F.floor(F.col("score") * 1000).cast("long")))
+    hist = docs.groupBy("sb").agg(F.count("*").alias("c"))
+    w = Window.orderBy("sb").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    decile_map = (
+        hist.select("sb", F.sum("c").over(w).alias("cum"),
+                    F.sum("c").over(wt).alias("n"))
+        .select("sb", F.expr("(10 * cum + n - 1) div n").alias("decile"))
+    )
+    return (
+        docs.join(F.broadcast(decile_map), "sb")
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("score").alias("score_lo"),
+            F.max("score").alias("score_hi"),
+            F.sum(F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long"))
+            .alias("_ssum"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"), "n_docs",
+            "score_lo", "score_hi",
+            fround(F.col("_ssum") / (F.col("n_docs") * F.lit(1e6)), 6)
+            .alias("mean_score"),
+            fround(F.col("n_keep") / F.col("n_docs"), 6)
+            .alias("gopher_keep_frac"),
+        )
+        .orderBy("decile")
+    )
+
+
+QUALITY_CALIBRATION_SQL = f"""
+WITH docs AS (
+    SELECT qs.doc_id, qs.score, gf.keep,
+           CAST(FLOOR(qs.score * 1000) AS BIGINT) AS sb
+    FROM ({QUALITY_SCORE_SQL}) qs
+    JOIN ({GOPHER_SQL}) gf USING (doc_id)
+),
+hist AS (SELECT sb, COUNT(*) AS c FROM docs GROUP BY sb),
+dmap AS (
+    SELECT sb, (10 * cum + n - 1) // n AS decile
+    FROM (SELECT sb,
+                 SUM(c) OVER (ORDER BY sb ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(c) OVER () AS n
+          FROM hist)
+)
+SELECT CAST(d.decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(docs.score) AS score_lo,
+       MAX(docs.score) AS score_hi,
+       {sql_fround('SUM(CAST(FLOOR(docs.score * 1000000.0 + 0.5) AS BIGINT))'
+                   ' / (COUNT(*) * 1000000.0)', 6)} AS mean_score,
+       {sql_fround('SUM(CASE WHEN docs.keep THEN 1 ELSE 0 END)'
+                   ' / CAST(COUNT(*) AS DOUBLE)', 6)} AS gopher_keep_frac
+FROM docs JOIN dmap d USING (sb)
+GROUP BY d.decile
+ORDER BY decile
+"""
+
+register("quality_calibration_report", quality_calibration_report,
+         QUALITY_CALIBRATION_SQL)

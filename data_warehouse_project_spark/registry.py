@@ -128,13 +128,12 @@ _PRIORITY: list[str] = [
     "quality_score_linear",
     "vocab_top_terms",
     # --- positions 44-50: round-6-new queries (never driver-checked).
-    #     11 queries are new this round; the 7 in-window slots go to
+    #     13 queries are new this round; the 7 in-window slots go to
     #     the two index-quality gates, the incremental miner, the
-    #     three audits, and the temperature mixture. The other four
-    #     (lang_vocab_overlap, lang_head_coverage,
-    #     ship_latency_quantiles, customer_cohort_revenue — all
-    #     parity-green locally on every pytest run) lead the round-7
-    #     window with the r4-stale family. ---
+    #     three audits, and the temperature mixture. The other six
+    #     (positions 51+ below — all parity-green locally on every
+    #     pytest run) lead the round-7 window with the r4-stale
+    #     family. ---
     "ann_recall_floor",
     "minhash_accuracy_floor",
     "events_transitions_incremental",
@@ -147,6 +146,8 @@ _PRIORITY: list[str] = [
     "lang_head_coverage",
     "ship_latency_quantiles",
     "customer_cohort_revenue",
+    "quality_calibration_report",
+    "session_stats",
 ]
 
 

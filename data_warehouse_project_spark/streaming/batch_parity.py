@@ -659,3 +659,97 @@ ORDER BY d.event_type, d.hour
 """
 
 register("events_anomaly_mad", events_anomaly_mad, EVENTS_ANOMALY_MAD_SQL)
+
+
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row session-behavior summary over the sessionized events:
+    session count, single-event-session fraction, and exact discrete
+    p50/p90 of session duration (minutes) and events-per-session —
+    the engagement dashboard a product team reads off the
+    sessionizer's output.
+
+    Scale: composes events_sessionize (one user-keyed window pass),
+    pins the session aggregate (cache.pin — three consumers: the
+    count/fraction aggregate and two quantile histograms), and takes
+    every percentile from a BOUNDED histogram (minutes, event
+    counts) — windows see distinct values only, never sessions.
+    cum·K >= n·q is the integer rank form; fractions are single
+    IEEE divides of exact integers."""
+    from ..cache import pin
+    sessions = pin(
+        events_sessionize(spark, sf_dir)
+        .select(
+            F.col("n_events").cast("long").alias("n_events"),
+            F.floor((F.unix_timestamp("session_end")
+                     - F.unix_timestamp("session_start")) / F.lit(60.0))
+            .cast("long").alias("dur_min"),
+        )
+    )
+
+    def disc_q(col: str, q_num: int, q_den: int, out: str) -> DataFrame:
+        hist = sessions.groupBy(col).agg(F.count("*").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        wt = Window.partitionBy()
+        return (
+            hist.select(F.col(col).alias("v"),
+                        F.sum("c").over(w).alias("cum"),
+                        F.sum("c").over(wt).alias("n"))
+            .agg(F.min(F.when(F.col("cum") * q_den >= F.col("n") * q_num,
+                              F.col("v"))).cast("long").alias(out))
+        )
+
+    base = sessions.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_single"))
+    return (
+        base
+        .join(F.broadcast(disc_q("dur_min", 1, 2, "p50_dur_min")))
+        .join(F.broadcast(disc_q("dur_min", 9, 10, "p90_dur_min")))
+        .join(F.broadcast(disc_q("n_events", 1, 2, "p50_events")))
+        .join(F.broadcast(disc_q("n_events", 9, 10, "p90_events")))
+        .select(
+            "n_sessions",
+            fround(F.col("n_single") / F.col("n_sessions"), 6)
+            .alias("single_event_frac"),
+            "p50_dur_min", "p90_dur_min", "p50_events", "p90_events",
+        )
+    )
+
+
+SESSION_STATS_SQL = f"""
+WITH sess AS (
+    SELECT CAST(n_events AS BIGINT) AS n_events,
+           CAST(FLOOR((epoch(session_end) - epoch(session_start)) / 60.0)
+                AS BIGINT) AS dur_min
+    FROM ({EVENTS_SESSIONIZE_SQL}) s
+),
+dq AS (
+    SELECT MIN(CASE WHEN cum * 2 >= n THEN v END) AS p50_dur_min,
+           MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS p90_dur_min
+    FROM (SELECT dur_min AS v,
+                 SUM(c) OVER (ORDER BY dur_min ROWS UNBOUNDED PRECEDING)
+                     AS cum,
+                 SUM(c) OVER () AS n
+          FROM (SELECT dur_min, COUNT(*) AS c FROM sess GROUP BY dur_min))
+),
+eq AS (
+    SELECT MIN(CASE WHEN cum * 2 >= n THEN v END) AS p50_events,
+           MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS p90_events
+    FROM (SELECT n_events AS v,
+                 SUM(c) OVER (ORDER BY n_events ROWS UNBOUNDED PRECEDING)
+                     AS cum,
+                 SUM(c) OVER () AS n
+          FROM (SELECT n_events, COUNT(*) AS c FROM sess GROUP BY n_events))
+)
+SELECT CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions,
+       {sql_fround('(SELECT SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)'
+                   ' FROM sess) / CAST((SELECT COUNT(*) FROM sess)'
+                   ' AS DOUBLE)', 6)} AS single_event_frac,
+       CAST(dq.p50_dur_min AS BIGINT) AS p50_dur_min,
+       CAST(dq.p90_dur_min AS BIGINT) AS p90_dur_min,
+       CAST(eq.p50_events AS BIGINT) AS p50_events,
+       CAST(eq.p90_events AS BIGINT) AS p90_events
+FROM dq CROSS JOIN eq
+"""
+
+register("session_stats", session_stats, SESSION_STATS_SQL)

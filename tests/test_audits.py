@@ -116,3 +116,35 @@ def test_minhash_accuracy_floor_constant_row(spark, sf_dir):
     r = rows[0]
     assert (r["n_hashes"], r["has_pairs"], r["mae_le_gate"],
             r["max_ae_le_gate"]) == (32, True, True, True)
+
+
+def test_quality_calibration_deciles_cover_all_docs(spark, sf_dir):
+    from data_warehouse_project_spark.llm.quality import (
+        quality_calibration_report)
+
+    rows = quality_calibration_report(spark, sf_dir).collect()
+    cat = Catalog(spark, sf_dir)
+    assert sum(r["n_docs"] for r in rows) == cat.documents.count()
+    assert all(1 <= r["decile"] <= 10 for r in rows)
+    # deciles ordered by score: lo/hi ranges must not interleave
+    ordered = sorted(rows, key=lambda r: r["decile"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["score_hi"] <= b["score_lo"] + 1e-3  # bucket granularity
+        assert a["score_lo"] <= a["score_hi"]
+    # the scorer carries signal: top-decile keep rate beats bottom
+    by_d = {r["decile"]: r for r in rows}
+    lo, hi = min(by_d), max(by_d)
+    assert by_d[hi]["gopher_keep_frac"] >= by_d[lo]["gopher_keep_frac"]
+
+
+def test_session_stats_one_row_consistent(spark, sf_dir):
+    from data_warehouse_project_spark.streaming.batch_parity import (
+        events_sessionize, session_stats)
+
+    rows = session_stats(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_sessions"] == events_sessionize(spark, sf_dir).count()
+    assert 0.0 <= r["single_event_frac"] <= 1.0
+    assert r["p50_dur_min"] <= r["p90_dur_min"]
+    assert 1 <= r["p50_events"] <= r["p90_events"]
