@@ -238,3 +238,51 @@ def test_merge_upsert_matches_reference_model(spark, target, source):
                                              # WHEN MATCHED ... DELETE)
     expected = sorted((k, seg, bal) for k, (seg, bal) in model.items())
     assert got == expected, (target, source)
+
+
+# ---------------------------------------------------------------------------
+# incremental transition miner vs a plain-Python reference model
+# ---------------------------------------------------------------------------
+
+#: random per-user event sequences: (user, minute, type) — minutes
+#: unique per draw so (ts, event_id) ordering is unambiguous
+_trans_events = st.lists(
+    st.tuples(st.integers(1, 4), st.integers(0, 120),
+              st.sampled_from(["a", "b", "c"])),
+    min_size=0, max_size=25,
+    unique_by=lambda r: (r[0], r[1]))
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=_trans_events, split=st.integers(0, 120))
+def test_transitions_incremental_matches_python_model(spark, events, split):
+    """State-build + merge over ANY ts-ordered two-batch split of ANY
+    event sequence must equal the transition counts of a plain-Python
+    walk over each user's time-ordered events (the batch-twin
+    semantics), including empty batches on either side."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import transitions as T
+
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+    rows = [(u, m, dt.datetime(2024, 1, 1, m // 60, m % 60), et)
+            for u, m, et in events]
+    df = spark.createDataFrame(rows or [(0, 0, dt.datetime(2024, 1, 1), "a")],
+                               schema)
+    if not rows:
+        df = df.filter(F.lit(False))
+    first = df.filter(F.col("event_id") <= split)
+    second = df.filter(F.col("event_id") > split)
+    state = T.merge_transitions_state(T.transitions_state(first), second)
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in state.filter(F.col("kind") == "c").collect()}
+
+    model: dict[tuple[str, str], int] = {}
+    by_user: dict[int, list] = {}
+    for u, m, et in sorted(events, key=lambda r: (r[0], r[1])):
+        by_user.setdefault(u, []).append(et)
+    for seq in by_user.values():
+        for a, b in zip(seq, seq[1:]):
+            model[(a, b)] = model.get((a, b), 0) + 1
+    assert got == model, (events, split)
