@@ -571,3 +571,69 @@ register("dedup_minhash_lsh", dedup_minhash_lsh, None)
 register("minhash_accuracy_floor", minhash_accuracy_floor,
          MINHASH_ACCURACY_SQL)
 register("dedup_simhash", dedup_simhash, None)
+
+
+def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-leakage matrix: the verified near-dup
+    pairs (exact-Jaccard ngram dedup) attributed to their source
+    pair — per unordered (source_a, source_b), how many near-dup
+    pairs exist and their mean similarity. Off-diagonal mass is the
+    contamination signal corpus audits look for: two "independent"
+    sources shipping the same text means dedup must run globally, not
+    per-source, and source-level mixture weights double-count.
+
+    Scale: the pair set is already bounded by the capped blocking
+    join; the source attach is two joins against the (doc_id, source)
+    projection (broadcast-able at dim scale, hash at fact scale);
+    the output aggregate is ≤ sources² rows. Mean similarity sums
+    6dp-quantized jaccards as exact integers."""
+    cat = Catalog(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(cat.documents)
+    d = cat.documents.select("doc_id", "source")
+    attributed = (
+        pairs
+        .join(d.select(F.col("doc_id").alias("doc_a"),
+                       F.col("source").alias("sa")), "doc_a")
+        .join(d.select(F.col("doc_id").alias("doc_b"),
+                       F.col("source").alias("sb")), "doc_b")
+        .select(F.least("sa", "sb").alias("source_a"),
+                F.greatest("sa", "sb").alias("source_b"),
+                "jaccard")
+    )
+    return (
+        attributed.groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"),
+             F.sum(F.floor(F.col("jaccard") * 1e6 + F.lit(0.5))
+                   .cast("long")).alias("_jq"))
+        .select("source_a", "source_b", "n_pairs",
+                fround(F.col("_jq") / (F.col("n_pairs") * F.lit(1e6)), 6)
+                .alias("mean_jaccard"),
+                (F.col("source_a") != F.col("source_b"))
+                .alias("cross_source"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+CROSS_SOURCE_LEAKAGE_SQL = f"""
+WITH pairs AS ({DEDUP_NGRAM_JACCARD_SQL}),
+docs AS (SELECT doc_id, source FROM documents),
+attributed AS (
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           p.jaccard
+    FROM pairs p
+    JOIN docs da ON p.doc_a = da.doc_id
+    JOIN docs db ON p.doc_b = db.doc_id
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {sql_fround('SUM(CAST(FLOOR(jaccard * 1000000.0 + 0.5) AS BIGINT))'
+                   ' / (COUNT(*) * 1000000.0)', 6)} AS mean_jaccard,
+       source_a <> source_b AS cross_source
+FROM attributed
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+register("cross_source_leakage", cross_source_leakage,
+         CROSS_SOURCE_LEAKAGE_SQL)

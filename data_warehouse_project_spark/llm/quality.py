@@ -607,11 +607,61 @@ def quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as length_band_filter, with the bucket→decile map
     broadcast back. (10·cum + n − 1) div n is the integer form of
     ceil(10·cum/n); mean/frac outputs are single IEEE divides of
-    exact integer sums."""
-    scores = quality_score_linear(spark, sf_dir).select("doc_id", "score")
-    flags = gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
-    docs = (scores.join(flags, "doc_id")
-            .withColumn("sb", F.floor(F.col("score") * 1000).cast("long")))
+    exact integer sums.
+
+    The two feature pipelines are INLINED over one shared token-count
+    aggregate (scorer needs n_tokens/n_distinct/letter-chars, Gopher
+    adds top_c + the bigram fraction): composing the two registered
+    queries re-exploded the corpus twice (measured 1.14 s → one
+    explode pass + one per-row projection). Every expression below is
+    copied verbatim from quality_score_linear / gopher_quality_flags,
+    so results are value-identical to the composition — the DuckDB
+    oracle still composes the two original SQL blocks independently,
+    which is exactly the cross-check."""
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.withColumn(
+        "tokens", F.split(F.trim(F.col("text")), r"\s+"))
+    per_tok = (
+        toks.select("doc_id", F.explode("tokens").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    )
+    sig = per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_c"),
+    )
+    perrow = toks.select(
+        "doc_id",
+        F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+        .cast("long").alias("n_letter_chars"),
+        F.expr(
+            "CASE WHEN size(tokens) < 2 THEN CAST(0.0 AS DOUBLE) ELSE "
+            "1.0 - size(array_distinct(transform(sequence(0, size(tokens)-2),"
+            " i -> concat(tokens[i], ' ', tokens[i+1]))))"
+            " / CAST(size(tokens) - 1 AS DOUBLE) END"
+        ).alias("raw_dup"),
+    )
+    z = (F.lit(QSCORE_W0)
+         + F.lit(QSCORE_W_LOG_TOKENS) * F.log(F.col("n_tokens"))
+         + F.lit(QSCORE_W_TTR) * (F.col("n_distinct") / F.col("n_tokens"))
+         + F.lit(QSCORE_W_AVG_LEN)
+         * (F.col("n_letter_chars") / F.col("n_tokens")))
+    docs = (
+        sig.join(perrow, "doc_id")
+        .withColumn("score", fround(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6))
+        .withColumn("ttr", fround(F.col("n_distinct") / F.col("n_tokens"), 6))
+        .withColumn("top_token_frac",
+                    fround(F.col("top_c") / F.col("n_tokens"), 6))
+        .withColumn("dup_bigram_frac", fround(F.col("raw_dup"), 6))
+        .withColumn(
+            "keep",
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("ttr") >= MIN_TTR)
+            & (F.col("top_token_frac") <= MAX_TOP_TOKEN_FRAC)
+            & (F.col("dup_bigram_frac") <= MAX_DUP_BIGRAM_FRAC))
+        .select("doc_id", "score", "keep")
+        .withColumn("sb", F.floor(F.col("score") * 1000).cast("long"))
+    )
     hist = docs.groupBy("sb").agg(F.count("*").alias("c"))
     w = Window.orderBy("sb").rowsBetween(Window.unboundedPreceding, 0)
     wt = Window.partitionBy()

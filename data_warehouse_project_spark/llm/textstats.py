@@ -406,3 +406,57 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 register("doc_lm_cross_entropy", doc_lm_cross_entropy, DOC_LM_ENTROPY_SQL)
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language-ID against the
+    labeled lang column, with per-cell corpus share — the evaluation
+    table that decides whether the cheap heuristic is good enough to
+    gate the expensive model-based LID pass (completing the
+    model-evaluation family: ann_recall_floor and
+    minhash_accuracy_floor gate indexes, quality_calibration_report
+    gates the scorer, this gates the classifier).
+
+    On the driver corpus the matrix correctly exposes a data truth:
+    the text is English-like word soup under synthetic lang labels,
+    so predictions concentrate in {en, unknown} and off-diagonal
+    mass dominates — the honest "don't trust these labels for
+    per-language training splits" signal (unit-pinned in
+    tests/test_audits.py).
+
+    Scale: one pass of per-row marker scoring (the lang_id plan), a
+    (labeled, predicted) aggregate of ≤ (langs+1)² cells, corpus
+    total attached as a broadcast scalar."""
+    preds = lang_id_heuristic(spark, sf_dir).select(
+        "labeled_lang", "predicted_lang")
+    cells = (preds.groupBy("labeled_lang", "predicted_lang")
+             .agg(F.count("*").cast("long").alias("n_docs")))
+    total = cells.agg(F.sum("n_docs").alias("total"))
+    return (
+        cells.join(F.broadcast(total))
+        .select(
+            "labeled_lang", "predicted_lang", "n_docs",
+            fround(F.col("n_docs") / F.col("total"), 6).alias("share"),
+            (F.col("labeled_lang") == F.col("predicted_lang"))
+            .alias("correct"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH preds AS ({LANG_ID_SQL}),
+cells AS (
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM preds GROUP BY 1, 2
+)
+SELECT labeled_lang, predicted_lang, n_docs,
+       {sql_fround('n_docs / CAST((SELECT SUM(n_docs) FROM cells)'
+                   ' AS DOUBLE)', 6)} AS share,
+       labeled_lang = predicted_lang AS correct
+FROM cells
+ORDER BY labeled_lang, predicted_lang
+"""
+
+register("lang_id_confusion", lang_id_confusion, LANG_CONFUSION_SQL)

@@ -148,6 +148,8 @@ _PRIORITY: list[str] = [
     "customer_cohort_revenue",
     "quality_calibration_report",
     "session_stats",
+    "cross_source_leakage",
+    "lang_id_confusion",
 ]
 
 

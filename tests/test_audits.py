@@ -148,3 +148,38 @@ def test_session_stats_one_row_consistent(spark, sf_dir):
     assert 0.0 <= r["single_event_frac"] <= 1.0
     assert r["p50_dur_min"] <= r["p90_dur_min"]
     assert 1 <= r["p50_events"] <= r["p90_events"]
+
+
+def test_cross_source_leakage_non_vacuous(spark, sf_dir):
+    from data_warehouse_project_spark.llm.dedup import (
+        cross_source_leakage, dedup_ngram_jaccard)
+
+    rows = cross_source_leakage(spark, sf_dir).collect()
+    # pair accounting: leakage cells sum to the verified pair count
+    assert sum(r["n_pairs"] for r in rows) == \
+        dedup_ngram_jaccard(spark, sf_dir).count()
+    # the driver corpus plants near-dups ACROSS sources — the matrix
+    # must show off-diagonal mass, and similarity stays a valid mean
+    assert any(r["cross_source"] for r in rows)
+    for r in rows:
+        assert r["source_a"] <= r["source_b"]
+        assert 0.0 < r["mean_jaccard"] <= 1.0
+
+
+def test_lang_id_confusion_accounts_all_docs(spark, sf_dir):
+    from data_warehouse_project_spark.llm.textstats import (
+        lang_id_confusion)
+
+    rows = lang_id_confusion(spark, sf_dir).collect()
+    cat = Catalog(spark, sf_dir)
+    assert sum(r["n_docs"] for r in rows) == cat.documents.count()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    # the driver corpus is English-like word soup under synthetic
+    # lang labels, so the matrix must reveal exactly that: off-
+    # diagonal mass concentrated in predicted_lang ∈ {en, unknown}
+    # (the honest evaluation — not a constant, not all-correct)
+    assert any(not r["correct"] for r in rows)
+    assert all(r["predicted_lang"] in ("en", "unknown")
+               for r in rows), rows
+    diag = sum(r["n_docs"] for r in rows if r["correct"])
+    assert diag > 0  # labeled-en docs are recovered
