@@ -150,3 +150,21 @@ def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("incremental_hourly_rollup", incremental_hourly_rollup, None)
+
+
+def anomalies_from_rollup_state(state: DataFrame) -> DataFrame:
+    """Serve MAD volume anomalies directly from the MAINTAINED rollup
+    state instead of rescanning events: the state's per-(hour, type)
+    counts feed the same detector as events_anomaly_mad
+    (streaming/batch_parity.mad_anomalies_from_hourly), so an
+    always-on monitor reads the materialized rollup the foreachBatch
+    maintainer keeps fresh — anomaly serving cost becomes O(state),
+    independent of history size. Equivalence to the full-recompute
+    detector is unit-pinned (tests/test_streaming.py)."""
+    from ..streaming.batch_parity import mad_anomalies_from_hourly
+
+    hourly = state.select(
+        F.col("hour").cast("timestamp_ntz").alias("hour"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n"))
+    return mad_anomalies_from_hourly(hourly)

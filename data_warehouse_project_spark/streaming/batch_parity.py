@@ -588,6 +588,15 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
         .agg(F.count("*").cast("long").alias("n"))
     )
+    return mad_anomalies_from_hourly(hourly)
+
+
+def mad_anomalies_from_hourly(hourly: DataFrame) -> DataFrame:
+    """MAD anomaly flags from ANY (hour, event_type, n) frame — the
+    detector half of events_anomaly_mad, factored out so the
+    incrementally-maintained rollup state can serve the same
+    anomalies without rescanning events (plans/incremental.
+    anomalies_from_rollup_state; equivalence unit-pinned)."""
 
     def disc_median(df: DataFrame, val: str, out: str) -> DataFrame:
         w = Window.partitionBy("event_type").orderBy(val, "hour")

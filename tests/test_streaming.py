@@ -603,3 +603,25 @@ def test_transitions_incremental_equals_batch_twin(spark, sf_dir):
     inc = transitions.events_transitions_incremental(spark, sf_dir).collect()
     full = batch_parity.events_top_transitions(spark, sf_dir).collect()
     assert [tuple(r) for r in inc] == [tuple(r) for r in full]
+
+
+def test_anomalies_served_from_rollup_state_match_recompute(spark, sf_dir):
+    """The MAD anomaly detector fed from the incrementally-maintained
+    rollup state must flag exactly the hours the full events
+    recompute flags — the materialized-monitoring path costs O(state)
+    yet answers identically."""
+    from data_warehouse_project_spark.plans import incremental
+    from data_warehouse_project_spark.sources.catalog import Catalog
+
+    ev = Catalog(spark, sf_dir).events
+    # state built incrementally (two arrival batches, like the
+    # registered incremental_hourly_rollup)
+    state = incremental.merge_hourly_state(
+        incremental.hourly_rollup_state(ev.filter(F.col("event_id") % 2 == 0)),
+        ev.filter(F.col("event_id") % 2 == 1))
+    served = incremental.anomalies_from_rollup_state(state).collect()
+    full = batch_parity.events_anomaly_mad(
+        spark, sf_dir).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in full]
+    assert len(full) >= 0  # shape pinned by the driver row; non-empty
+    # is data-dependent — equality above is the real assertion
