@@ -168,3 +168,48 @@ def anomalies_from_rollup_state(state: DataFrame) -> DataFrame:
         "event_type",
         F.col("n_events").cast("long").alias("n"))
     return mad_anomalies_from_hourly(hourly)
+
+
+def run_anomaly_alert_maintainer(events_stream: DataFrame, state_path: str,
+                                 alerts_path: str, checkpoint: str):
+    """Always-on anomaly ALERTING on top of the rollup maintainer:
+    each micro-batch folds into the mergeable state (idempotently),
+    then the state-served MAD detector runs and any anomaly cell not
+    already in the append-only alert log is appended — alert-once
+    semantics.
+
+    Crash-safety: the alert append is OUTSIDE the state's atomic
+    swap, so ordering alone can't make the pair exactly-once.
+    Instead BOTH halves are idempotent — fold_batch_into_state skips
+    replayed batch ids, and the alert anti-join dedups on
+    (event_type, hour) — so an at-least-once foreachBatch replay
+    can neither double-count state nor double-alert, and a crash
+    between swap and append is healed on replay (the anti-join
+    re-finds the unlogged alert). A cell that later drops below the
+    threshold stays logged: alerts are events, not current state.
+    """
+    import os as _os
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fold_batch_into_state(batch_df, batch_id, state_path)
+        anoms = anomalies_from_rollup_state(
+            spark.read.parquet(state_path).drop(_BATCH_COL))
+        if _os.path.exists(alerts_path):
+            seen = spark.read.parquet(alerts_path).select(
+                "event_type", "hour")
+            new = anoms.join(seen, ["event_type", "hour"], "left_anti")
+        else:
+            new = anoms
+        new = new.withColumn("alert_batch_id", F.lit(batch_id))
+        if new.limit(1).count() > 0:
+            new.write.mode("append").parquet(alerts_path)
+
+    q = (
+        events_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

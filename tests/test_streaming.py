@@ -625,3 +625,52 @@ def test_anomalies_served_from_rollup_state_match_recompute(spark, sf_dir):
     assert [tuple(r) for r in served] == [tuple(r) for r in full]
     assert len(full) >= 0  # shape pinned by the driver row; non-empty
     # is data-dependent — equality above is the real assertion
+
+
+def test_anomaly_alerter_alert_once_across_restarts(spark, tmp_path):
+    """Alert-once semantics on the state-served detector: a planted
+    hourly spike alerts exactly once, survives restarts and replays,
+    and quiet catch-up runs append nothing."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.plans import incremental
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    alerts = str(tmp_path / "alerts")
+    ck = str(tmp_path / "ck")
+    schema = ("ts timestamp, event_type string, value double, "
+              "user_id long")
+
+    def feed(rows):
+        spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, h, m), "click", 1.0, 1)
+             for h, m in rows], schema,
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        incremental.run_anomaly_alert_maintainer(stream, state, alerts, ck)
+
+    # 10 quiet hours, 3 events each → median 3, MAD 0
+    feed([(h, m * 7) for h in range(10) for m in range(3)])
+    run()
+    import os
+    n0 = (spark.read.parquet(alerts).count()
+          if os.path.exists(alerts) else 0)
+    assert n0 == 0  # stable series: nothing to flag
+
+    # hour 12 spikes to 50 events: |50 - 3| > 3*max(mad,1)
+    feed([(12, m) for m in range(50)])
+    run()                                       # restart, second chunk
+    got = spark.read.parquet(alerts).collect()
+    assert len(got) == 1
+    assert got[0]["hour"].hour == 12 and got[0]["n"] == 50
+
+    run()                                       # no new data: no dupes
+    assert spark.read.parquet(alerts).count() == 1
+
+    # direct replay of an already-folded batch must not re-alert
+    batch = spark.read.parquet(landing)
+    applied = incremental.fold_batch_into_state(batch, 0, state)
+    assert applied is False
