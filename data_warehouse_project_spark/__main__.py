@@ -27,6 +27,12 @@ def main(argv: list[str] | None = None) -> int:
     exp_p.add_argument("query")
     exp_p.add_argument("--sf-dir", default="/root/testdata/sf0.1")
 
+    hc_p = sub.add_parser(
+        "healthcheck",
+        help="run the warehouse audit family (FK integrity, order "
+             "reconciliation); exit 1 on orphans/NULL FKs")
+    hc_p.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+
     args = parser.parse_args(argv)
 
     from . import registry
@@ -35,6 +41,29 @@ def main(argv: list[str] | None = None) -> int:
             kind = "oracle" if sql else "rows-only"
             print(f"{name:35s} [{kind}]")
         return 0
+
+    if args.cmd == "healthcheck":
+        from .plans.audits import (order_consistency_audit,
+                                   referential_integrity_report)
+        from .session import get_spark
+        spark = get_spark("dwps-healthcheck")
+        bad = 0
+        print("== referential integrity ==")
+        for r in referential_integrity_report(spark, args.sf_dir).collect():
+            flag = "" if (r["n_orphans"] == 0 and r["n_null_fk"] == 0) \
+                else "  <-- VIOLATION"
+            bad += r["n_orphans"] + r["n_null_fk"]
+            print(f"{r['edge']:40s} child={r['n_child']:>10d} "
+                  f"null_fk={r['n_null_fk']} orphans={r['n_orphans']}{flag}")
+        print("== order reconciliation ==")
+        for r in order_consistency_audit(spark, args.sf_dir).collect():
+            print(f"status={r['o_orderstatus']} orders={r['n_orders']} "
+                  f"no_lines={r['n_no_lines']} "
+                  f"mismatch_gt1pct={r['n_mismatch']} "
+                  f"max_drift_cents={r['max_abs_diff_cents']}")
+        spark.stop()
+        print("HEALTHCHECK", "FAIL" if bad else "OK")
+        return 1 if bad else 0
 
     if args.query not in registry.REGISTRY:
         print(f"unknown query {args.query!r}; try 'list'", file=sys.stderr)

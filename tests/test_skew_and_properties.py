@@ -286,3 +286,27 @@ def test_transitions_incremental_matches_python_model(spark, events, split):
         for a, b in zip(seq, seq[1:]):
             model[(a, b)] = model.get((a, b), 0) + 1
     assert got == model, (events, split)
+
+
+# ---------------------------------------------------------------------------
+# discrete-quantile rank rule vs a Python reference model
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(0, 30), min_size=1, max_size=40))
+def test_disc_quartiles_match_rank_model(spark, vals):
+    """The histogram-based quartile helper (audits._disc_quartiles —
+    the rank math behind user_rfm_segments, ship_latency_quantiles,
+    session_stats and the calibration deciles) must return the value
+    at sorted rank ceil(k·n/4) for k = 1..3, for ANY multiset —
+    ties, skew, and single-value series included."""
+    from data_warehouse_project_spark.plans.audits import _disc_quartiles
+
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    row = _disc_quartiles(df, "x").collect()[0]
+    s = sorted(vals)
+    n = len(s)
+    expect = {f"q{k}": s[-(-k * n // 4) - 1] for k in (1, 2, 3)}
+    got = {k: row[k] for k in ("q1", "q2", "q3")}
+    assert got == expect, (vals, got, expect)
