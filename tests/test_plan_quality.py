@@ -402,3 +402,48 @@ def test_r5_paths_stay_jvm_side(r5_plans):
             continue
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+@pytest.fixture(scope="module")
+def r6_plans(spark, sf_dir):
+    qs = registry.queries()
+    return {name: _plan(qs[name](spark, sf_dir))
+            for name in ["user_rfm_segments", "ship_latency_quantiles",
+                         "session_stats", "quality_calibration_report",
+                         "referential_integrity_report",
+                         "lang_vocab_overlap"]}
+
+
+def test_r6_quantile_windows_consume_histograms_only(r6_plans):
+    # the round-6 percentile family inherits the length_band
+    # discipline: every quantile/decile window consumes a post-
+    # aggregation HISTOGRAM (HashAggregate feeds the window), the
+    # bounds/decile maps attach by broadcast, and nothing goes
+    # cartesian
+    for name in ("user_rfm_segments", "ship_latency_quantiles",
+                 "session_stats", "quality_calibration_report"):
+        plan = r6_plans[name]
+        assert "Window" in plan, name
+        pre_window = plan.split("Window")[0]
+        assert "HashAggregate" in pre_window, name
+        assert "CartesianProduct" not in plan, name
+    # the per-user / per-doc scoring side receives the bounds by
+    # broadcast, never by shuffled join
+    assert "BroadcastNestedLoopJoin" in r6_plans["user_rfm_segments"]
+    assert "BroadcastHashJoin" in r6_plans["quality_calibration_report"]
+
+
+def test_r6_integrity_antijoins_and_vocab_join(r6_plans):
+    # FK audit: anti-joins only (no cartesian); the vocab-overlap
+    # pair join keys on term AFTER the distinct aggregate (vocab is
+    # the join input, not raw documents)
+    ri = r6_plans["referential_integrity_report"]
+    assert "CartesianProduct" not in ri
+    assert ri.count("LeftAnti") >= 6
+    vo = r6_plans["lang_vocab_overlap"]
+    assert "CartesianProduct" not in vo
+    # the pair join consumes the PINNED distinct-vocab aggregate (the
+    # corpus is tokenized once): both join sides read the in-memory
+    # frame, never re-derive from documents
+    assert "InMemoryTableScan" in vo
+    assert vo.count("HashAggregate") >= 2
