@@ -58,6 +58,8 @@ HEADLINE = [
     "part_pareto_concentration",   # top-N cumulative share (new r6 measure)
     "events_transitions_incremental",  # carry-state incremental miner (new r6)
     "quality_calibration_report",  # score-decile calibration composition (new r6)
+    "user_rfm_segments",           # histogram-quartile RFM segmentation (new r6)
+    "referential_integrity_report",  # six-edge FK anti-join audit (new r6)
 ]
 
 # Log note (VERDICT r5 #8): repeated `WindowExec: No Partition
