@@ -217,7 +217,12 @@ def _disc_quartiles(hist_src: DataFrame, col: str) -> DataFrame:
     """Exact discrete quartile boundaries (the value at cumulative
     rank ceil(k·n/4), k=1..3) from a value histogram — the window
     sees DISTINCT values only (bounded: days / event counts /
-    whole-unit spend), never one row per user."""
+    whole-unit spend), never one row per user.
+
+    Reference single-dimension form of the rank rule (property-tested
+    against sorted-rank in tests/test_skew_and_properties.py);
+    user_rfm_segments inlines the same math as ONE stacked
+    multi-dimension histogram pass."""
     hist = hist_src.groupBy(col).agg(F.count("*").alias("c"))
     w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
     wt = Window.partitionBy()
@@ -273,30 +278,44 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("anchor", "last_ts")
     )
     users = pin(users)
-    rq = _disc_quartiles(users, "recency_days")
-    fq = _disc_quartiles(users, "freq")
-    mq = _disc_quartiles(users, "mon_units")
+    # ONE stacked histogram pass computes all nine quartile bounds:
+    # (dim, value) counts shuffle once, the ranking windows partition
+    # by dim (never single-partition), and the bounds pivot into a
+    # single one-row broadcast — versus three separate histogram jobs
+    # over the user aggregate
+    hist = (users.selectExpr(
+        "stack(3, 'r', recency_days, 'f', freq, 'm', mon_units)"
+        " as (dim, v)")
+        .groupBy("dim", "v").agg(F.count("*").alias("c")))
+    w = Window.partitionBy("dim").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("dim")
+    bounds = (
+        hist.select("dim", "v", F.sum("c").over(w).alias("cum"),
+                    F.sum("c").over(wt).alias("n"))
+        .groupBy("dim")
+        .agg(F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("v")))
+             .alias("q1"),
+             F.min(F.when(F.col("cum") * 4 >= F.col("n") * 2, F.col("v")))
+             .alias("q2"),
+             F.min(F.when(F.col("cum") * 4 >= F.col("n") * 3, F.col("v")))
+             .alias("q3"))
+        .groupBy().pivot("dim", ["r", "f", "m"])
+        .agg(F.first("q1").alias("q1"), F.first("q2").alias("q2"),
+             F.first("q3").alias("q3"))
+    )
 
-    def score(v, q, invert: bool):
-        up = ((F.col(v) > q["q1"]).cast("int")
-              + (F.col(v) > q["q2"]).cast("int")
-              + (F.col(v) > q["q3"]).cast("int"))
+    def score(v: str, p: str, invert: bool):
+        up = ((F.col(v) > F.col(f"{p}_q1")).cast("int")
+              + (F.col(v) > F.col(f"{p}_q2")).cast("int")
+              + (F.col(v) > F.col(f"{p}_q3")).cast("int"))
         return (F.lit(4) - up) if invert else (F.lit(1) + up)
 
-    rqc = {k: F.col(f"r_{k}") for k in ("q1", "q2", "q3")}
-    fqc = {k: F.col(f"f_{k}") for k in ("q1", "q2", "q3")}
-    mqc = {k: F.col(f"m_{k}") for k in ("q1", "q2", "q3")}
     scored = (
-        users
-        .join(F.broadcast(rq.select(*[F.col(k).alias(f"r_{k}")
-                                      for k in ("q1", "q2", "q3")])))
-        .join(F.broadcast(fq.select(*[F.col(k).alias(f"f_{k}")
-                                      for k in ("q1", "q2", "q3")])))
-        .join(F.broadcast(mq.select(*[F.col(k).alias(f"m_{k}")
-                                      for k in ("q1", "q2", "q3")])))
-        .withColumn("r_score", score("recency_days", rqc, invert=True))
-        .withColumn("f_score", score("freq", fqc, invert=False))
-        .withColumn("m_score", score("mon_units", mqc, invert=False))
+        users.join(F.broadcast(bounds))
+        .withColumn("r_score", score("recency_days", "r", invert=True))
+        .withColumn("f_score", score("freq", "f", invert=False))
+        .withColumn("m_score", score("mon_units", "m", invert=False))
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
