@@ -385,3 +385,92 @@ ORDER BY segment
 """
 
 register("user_rfm_segments", user_rfm_segments, RFM_SQL)
+
+
+# --------------------------------------------------------------------------
+# Time-series completeness (hour-spine gap detection)
+# --------------------------------------------------------------------------
+
+def events_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data audit for the event stream: generate the full
+    hour spine between the corpus min and max hour, cross it with
+    the observed event types, and anti-join the observed (hour, type)
+    cells — per type: expected vs observed hours, the gap count, and
+    the first/last missing hour. The complement of the anomaly
+    detectors: a MAD spike needs a row to flag, a GAP is the row
+    that never arrived (dead producer, dropped partition).
+
+    Scale: the spine is bounded (hours between min and max — a
+    one-row aggregate drives sequence()), types are a tiny distinct;
+    expected = spine × types attaches by broadcast nested loop over
+    the bounded spine; the anti-join probes the (hour, type)
+    aggregate of events, never raw rows."""
+    cat = Catalog(spark, sf_dir)
+    hourly = (cat.events
+              .select(F.date_trunc("hour", F.col("ts")).alias("h"),
+                      "event_type")
+              .distinct())
+    spine = (cat.events
+             .agg(F.min(F.date_trunc("hour", F.col("ts"))).alias("lo"),
+                  F.max(F.date_trunc("hour", F.col("ts"))).alias("hi"))
+             .select(F.explode(F.expr(
+                 "sequence(lo, hi, interval 1 hour)")).alias("h")))
+    types = cat.events.select("event_type").distinct()
+    expected = spine.join(F.broadcast(types))
+    missing = expected.join(hourly, ["h", "event_type"], "left_anti")
+    n_spine = spine.agg(F.count("*").alias("n_expected"))
+    obs = hourly.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_observed"))
+    gaps = missing.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_missing"),
+        F.min("h").alias("first_gap"),
+        F.max("h").alias("last_gap"))
+    return (
+        obs.join(F.broadcast(n_spine))
+        .join(gaps, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n_expected").cast("long").alias("n_expected"),
+            "n_observed",
+            F.coalesce("n_missing", F.lit(0)).cast("long")
+            .alias("n_missing"),
+            "first_gap", "last_gap")
+        .orderBy("event_type")
+    )
+
+
+EVENTS_GAP_SQL = """
+WITH hourly AS (
+    SELECT DISTINCT date_trunc('hour', ts) AS h, event_type FROM events
+),
+spine AS (
+    SELECT UNNEST(generate_series((SELECT MIN(date_trunc('hour', ts))
+                                   FROM events),
+                                  (SELECT MAX(date_trunc('hour', ts))
+                                   FROM events),
+                                  INTERVAL 1 HOUR)) AS h
+),
+types AS (SELECT DISTINCT event_type FROM events),
+missing AS (
+    SELECT e.h, e.event_type
+    FROM (SELECT s.h, t.event_type FROM spine s, types t) e
+    LEFT JOIN hourly o ON e.h = o.h AND e.event_type = o.event_type
+    WHERE o.h IS NULL
+),
+gaps AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_missing,
+           MIN(h) AS first_gap, MAX(h) AS last_gap
+    FROM missing GROUP BY event_type
+)
+SELECT o.event_type,
+       CAST((SELECT COUNT(*) FROM spine) AS BIGINT) AS n_expected,
+       CAST(o.n_observed AS BIGINT) AS n_observed,
+       CAST(COALESCE(g.n_missing, 0) AS BIGINT) AS n_missing,
+       g.first_gap, g.last_gap
+FROM (SELECT event_type, COUNT(*) AS n_observed FROM hourly
+      GROUP BY event_type) o
+LEFT JOIN gaps g ON o.event_type = g.event_type
+ORDER BY o.event_type
+"""
+
+register("events_gap_report", events_gap_report, EVENTS_GAP_SQL)

@@ -150,6 +150,7 @@ _PRIORITY: list[str] = [
     "session_stats",
     "cross_source_leakage",
     "lang_id_confusion",
+    "events_gap_report",
 ]
 
 

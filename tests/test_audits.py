@@ -183,3 +183,20 @@ def test_lang_id_confusion_accounts_all_docs(spark, sf_dir):
                for r in rows), rows
     diag = sum(r["n_docs"] for r in rows if r["correct"])
     assert diag > 0  # labeled-en docs are recovered
+
+
+def test_events_gap_report_accounting(spark, sf_dir):
+    from data_warehouse_project_spark.plans.audits import events_gap_report
+
+    rows = events_gap_report(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        # expected = observed + missing, exactly, per type
+        assert r["n_expected"] == r["n_observed"] + r["n_missing"]
+        if r["n_missing"] > 0:
+            assert r["first_gap"] is not None
+            assert r["first_gap"] <= r["last_gap"]
+        else:
+            assert r["first_gap"] is None and r["last_gap"] is None
+    # all types share one spine
+    assert len({r["n_expected"] for r in rows}) == 1
