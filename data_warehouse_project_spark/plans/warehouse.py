@@ -552,3 +552,166 @@ ORDER BY cohort_month, months_since
 """
 
 register("customer_cohort_revenue", customer_cohort_revenue, COHORT_SQL)
+
+
+# --------------------------------------------------------------------------
+# Supplier scorecard
+# --------------------------------------------------------------------------
+
+#: scorecard size
+SCORECARD_TOP_N = 25
+
+
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier operations scorecard: the SCORECARD_TOP_N
+    suppliers by net revenue with line volume, return fraction, and
+    exact median order→ship latency — the vendor-management
+    dashboard (revenue concentration × quality × speed in one view).
+
+    Scale: one fact-fact join (lineitem⋈orders on the order key),
+    one map-side-combinable supplier aggregate carrying integer
+    counts + guard-scaled revenue, and a per-supplier latency
+    histogram whose ranking window sees (supplier, latency-day)
+    cells only (≤ ~122 distinct days each); supplier names attach by
+    broadcast; TakeOrdered picks the top N — no global sort."""
+    from pyspark.sql import Window as W
+    cat = Catalog(spark, sf_dir)
+    lines = (
+        cat.lineitem
+        .join(cat.orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_suppkey",
+            F.datediff("l_shipdate", "o_orderdate").alias("lat"),
+            (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("net"),
+        )
+    )
+    base = lines.groupBy("l_suppkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("ret").cast("long").alias("n_returned"),
+        dsum(F.col("net")).alias("revenue"))
+    hist = lines.groupBy("l_suppkey", "lat").agg(F.count("*").alias("c"))
+    w = (W.partitionBy("l_suppkey").orderBy("lat")
+         .rowsBetween(W.unboundedPreceding, 0))
+    wt = W.partitionBy("l_suppkey")
+    med = (
+        hist.select("l_suppkey", "lat",
+                    F.sum("c").over(w).alias("cum"),
+                    F.sum("c").over(wt).alias("n"))
+        .groupBy("l_suppkey")
+        .agg(F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("lat")))
+             .cast("long").alias("p50_latency_days"))
+    )
+    return (
+        base.join(med, "l_suppkey")
+        .join(F.broadcast(cat.supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_suppkey", "s_name", "n_lines", "revenue",
+                fround(F.col("n_returned") / F.col("n_lines"), 6)
+                .alias("return_frac"),
+                "p50_latency_days")
+        .orderBy(F.col("revenue").desc(), "l_suppkey")
+        .limit(SCORECARD_TOP_N)
+    )
+
+
+SUPPLIER_SCORECARD_SQL = f"""
+WITH lines AS (
+    SELECT l.l_suppkey,
+           date_diff('day', o.o_orderdate, l.l_shipdate) AS lat,
+           CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+           l.l_extendedprice * (1 - l.l_discount) AS net
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+base AS (
+    SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(ret) AS BIGINT) AS n_returned,
+           {sql_dsum('net')} AS revenue
+    FROM lines GROUP BY l_suppkey
+),
+med AS (
+    SELECT l_suppkey,
+           CAST(MIN(CASE WHEN cum * 2 >= n THEN lat END) AS BIGINT)
+               AS p50_latency_days
+    FROM (SELECT l_suppkey, lat,
+                 SUM(c) OVER (PARTITION BY l_suppkey ORDER BY lat
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(c) OVER (PARTITION BY l_suppkey) AS n
+          FROM (SELECT l_suppkey, lat, COUNT(*) AS c FROM lines
+                GROUP BY l_suppkey, lat))
+    GROUP BY l_suppkey
+)
+SELECT b.l_suppkey, s.s_name, b.n_lines, b.revenue,
+       {sql_fround('b.n_returned / CAST(b.n_lines AS DOUBLE)', 6)}
+           AS return_frac,
+       m.p50_latency_days
+FROM base b
+JOIN med m ON b.l_suppkey = m.l_suppkey
+JOIN supplier s ON b.l_suppkey = s.s_suppkey
+ORDER BY b.revenue DESC, b.l_suppkey
+LIMIT {SCORECARD_TOP_N}
+"""
+
+register("supplier_scorecard", supplier_scorecard, SUPPLIER_SCORECARD_SQL)
+
+
+# --------------------------------------------------------------------------
+# Open-order aging
+# --------------------------------------------------------------------------
+
+#: aging band upper bounds in days (last band is open-ended)
+_AGING_BANDS = [30, 60, 90, 180, 365]
+
+
+def order_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aging report: orders bucketed by age (days from order
+    date to the corpus max order date) into standard 30/60/90/180/365
+    bands, per status — the receivables/backlog view. Pure integer
+    day arithmetic against a broadcast one-row anchor; the output is
+    statuses × bands rows."""
+    cat = Catalog(spark, sf_dir)
+    anchor = cat.orders.agg(F.max("o_orderdate").alias("anchor"))
+    age = F.datediff(F.col("anchor"), F.col("o_orderdate"))
+    band = F.when(age <= _AGING_BANDS[0], F.lit(f"000-{_AGING_BANDS[0]:03d}"))
+    prev = _AGING_BANDS[0]
+    for ub in _AGING_BANDS[1:]:
+        band = band.when(age <= ub, F.lit(f"{prev + 1:03d}-{ub:03d}"))
+        prev = ub
+    band = band.otherwise(F.lit(f"{_AGING_BANDS[-1] + 1:03d}+"))
+    return (
+        cat.orders.join(F.broadcast(anchor))
+        .groupBy("o_orderstatus", band.alias("age_band"))
+        .agg(F.count("*").cast("long").alias("n_orders"),
+             dsum(F.col("o_totalprice")).alias("total_value"))
+        .orderBy("o_orderstatus", "age_band")
+    )
+
+
+def _aging_case_sql() -> str:
+    parts = [f"WHEN age <= {_AGING_BANDS[0]} THEN '000-{_AGING_BANDS[0]:03d}'"]
+    prev = _AGING_BANDS[0]
+    for ub in _AGING_BANDS[1:]:
+        parts.append(f"WHEN age <= {ub} THEN '{prev + 1:03d}-{ub:03d}'")
+        prev = ub
+    parts.append(f"ELSE '{_AGING_BANDS[-1] + 1:03d}+'")
+    return "CASE " + " ".join(parts) + " END"
+
+
+ORDER_AGING_SQL = f"""
+WITH aged AS (
+    SELECT o_orderstatus, o_totalprice,
+           date_diff('day', o_orderdate,
+                     (SELECT MAX(o_orderdate) FROM orders)) AS age
+    FROM orders
+)
+SELECT o_orderstatus, {_aging_case_sql()} AS age_band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_value
+FROM aged
+GROUP BY 1, 2
+ORDER BY o_orderstatus, age_band
+"""
+
+register("order_aging_report", order_aging_report, ORDER_AGING_SQL)

@@ -151,6 +151,8 @@ _PRIORITY: list[str] = [
     "cross_source_leakage",
     "lang_id_confusion",
     "events_gap_report",
+    "supplier_scorecard",
+    "order_aging_report",
 ]
 
 

@@ -200,3 +200,29 @@ def test_events_gap_report_accounting(spark, sf_dir):
             assert r["first_gap"] is None and r["last_gap"] is None
     # all types share one spine
     assert len({r["n_expected"] for r in rows}) == 1
+
+
+def test_supplier_scorecard_top25_sane(spark, sf_dir):
+    from data_warehouse_project_spark.plans.warehouse import (
+        SCORECARD_TOP_N, supplier_scorecard)
+
+    rows = supplier_scorecard(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= SCORECARD_TOP_N
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    for r in rows:
+        assert 0.0 <= r["return_frac"] <= 1.0
+        assert r["p50_latency_days"] is not None
+        assert r["s_name"]
+
+
+def test_order_aging_bands_account_all_orders(spark, sf_dir):
+    from data_warehouse_project_spark.plans.warehouse import (
+        order_aging_report)
+
+    rows = order_aging_report(spark, sf_dir).collect()
+    cat = Catalog(spark, sf_dir)
+    assert sum(r["n_orders"] for r in rows) == cat.orders.count()
+    bands = {r["age_band"] for r in rows}
+    assert bands <= {"000-030", "031-060", "061-090", "091-180",
+                     "181-365", "366+"}
