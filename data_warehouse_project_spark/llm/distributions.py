@@ -1,0 +1,183 @@
+"""Distributional statistics of the corpus: token-frequency law fit
+and embedding coordinate moments.
+
+Two standing sanity gates a training-data pipeline runs on every new
+corpus drop: (1) does the token frequency distribution still follow a
+Zipf power law (a broken slope flags boilerplate floods or tokenizer
+regressions), and (2) are the embedding coordinates centered/scaled
+as expected (a drifting dimension flags an encoder change or a
+corrupt shard).
+
+Scale notes:
+- ``doc_zipf_fit``: the corpus-sized work is the one explode →
+  map-side-combined term count shuffle (same shape as
+  quality.vocab_top_terms); the OLS fit runs over the top-K cut
+  (ZIPF_TOP_K rows), so its single-partition ranking window is
+  bounded-cardinality by construction.
+- ``embedding_dim_stats``: posexplode fans each vector out ×dim, but
+  partial aggregation collapses to ``dim`` groups map-side — the
+  shuffle carries O(partitions × dim) rows regardless of corpus size.
+
+Determinism (SURVEY.md §7.4.4 policy): per-term/-component values are
+quantized to integers (floor(x·1e6+0.5)) and summed as int64 — exact
+and order-independent; the final slope/mean/std are single IEEE ops
+over identical integer operands on both engines. ln() carries the
+documented residual transcendental ulp risk (compat.py policy note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.compat import fround, sql_fround
+from ..registry import register
+from ..sources.catalog import Catalog
+
+#: terms the Zipf OLS fit runs over (bounded window cardinality)
+ZIPF_TOP_K = 200
+
+#: quantization scale for log-terms and embedding components
+_Q = 1_000_000.0
+
+
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of ln(frequency) on ln(rank) over the top-K
+    corpus terms — the Zipf's-law slope (~ -1 for natural text).
+    One corpus-scale term-count shuffle; the fit itself is a 1-row
+    aggregate of integer-quantized log terms over K rows."""
+    cat = Catalog(spark, sf_dir)
+    vocab = (
+        cat.documents
+        .withColumn("tokens", F.split(F.trim(F.col("text")), r"\s+"))
+        .select(F.explode("tokens").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("term"))
+        .limit(ZIPF_TOP_K)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))
+    ranked = vocab.withColumn("rank", F.row_number().over(w).cast("long"))
+    q = ranked.select(
+        F.floor(F.log(F.col("rank").cast("double")) * F.lit(_Q)
+                + F.lit(0.5)).cast("long").alias("qx"),
+        F.floor(F.log(F.col("n_occurrences").cast("double")) * F.lit(_Q)
+                + F.lit(0.5)).cast("long").alias("qy"))
+    sums = q.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("qx").alias("sx"), F.sum("qy").alias("sy"),
+        F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
+        F.sum(F.col("qx") * F.col("qx")).alias("sxx"))
+    n_d = F.col("n_terms").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    slope = ((n_d * F.col("sxy").cast("double") - sx_d * sy_d)
+             / (n_d * F.col("sxx").cast("double") - sx_d * sx_d))
+    fitted = sums.withColumn("slope_raw", slope)
+    return fitted.select(
+        "n_terms",
+        fround(F.col("slope_raw"), 6).alias("zipf_slope"),
+        fround((sy_d / n_d - F.col("slope_raw") * (sx_d / n_d))
+               / F.lit(_Q), 6).alias("zipf_intercept"))
+
+
+ZIPF_SQL = f"""
+WITH vocab AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM (SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+          FROM documents)
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, term
+    LIMIT {ZIPF_TOP_K}
+),
+ranked AS (
+    SELECT CAST(ROW_NUMBER()
+                OVER (ORDER BY n_occurrences DESC, term) AS BIGINT) AS rank,
+           n_occurrences
+    FROM vocab
+),
+q AS (
+    SELECT CAST(FLOOR(LN(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT) AS qx,
+           CAST(FLOOR(LN(CAST(n_occurrences AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT) AS qy
+    FROM ranked
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           SUM(qx) AS sx, SUM(qy) AS sy,
+           SUM(qx * qy) AS sxy, SUM(qx * qx) AS sxx
+    FROM q
+),
+fitted AS (
+    SELECT n_terms, sx, sy,
+           (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_raw
+    FROM sums
+)
+SELECT n_terms,
+       {sql_fround('slope_raw', 6)} AS zipf_slope,
+       {sql_fround('(CAST(sy AS DOUBLE) / CAST(n_terms AS DOUBLE)'
+                   ' - slope_raw * (CAST(sx AS DOUBLE)'
+                   ' / CAST(n_terms AS DOUBLE))) / 1000000.0', 6)}
+           AS zipf_intercept
+FROM fitted
+"""
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean and population standard deviation of the
+    embedding coordinates. posexplode ×dim, collapsed map-side to
+    ``dim`` groups — shuffle volume independent of corpus size."""
+    cat = Catalog(spark, sf_dir)
+    ex = (
+        cat.embeddings
+        .select(F.posexplode("embedding").alias("dim", "x"))
+        .select(F.col("dim").cast("long").alias("dim"),
+                F.floor(F.col("x").cast("double") * F.lit(_Q)
+                        + F.lit(0.5)).cast("long").alias("q"))
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"))
+    n_d = F.col("n_vecs").cast("double")
+    mean_q = F.col("sq").cast("double") / n_d
+    var_q = F.col("sqq").cast("double") / n_d - mean_q * mean_q
+    return (
+        agg.select(
+            "dim", "n_vecs",
+            fround(mean_q / F.lit(_Q), 6).alias("mean_val"),
+            fround(F.sqrt(var_q) / F.lit(_Q), 6).alias("std_val"))
+        .orderBy("dim")
+    )
+
+
+EMB_DIM_SQL = """
+WITH ex AS (
+    SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+           CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+                AS BIGINT) AS q
+    FROM embeddings
+),
+agg AS (
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           SUM(q) AS sq, SUM(q * q) AS sqq
+    FROM ex GROUP BY 1
+)
+SELECT dim, n_vecs,
+       {mean_expr} AS mean_val,
+       {std_expr} AS std_val
+FROM agg
+ORDER BY dim
+""".format(
+    mean_expr=sql_fround(
+        '(CAST(sq AS DOUBLE) / CAST(n_vecs AS DOUBLE)) / 1000000.0', 6),
+    std_expr=sql_fround(
+        'SQRT(CAST(sqq AS DOUBLE) / CAST(n_vecs AS DOUBLE)'
+        ' - (CAST(sq AS DOUBLE) / CAST(n_vecs AS DOUBLE))'
+        ' * (CAST(sq AS DOUBLE) / CAST(n_vecs AS DOUBLE))) / 1000000.0', 6))
+
+
+register("doc_zipf_fit", doc_zipf_fit, ZIPF_SQL)
+register("embedding_dim_stats", embedding_dim_stats, EMB_DIM_SQL)

@@ -1,0 +1,267 @@
+"""Behavioral analytics: market-basket affinity and funnel conversion.
+
+The reference's portal counts registrations and payments per event
+(``db.py`` dashboard aggregates); these queries are the next set of
+questions the same owner asks — "which items co-occur?" and "where do
+users drop off?" — expressed warehouse-side over the driver star
+schema (part co-occurrence within orders; the view→click→purchase
+event funnel).
+
+Scale notes:
+- market basket: the pair generator self-joins the distinct
+  (order, part) set on the order key — shuffle keyed by order, and
+  per-order fan-out is k² in basket size, so a ``MAX_BASKET_ITEMS``
+  guard drops pathological baskets BEFORE the join (at 100 TB one
+  million-line order would otherwise emit 10¹² pairs from a single
+  key). Lift denominators come from the same distinct set, joined
+  back broadcast-side after the top-K cut (50 rows).
+- funnel: ONE shuffle — all three stage timestamps are per-user
+  window minima over the same ``partitionBy(user_id)`` exchange, and
+  the stage report is a tiny unconditional aggregate over the
+  per-user collapse.
+
+Determinism: counts are exact integers; support/lift/conversion are
+single IEEE divides over identical integer operands on both engines,
+rounded via compat.fround (SURVEY.md §7.4.4 policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.compat import fround, sql_fround
+from ..registry import register
+from ..sources.catalog import Catalog
+
+#: drop baskets larger than this before the pair self-join — bounds
+#: the per-key fan-out at k² ≤ 900 regardless of data scale
+MAX_BASKET_ITEMS = 30
+
+#: pairs reported
+BASKET_TOP_K = 50
+
+
+def part_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-occurring part pairs across orders with support and
+    lift. distinct (order, part) → basket-size guard → orderkey-keyed
+    self-join (pk_a < pk_b) → pair counts → top-K → broadcast
+    join-back of the per-part order counts for lift."""
+    cat = Catalog(spark, sf_dir)
+    items = cat.lineitem.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        items.groupBy("l_orderkey")
+        .agg(F.count("*").alias("basket_n"))
+        .filter(F.col("basket_n") <= MAX_BASKET_ITEMS)
+        .select("l_orderkey")
+    )
+    kept = items.join(sized, "l_orderkey")
+    a = kept.select(F.col("l_orderkey").alias("ok"),
+                    F.col("l_partkey").alias("part_a"))
+    b = kept.select(F.col("l_orderkey").alias("ok"),
+                    F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("pair_orders"))
+        .orderBy(F.col("pair_orders").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP_K)
+    )
+    per_part = kept.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("part_orders"))
+    total = kept.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("total_orders"))
+    out = (
+        pairs
+        .join(per_part.withColumnRenamed("l_partkey", "part_a")
+                      .withColumnRenamed("part_orders", "orders_a"), "part_a")
+        .join(per_part.withColumnRenamed("l_partkey", "part_b")
+                      .withColumnRenamed("part_orders", "orders_b"), "part_b")
+        .crossJoin(F.broadcast(total))
+    )
+    return (
+        out.select(
+            "part_a", "part_b", "pair_orders", "orders_a", "orders_b",
+            fround(F.col("pair_orders").cast("double")
+                   / F.col("total_orders").cast("double"), 6).alias("support"),
+            fround((F.col("pair_orders").cast("double")
+                    * F.col("total_orders").cast("double"))
+                   / (F.col("orders_a").cast("double")
+                      * F.col("orders_b").cast("double")), 6).alias("lift"))
+        .orderBy(F.col("pair_orders").desc(), "part_a", "part_b")
+    )
+
+
+MARKET_BASKET_SQL = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+kept AS (
+    SELECT i.l_orderkey, i.l_partkey FROM items i
+    JOIN (SELECT l_orderkey FROM items GROUP BY 1
+          HAVING COUNT(*) <= {MAX_BASKET_ITEMS}) s USING (l_orderkey)
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS pair_orders
+    FROM kept a JOIN kept b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY pair_orders DESC, part_a, part_b
+    LIMIT {BASKET_TOP_K}
+),
+per_part AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS part_orders
+    FROM kept GROUP BY 1
+),
+total AS (
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS total_orders
+    FROM kept
+)
+SELECT part_a, part_b, pair_orders,
+       pa.part_orders AS orders_a, pb.part_orders AS orders_b,
+       {sql_fround('CAST(pair_orders AS DOUBLE)'
+                   ' / CAST(total_orders AS DOUBLE)', 6)} AS support,
+       {sql_fround('(CAST(pair_orders AS DOUBLE)'
+                   ' * CAST(total_orders AS DOUBLE))'
+                   ' / (CAST(pa.part_orders AS DOUBLE)'
+                   ' * CAST(pb.part_orders AS DOUBLE))', 6)} AS lift
+FROM pairs
+JOIN per_part pa ON pa.l_partkey = part_a
+JOIN per_part pb ON pb.l_partkey = part_b
+CROSS JOIN total
+ORDER BY pair_orders DESC, part_a, part_b
+"""
+
+
+#: ordered funnel stages over the event stream
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+#: a stage counts only within this many hours of entering the
+#: previous stage (without the bound the dense synthetic stream
+#: saturates — every user eventually does everything)
+FUNNEL_WINDOW_HOURS = 24
+
+
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: a user reaches a stage only
+    with an event at-or-after their entry to the previous stage and
+    within FUNNEL_WINDOW_HOURS of it (first-touch, windowed
+    semantics). All three stage timestamps are minima over the SAME
+    user-partitioned window — one exchange, then a per-user collapse
+    and a 3-row report with step and overall conversion rates."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    bound = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+    ev = (
+        cat.events
+        .filter(F.col("event_type").isin(*FUNNEL_STAGES))
+        .select("user_id", "event_type", "ts")
+        .withColumn("t_view", F.min(F.when(F.col("event_type") == "view",
+                                           F.col("ts"))).over(w))
+    )
+    ev = ev.withColumn(
+        "t_click",
+        F.min(F.when((F.col("event_type") == "click")
+                     & (F.col("ts") >= F.col("t_view"))
+                     & (F.col("ts") <= F.col("t_view") + bound),
+                     F.col("ts"))).over(w))
+    ev = ev.withColumn(
+        "t_purchase",
+        F.min(F.when((F.col("event_type") == "purchase")
+                     & (F.col("ts") >= F.col("t_click"))
+                     & (F.col("ts") <= F.col("t_click") + bound),
+                     F.col("ts"))).over(w))
+    per_user = ev.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"))
+    counts = per_user.agg(
+        F.count("t_view").cast("long").alias("n_view"),
+        F.count("t_click").cast("long").alias("n_click"),
+        F.count("t_purchase").cast("long").alias("n_purchase"))
+    stages = counts.select(F.explode(F.array(
+        F.struct(F.lit(1).cast("long").alias("stage"),
+                 F.lit("view").alias("event_type"),
+                 F.col("n_view").alias("n_users"),
+                 F.col("n_view").alias("prev_users")),
+        F.struct(F.lit(2).cast("long").alias("stage"),
+                 F.lit("click").alias("event_type"),
+                 F.col("n_click").alias("n_users"),
+                 F.col("n_view").alias("prev_users")),
+        F.struct(F.lit(3).cast("long").alias("stage"),
+                 F.lit("purchase").alias("event_type"),
+                 F.col("n_purchase").alias("n_users"),
+                 F.col("n_click").alias("prev_users")),
+    )).alias("s")).select("s.*")
+    first = counts.select(F.col("n_view").alias("first_users"))
+    return (
+        stages.crossJoin(F.broadcast(first))
+        .select(
+            "stage", "event_type", "n_users",
+            fround(F.col("n_users").cast("double")
+                   / F.col("prev_users").cast("double"), 6)
+            .alias("step_conversion"),
+            fround(F.col("n_users").cast("double")
+                   / F.col("first_users").cast("double"), 6)
+            .alias("overall_conversion"))
+        .orderBy("stage")
+    )
+
+
+FUNNEL_SQL = f"""
+WITH ev AS (
+    SELECT user_id, event_type, ts,
+           MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+    FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+ev2 AS (
+    SELECT *,
+           MIN(CASE WHEN event_type = 'click' AND ts >= t_view
+                    AND ts <= t_view + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+               THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+    FROM ev
+),
+ev3 AS (
+    SELECT *,
+           MIN(CASE WHEN event_type = 'purchase' AND ts >= t_click
+                    AND ts <= t_click + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+               THEN ts END)
+               OVER (PARTITION BY user_id) AS t_purchase
+    FROM ev2
+),
+per_user AS (
+    SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+           MAX(t_purchase) AS t_purchase
+    FROM ev3 GROUP BY 1
+),
+counts AS (
+    SELECT CAST(COUNT(t_view) AS BIGINT) AS n_view,
+           CAST(COUNT(t_click) AS BIGINT) AS n_click,
+           CAST(COUNT(t_purchase) AS BIGINT) AS n_purchase
+    FROM per_user
+),
+stages AS (
+    SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+           n_view AS n_users, n_view AS prev_users, n_view AS first_users
+    FROM counts
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', n_click, n_view, n_view FROM counts
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', n_purchase, n_click, n_view
+    FROM counts
+)
+SELECT stage, event_type, n_users,
+       {sql_fround('CAST(n_users AS DOUBLE)'
+                   ' / CAST(prev_users AS DOUBLE)', 6)} AS step_conversion,
+       {sql_fround('CAST(n_users AS DOUBLE)'
+                   ' / CAST(first_users AS DOUBLE)', 6)} AS overall_conversion
+FROM stages
+ORDER BY stage
+"""
+
+
+register("part_market_basket", part_market_basket, MARKET_BASKET_SQL)
+register("events_funnel_conversion", events_funnel_conversion, FUNNEL_SQL)

@@ -44,12 +44,13 @@ register("flagship_my_registrations", _flagship.flagship, _flagship.FLAGSHIP_ORA
 def _register_modules() -> None:
     """Import every module that self-registers queries."""
     from .operators import extended, quarantine, relational, skew  # noqa: F401
-    from .plans import (audits, dashboard, incremental,  # noqa: F401
-                        poststate, tpch, tpch_deep, warehouse)
+    from .plans import (analytics, audits, dashboard,  # noqa: F401
+                        incremental, poststate, tpch, tpch_deep, warehouse)
     from .streaming import batch_parity, transitions  # noqa: F401
-    from .llm import (clusters, dedup, langmix, manifest,  # noqa: F401
-                      multimodal, pipeline, quality, refinery, repetition,
-                      sampling, similarity, spans, textstats)
+    from .llm import (clusters, dedup, distributions,  # noqa: F401
+                      langmix, manifest, multimodal, pipeline, quality,
+                      refinery, repetition, sampling, similarity, spans,
+                      textstats)
     from .functions import crypto  # noqa: F401
 
 
@@ -153,6 +154,10 @@ _PRIORITY: list[str] = [
     "events_gap_report",
     "supplier_scorecard",
     "order_aging_report",
+    "part_market_basket",
+    "events_funnel_conversion",
+    "doc_zipf_fit",
+    "embedding_dim_stats",
 ]
 
 

@@ -1,0 +1,140 @@
+"""Semantic unit tests for the behavioral-analytics and
+distribution-statistics operators (plans/analytics.py,
+llm/distributions.py) — invariants the DuckDB parity suite can't
+express: windowed funnel ordering, the basket-size guard, the Zipf
+slope on an exact power law, and moment math vs numpy."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+from data_warehouse_project_spark.llm.distributions import (
+    doc_zipf_fit, embedding_dim_stats)
+from data_warehouse_project_spark.plans.analytics import (
+    MAX_BASKET_ITEMS, events_funnel_conversion, part_market_basket)
+
+T0 = "2024-01-01 00:00:00"
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [Row(event_id=i, ts=ts, user_id=u, event_type=t,
+             value=1.0, props="{}")
+         for i, (u, t, ts) in enumerate(rows)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_funnel_windowed_first_touch_semantics(spark, tmp_path):
+    """user 1 converts fully in-window; user 2's click is past the
+    24h window (excluded, and so is the later purchase); user 3's
+    pre-view click is ignored but the post-view one counts; user 4's
+    purchase BEFORE the first qualifying click doesn't count."""
+    rows = [
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 01:00:00"),
+        (1, "purchase", "2024-01-01 02:00:00"),
+        (2, "view", "2024-01-01 00:00:00"),
+        (2, "click", "2024-01-02 06:00:00"),      # 30h later: too late
+        (2, "purchase", "2024-01-02 07:00:00"),
+        (3, "click", "2024-01-01 00:00:00"),      # before any view
+        (3, "view", "2024-01-01 01:00:00"),
+        (3, "click", "2024-01-01 03:00:00"),
+        (3, "purchase", "2024-01-01 04:00:00"),
+        (4, "view", "2024-01-01 00:00:00"),
+        (4, "purchase", "2024-01-01 00:30:00"),   # before the click
+        (4, "click", "2024-01-01 01:00:00"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in
+           events_funnel_conversion(spark, d).collect()}
+    assert out["view"]["n_users"] == 4
+    assert out["click"]["n_users"] == 3          # users 1, 3, 4
+    assert out["purchase"]["n_users"] == 2       # users 1, 3
+    assert out["click"]["step_conversion"] == 0.75
+    assert abs(out["purchase"]["step_conversion"] - 2 / 3) < 1e-6
+    assert out["purchase"]["overall_conversion"] == 0.5
+
+
+def test_market_basket_guard_and_lift(spark, tmp_path):
+    """An oversized basket is dropped whole BEFORE the pair join
+    (none of its parts appear in any pair or in the denominators);
+    support/lift are pinned on a hand-computable fixture."""
+    def li(ok, pk, ln):
+        return Row(l_orderkey=ok, l_partkey=pk, l_suppkey=1,
+                   l_linenumber=ln, l_quantity=1.0, l_extendedprice=1.0,
+                   l_discount=0.0, l_tax=0.0, l_returnflag="N",
+                   l_linestatus="O", l_shipdate="2024-01-01 00:00:00")
+
+    rows = [li(1, 1, 1), li(1, 2, 2),
+            li(2, 1, 1), li(2, 2, 2),
+            li(3, 1, 1), li(3, 3, 2),
+            # a duplicated (order, part) line must count once
+            li(3, 3, 3)]
+    # one pathological basket with MAX_BASKET_ITEMS+1 distinct parts
+    rows += [li(4, 100 + i, i + 1) for i in range(MAX_BASKET_ITEMS + 1)]
+    df = spark.createDataFrame(rows).withColumn(
+        "l_shipdate", F.to_timestamp("l_shipdate"))
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = part_market_basket(spark, str(tmp_path)).collect()
+    pairs = {(r["part_a"], r["part_b"]): r for r in out}
+    assert set(pairs) == {(1, 2), (1, 3)}        # no part ≥ 100 anywhere
+    r12 = pairs[(1, 2)]
+    assert r12["pair_orders"] == 2
+    # kept orders: 1,2,3 → total 3; p1 in 3, p2 in 2, p3 in 1
+    assert abs(r12["support"] - 2 / 3) < 1e-6
+    assert r12["lift"] == 1.0                    # 2*3/(3*2)
+    r13 = pairs[(1, 3)]
+    assert r13["pair_orders"] == 1
+    assert r13["lift"] == 1.0                    # 1*3/(3*1)
+
+
+def test_zipf_slope_on_exact_power_law(spark, tmp_path):
+    """A corpus whose term counts follow C/r must fit slope ≈ -1;
+    the quantized OLS must agree with a numpy float fit to ~1e-4."""
+    counts = {f"t{r:03d}": 1000 // r for r in range(1, 21)}
+    text = " ".join(" ".join([t] * n) for t, n in counts.items())
+    spark.createDataFrame(
+        [Row(doc_id=1, text=text, lang="en", source="s", n_chars=len(text))]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    row = doc_zipf_fit(spark, str(tmp_path)).collect()[0]
+    assert row["n_terms"] == 20
+    xs = [math.log(r) for r in range(1, 21)]
+    ys = [math.log(counts[f"t{r:03d}"]) for r in range(1, 21)]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    exp_slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(row["zipf_slope"] - exp_slope) < 1e-4
+    assert abs(row["zipf_slope"] + 1.0) < 0.02
+    exp_icpt = sy / n - exp_slope * sx / n
+    assert abs(row["zipf_intercept"] - exp_icpt) < 1e-4
+
+
+def test_embedding_dim_stats_match_numpy(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(scale=0.5, size=(40, 4)).astype("float32")
+    spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v], label=0)
+         for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    rows = embedding_dim_stats(spark, str(tmp_path)).collect()
+    assert [r["dim"] for r in rows] == [0, 1, 2, 3]
+    arr = vecs.astype("float64")
+    for r in rows:
+        d = r["dim"]
+        assert r["n_vecs"] == 40
+        assert abs(r["mean_val"] - arr[:, d].mean()) < 1e-5
+        assert abs(r["std_val"] - arr[:, d].std()) < 1e-5
