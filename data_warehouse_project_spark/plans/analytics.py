@@ -48,13 +48,19 @@ def part_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-back of the per-part order counts for lift."""
     cat = Catalog(spark, sf_dir)
     items = cat.lineitem.select("l_orderkey", "l_partkey").distinct()
-    sized = (
-        items.groupBy("l_orderkey")
-        .agg(F.count("*").alias("basket_n"))
+    # basket-size guard as a window count — one pass over the distinct
+    # set, no groupBy+join-back recompute of `items`
+    wb = Window.partitionBy("l_orderkey")
+    guarded = (
+        items.withColumn("basket_n", F.count("*").over(wb))
         .filter(F.col("basket_n") <= MAX_BASKET_ITEMS)
-        .select("l_orderkey")
+        .select("l_orderkey", "l_partkey")
     )
-    kept = items.join(sized, "l_orderkey")
+    # tracked persist (cache.py): `kept` feeds the pair self-join,
+    # both lift denominators, and the total — without it Spark would
+    # re-run the distinct+guard chain four times
+    from ..cache import pin
+    kept = pin(guarded)
     a = kept.select(F.col("l_orderkey").alias("ok"),
                     F.col("l_partkey").alias("part_a"))
     b = kept.select(F.col("l_orderkey").alias("ok"),
@@ -180,23 +186,28 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_view").cast("long").alias("n_view"),
         F.count("t_click").cast("long").alias("n_click"),
         F.count("t_purchase").cast("long").alias("n_purchase"))
+    # first_users rides along inside each struct — deriving it as a
+    # separate DataFrame would make Spark re-run the whole window
+    # pipeline a second time for the scalar attach
     stages = counts.select(F.explode(F.array(
         F.struct(F.lit(1).cast("long").alias("stage"),
                  F.lit("view").alias("event_type"),
                  F.col("n_view").alias("n_users"),
-                 F.col("n_view").alias("prev_users")),
+                 F.col("n_view").alias("prev_users"),
+                 F.col("n_view").alias("first_users")),
         F.struct(F.lit(2).cast("long").alias("stage"),
                  F.lit("click").alias("event_type"),
                  F.col("n_click").alias("n_users"),
-                 F.col("n_view").alias("prev_users")),
+                 F.col("n_view").alias("prev_users"),
+                 F.col("n_view").alias("first_users")),
         F.struct(F.lit(3).cast("long").alias("stage"),
                  F.lit("purchase").alias("event_type"),
                  F.col("n_purchase").alias("n_users"),
-                 F.col("n_click").alias("prev_users")),
+                 F.col("n_click").alias("prev_users"),
+                 F.col("n_view").alias("first_users")),
     )).alias("s")).select("s.*")
-    first = counts.select(F.col("n_view").alias("first_users"))
     return (
-        stages.crossJoin(F.broadcast(first))
+        stages
         .select(
             "stage", "event_type", "n_users",
             fround(F.col("n_users").cast("double")
