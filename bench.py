@@ -60,7 +60,13 @@ HEADLINE = [
     "quality_calibration_report",  # score-decile calibration composition (new r6)
     "user_rfm_segments",           # histogram-quartile RFM segmentation (new r6)
     "referential_integrity_report",  # six-edge FK anti-join audit (new r6)
+    "part_market_basket",          # guarded pair self-join + lift (new r6)
+    "events_funnel_conversion",    # windowed 3-stage funnel, one exchange (new r6)
+    "embedding_dim_stats",         # posexplode moment aggregation (new r6)
 ]
+# doc_zipf_fit is deliberately NOT in the headline: its corpus-scale
+# work is the same explode→term-count shuffle vocab_top_terms already
+# measures; the OLS tail is a 200-row aggregate.
 
 # Log note (VERDICT r5 #8): repeated `WindowExec: No Partition
 # Defined` warnings in this bench's stderr come from the documented

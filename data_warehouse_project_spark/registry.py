@@ -69,10 +69,10 @@ def _register_modules() -> None:
 #: 4. round-6-new queries (never driver-checked) fill the remaining
 #:    7 slots — new-query coverage outranks the verdict's optional
 #:    r5 spot checks (r5 rows are only 1 round old and every r5
-#:    query stays parity-guarded locally). 8 queries are new this
-#:    round; lang_head_coverage is the one left outside (closest
-#:    local analog already driver-green: vocab_top_terms) and leads
-#:    the round-7 window with the r4-stale family.
+#:    query stays parity-guarded locally). 17 queries are new this
+#:    round; the 15 outside the window (positions 51+ below — all
+#:    parity-green locally on every pytest run and swept at sf0.1)
+#:    lead the round-7 window with the r4-stale family.
 #: Displaced queries (r4/r5-green relational, streaming batch twins,
 #: cube/window family, LLM text/quality families) are regression-
 #: guarded by tests/test_registry_parity.py's local DuckDB oracle on
@@ -129,9 +129,9 @@ _PRIORITY: list[str] = [
     "quality_score_linear",
     "vocab_top_terms",
     # --- positions 44-50: round-6-new queries (never driver-checked).
-    #     13 queries are new this round; the 7 in-window slots go to
+    #     22 queries are new this round; the 7 in-window slots go to
     #     the two index-quality gates, the incremental miner, the
-    #     three audits, and the temperature mixture. The other six
+    #     three audits, and the temperature mixture. The other 15
     #     (positions 51+ below — all parity-green locally on every
     #     pytest run) lead the round-7 window with the r4-stale
     #     family. ---
