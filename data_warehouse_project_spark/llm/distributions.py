@@ -181,3 +181,102 @@ ORDER BY dim
 
 register("doc_zipf_fit", doc_zipf_fit, ZIPF_SQL)
 register("embedding_dim_stats", embedding_dim_stats, EMB_DIM_SQL)
+
+
+def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-label centroid cosine matrix — the class-separation
+    summary of the embedding space (low off-diagonal cosine = well
+    separated labels; a drift toward 1.0 flags encoder collapse).
+
+    One corpus-scale posexplode collapsed map-side to (label, dim)
+    groups (pinned); centroids, self-norms, and all pairwise dots are
+    aggregates over that labels×dims frame — label-pair count is
+    bounded, nothing downstream touches the corpus. Per-dim product
+    terms are quantized to integers before summing (order-independent,
+    SURVEY.md §7.4.4), and sqrt is IEEE-correctly-rounded, so the
+    cosine is exact-deterministic cross-engine — no libm risk.
+    """
+    from ..cache import pin
+    cat = Catalog(spark, sf_dir)
+    ex = (
+        cat.embeddings
+        .select("label", F.posexplode("embedding").alias("dim", "x"))
+        .select(F.col("label").cast("long").alias("label"),
+                F.col("dim").cast("long").alias("dim"),
+                F.floor(F.col("x").cast("double") * F.lit(_Q)
+                        + F.lit(0.5)).cast("long").alias("q"))
+    )
+    cent = pin(
+        ex.groupBy("label", "dim")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("q").alias("sq"))
+        .select("label", "dim",
+                (F.col("sq").cast("double")
+                 / F.col("n").cast("double")).alias("coord")))
+    norms = cent.groupBy("label").agg(
+        F.sum(F.floor(F.col("coord") * F.col("coord") * F.lit(_Q)
+                      + F.lit(0.5)).cast("long")).alias("qn2"))
+    a = cent.select(F.col("label").alias("label_a"), "dim",
+                    F.col("coord").alias("coord_a"))
+    b = cent.select(F.col("label").alias("label_b"), "dim",
+                    F.col("coord").alias("coord_b"))
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.floor(F.col("coord_a") * F.col("coord_b") * F.lit(_Q)
+                           + F.lit(0.5)).cast("long")).alias("qdot"))
+    )
+    return (
+        dots
+        .join(norms.select(F.col("label").alias("label_a"),
+                           F.col("qn2").alias("qn2_a")), "label_a")
+        .join(norms.select(F.col("label").alias("label_b"),
+                           F.col("qn2").alias("qn2_b")), "label_b")
+        .select(
+            "label_a", "label_b",
+            fround(F.col("qdot").cast("double")
+                   / F.sqrt(F.col("qn2_a").cast("double")
+                            * F.col("qn2_b").cast("double")), 6)
+            .alias("centroid_cosine"))
+        .orderBy("label_a", "label_b")
+    )
+
+
+CENTROID_SEP_SQL = """
+WITH ex AS (
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+           CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+                AS BIGINT) AS q
+    FROM embeddings
+),
+cent AS (
+    SELECT label, dim,
+           CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coord
+    FROM ex GROUP BY 1, 2
+),
+norms AS (
+    SELECT label,
+           SUM(CAST(FLOOR(coord * coord * 1000000.0 + 0.5) AS BIGINT)) AS qn2
+    FROM cent GROUP BY 1
+),
+dots AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           SUM(CAST(FLOOR(a.coord * b.coord * 1000000.0 + 0.5)
+               AS BIGINT)) AS qdot
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       {cos_expr} AS centroid_cosine
+FROM dots
+JOIN norms na ON na.label = label_a
+JOIN norms nb ON nb.label = label_b
+ORDER BY label_a, label_b
+""".format(cos_expr=sql_fround(
+    'CAST(qdot AS DOUBLE) / SQRT(CAST(na.qn2 AS DOUBLE)'
+    ' * CAST(nb.qn2 AS DOUBLE))', 6))
+
+
+register("label_centroid_separation", label_centroid_separation,
+         CENTROID_SEP_SQL)

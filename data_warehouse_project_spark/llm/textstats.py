@@ -460,3 +460,105 @@ ORDER BY labeled_lang, predicted_lang
 """
 
 register("lang_id_confusion", lang_id_confusion, LANG_CONFUSION_SQL)
+
+
+# --------------------------------------------------------------------------
+# Collocation mining: pointwise mutual information over corpus bigrams
+# --------------------------------------------------------------------------
+
+#: report size and the noise floor (PMI of rare pairs is unstable)
+PMI_TOP_K = 50
+PMI_MIN_COUNT = 5
+
+
+def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information:
+    PMI(w1,w2) = ln(c12·N² / (B·c1·c2)) — the statistic behind
+    tokenizer-merge candidates and multiword-expression mining
+    (complements bigram_lm_counts' conditional probability with the
+    symmetric association strength).
+
+    Scale: two corpus explode passes (unigram and bigram counts, both
+    map-side-combined to vocabulary-sized keys, both pinned), then
+    vocabulary-keyed joins and a broadcast one-row totals attach —
+    nothing downstream of the counts touches the corpus. Ranking
+    orders by the ROUNDED pmi then the bigram text, so cross-engine
+    float noise cannot reorder; ln carries the documented residual
+    transcendental ulp risk (compat.py policy note).
+    """
+    from ..cache import pin
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.withColumn(
+        "tokens", F.split(F.trim(F.col("text")), r"\s+"))
+    uni = pin(
+        toks.select(F.explode("tokens").alias("w"))
+        .groupBy("w").agg(F.count("*").cast("long").alias("c_uni")))
+    pairs = pin(
+        toks.filter(F.size("tokens") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(0, size(tokens) - 2), "
+            "i -> struct(tokens[i] AS w1, tokens[i + 1] AS w2))"
+        )).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_bigram")))
+    totals = (
+        uni.agg(F.sum("c_uni").cast("long").alias("n_tokens"))
+        .crossJoin(pairs.agg(F.sum("c_bigram").cast("long")
+                             .alias("n_bigrams")))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        pairs.filter(F.col("c_bigram") >= PMI_MIN_COUNT)
+        .join(uni.select(F.col("w").alias("w1"),
+                         F.col("c_uni").alias("c_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("c_uni").alias("c_w2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "c_bigram", "c_w1", "c_w2",
+            fround(F.log((d("c_bigram") * d("n_tokens") * d("n_tokens"))
+                         / (d("n_bigrams") * d("c_w1") * d("c_w2"))), 6)
+            .alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
+
+
+PMI_SQL = f"""
+WITH toks AS (
+    SELECT string_split_regex(trim(text), '\\s+') AS tokens FROM documents
+),
+uni AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS c_uni
+    FROM (SELECT UNNEST(tokens) AS w FROM toks) GROUP BY 1
+),
+pairs AS (
+    SELECT u.b.w1 AS w1, u.b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c_bigram
+    FROM toks, LATERAL (
+        SELECT UNNEST(list_transform(range(1, len(tokens)),
+               i -> struct_pack(w1 := tokens[i], w2 := tokens[i+1]))) AS b
+    ) u
+    WHERE len(tokens) >= 2
+    GROUP BY 1, 2
+),
+totals AS (
+    SELECT (SELECT CAST(SUM(c_uni) AS BIGINT) FROM uni) AS n_tokens,
+           (SELECT CAST(SUM(c_bigram) AS BIGINT) FROM pairs) AS n_bigrams
+)
+SELECT p.w1, p.w2, p.c_bigram, u1.c_uni AS c_w1, u2.c_uni AS c_w2,
+       {{pmi}} AS pmi
+FROM pairs p
+JOIN uni u1 ON u1.w = p.w1
+JOIN uni u2 ON u2.w = p.w2
+CROSS JOIN totals
+WHERE p.c_bigram >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, p.w1, p.w2
+LIMIT {PMI_TOP_K}
+""".format(pmi=sql_fround(
+    'LN((CAST(p.c_bigram AS DOUBLE) * CAST(n_tokens AS DOUBLE)'
+    ' * CAST(n_tokens AS DOUBLE))'
+    ' / (CAST(n_bigrams AS DOUBLE) * CAST(u1.c_uni AS DOUBLE)'
+    ' * CAST(u2.c_uni AS DOUBLE)))', 6))
+
+register("token_bigram_pmi", token_bigram_pmi, PMI_SQL)

@@ -715,3 +715,68 @@ ORDER BY o_orderstatus, age_band
 """
 
 register("order_aging_report", order_aging_report, ORDER_AGING_SQL)
+
+
+def orders_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order revenue with a trailing-7-day rolling sum — the
+    time-RANGE window frame (RANGE BETWEEN 6 PRECEDING) the cumulative
+    and LAG reports don't exercise: the frame is keyed by calendar
+    distance, so gap days genuinely age out of the window instead of
+    the frame sliding by row position.
+
+    Scale: the shuffle is the daily groupBy over orders; the range
+    window runs over the bounded daily aggregate (years × 365 rows),
+    single-partition by design like the other calendar windows.
+    Revenue is guard-scaled to exact longs BEFORE the window, the
+    window sums integers (order-independent), and both engines descale
+    with the same floor arithmetic — fully deterministic.
+    """
+    cat = Catalog(spark, sf_dir)
+    from pyspark.sql import Window
+    daily = (
+        cat.orders
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(F.count("*").cast("long").alias("n_orders"),
+             F.sum(F.floor(F.col("o_totalprice") * F.lit(10000.0)
+                           + F.lit(0.5)).cast("long")).alias("rev_s"))
+        .withColumn("day_num", F.datediff(F.col("day"),
+                                          F.lit("1970-01-01").cast("date")))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    descale = lambda c: (F.floor((c + F.lit(50)) / F.lit(100.0))  # noqa: E731
+                         .cast("double") / F.lit(100.0))
+    return (
+        daily
+        .withColumn("roll_s", F.sum("rev_s").over(w))
+        .select("day", "n_orders",
+                descale(F.col("rev_s")).alias("day_revenue"),
+                descale(F.col("roll_s")).alias("rolling_7d_revenue"))
+        .orderBy("day")
+    )
+
+
+ROLLING_7D_SQL = """
+WITH daily AS (
+    SELECT date_trunc('day', o_orderdate) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_s,
+           datediff('day', DATE '1970-01-01',
+                    CAST(date_trunc('day', o_orderdate) AS DATE)) AS day_num
+    FROM orders GROUP BY 1
+),
+rolled AS (
+    SELECT day, n_orders, rev_s,
+           CAST(SUM(rev_s) OVER (ORDER BY day_num
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS roll_s
+    FROM daily
+)
+SELECT day, n_orders,
+       (FLOOR((rev_s + 50) / 100.0) / 100.0) AS day_revenue,
+       (FLOOR((roll_s + 50) / 100.0) / 100.0) AS rolling_7d_revenue
+FROM rolled ORDER BY day
+"""
+
+register("orders_rolling_7d_revenue", orders_rolling_7d_revenue,
+         ROLLING_7D_SQL)

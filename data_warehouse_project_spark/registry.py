@@ -70,9 +70,10 @@ def _register_modules() -> None:
 #:    7 slots — new-query coverage outranks the verdict's optional
 #:    r5 spot checks (r5 rows are only 1 round old and every r5
 #:    query stays parity-guarded locally). 17 queries are new this
-#:    round; the 15 outside the window (positions 51+ below — all
-#:    parity-green locally on every pytest run and swept at sf0.1)
-#:    lead the round-7 window with the r4-stale family.
+#:    round; the 18 outside the window (positions 51+ below — all
+#:    parity-green locally on every pytest run, the batch before the
+#:    last swept at sf0.1) lead the round-7 window with the r4-stale
+#:    family.
 #: Displaced queries (r4/r5-green relational, streaming batch twins,
 #: cube/window family, LLM text/quality families) are regression-
 #: guarded by tests/test_registry_parity.py's local DuckDB oracle on
@@ -129,9 +130,9 @@ _PRIORITY: list[str] = [
     "quality_score_linear",
     "vocab_top_terms",
     # --- positions 44-50: round-6-new queries (never driver-checked).
-    #     22 queries are new this round; the 7 in-window slots go to
+    #     25 queries are new this round; the 7 in-window slots go to
     #     the two index-quality gates, the incremental miner, the
-    #     three audits, and the temperature mixture. The other 15
+    #     three audits, and the temperature mixture. The other 18
     #     (positions 51+ below — all parity-green locally on every
     #     pytest run) lead the round-7 window with the r4-stale
     #     family. ---
@@ -158,6 +159,9 @@ _PRIORITY: list[str] = [
     "events_funnel_conversion",
     "doc_zipf_fit",
     "embedding_dim_stats",
+    "token_bigram_pmi",
+    "label_centroid_separation",
+    "orders_rolling_7d_revenue",
 ]
 
 

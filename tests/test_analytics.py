@@ -138,3 +138,74 @@ def test_embedding_dim_stats_match_numpy(spark, tmp_path):
         assert r["n_vecs"] == 40
         assert abs(r["mean_val"] - arr[:, d].mean()) < 1e-5
         assert abs(r["std_val"] - arr[:, d].std()) < 1e-5
+
+
+def test_pmi_ranks_perfect_collocation_first(spark, tmp_path):
+    """'xq zq' co-occur always and only together (perfect association);
+    'aa bb' co-occur at chance. The PMI of the former must equal the
+    hand-computed value and rank first."""
+    from data_warehouse_project_spark.llm.textstats import token_bigram_pmi
+
+    # 6 docs each "xq zq" (12 tokens), 20 docs "aa bb aa bb ..." mix
+    rows = [Row(doc_id=i, text="xq zq", lang="en", source="s", n_chars=5)
+            for i in range(6)]
+    rows += [Row(doc_id=100 + i, text="aa bb cc dd ee ff gg hh",
+                 lang="en", source="s", n_chars=23) for i in range(20)]
+    spark.createDataFrame(rows).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = token_bigram_pmi(spark, str(tmp_path)).collect()
+    assert out[0]["w1"] == "xq" and out[0]["w2"] == "zq"
+    n_tokens = 6 * 2 + 20 * 8
+    n_bigrams = 6 * 1 + 20 * 7
+    exp = math.log((6 * n_tokens * n_tokens) / (n_bigrams * 6 * 6))
+    assert abs(out[0]["pmi"] - exp) < 1e-5
+    # chance-level pairs must score strictly lower
+    assert all(r["pmi"] < out[0]["pmi"] for r in out[1:])
+
+
+def test_centroid_separation_orthogonal_and_identical(spark, tmp_path):
+    from data_warehouse_project_spark.llm.distributions import (
+        label_centroid_separation)
+
+    rows = []
+    for i in range(10):   # label 0: e0, label 1: e1 (orthogonal)
+        rows.append(Row(vec_id=i, embedding=[1.0, 0.0, 0.0, 0.0], label=0))
+        rows.append(Row(vec_id=100 + i, embedding=[0.0, 1.0, 0.0, 0.0],
+                        label=1))
+        rows.append(Row(vec_id=200 + i, embedding=[1.0, 0.0, 0.0, 0.0],
+                        label=2))   # identical direction to label 0
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {(r["label_a"], r["label_b"]): r["centroid_cosine"]
+           for r in label_centroid_separation(spark, str(tmp_path)).collect()}
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    assert abs(out[(0, 1)]) < 1e-6
+    assert abs(out[(0, 2)] - 1.0) < 1e-6
+    assert abs(out[(1, 2)]) < 1e-6
+
+
+def test_rolling_7d_is_calendar_range_not_rows(spark, tmp_path):
+    """Gap days must age out: with orders on Jan 1, 2, and 10 only,
+    the Jan 10 rolling sum covers Jan 4-10 = just Jan 10 itself. A
+    ROWS frame would wrongly drag Jan 1-2 in."""
+    from data_warehouse_project_spark.plans.warehouse import (
+        orders_rolling_7d_revenue)
+
+    def o(k, day, price):
+        return Row(o_orderkey=k, o_custkey=1, o_orderstatus="F",
+                   o_totalprice=price, o_orderdate=day, o_orderpriority="1")
+
+    df = spark.createDataFrame([
+        o(1, "2024-01-01 00:00:00", 100.0),
+        o(2, "2024-01-02 00:00:00", 10.0),
+        o(3, "2024-01-10 00:00:00", 1.0),
+    ]).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+
+    rows = {str(r["day"])[:10]: r for r in
+            orders_rolling_7d_revenue(spark, str(tmp_path)).collect()}
+    assert rows["2024-01-01"]["rolling_7d_revenue"] == 100.0
+    assert rows["2024-01-02"]["rolling_7d_revenue"] == 110.0
+    assert rows["2024-01-10"]["rolling_7d_revenue"] == 1.0
