@@ -149,18 +149,14 @@ FUNNEL_STAGES = ("view", "click", "purchase")
 FUNNEL_WINDOW_HOURS = 24
 
 
-def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered view→click→purchase funnel: a user reaches a stage only
-    with an event at-or-after their entry to the previous stage and
-    within FUNNEL_WINDOW_HOURS of it (first-touch, windowed
-    semantics). All three stage timestamps are minima over the SAME
-    user-partitioned window — one exchange, then a per-user collapse
-    and a 3-row report with step and overall conversion rates."""
-    cat = Catalog(spark, sf_dir)
+def funnel_report(events: DataFrame) -> DataFrame:
+    """DataFrame-level funnel core over (user_id, event_type, ts) —
+    exposed separately so property tests can drive it on arbitrary
+    in-memory event sets (tests/test_analytics.py)."""
     w = Window.partitionBy("user_id")
     bound = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
     ev = (
-        cat.events
+        events
         .filter(F.col("event_type").isin(*FUNNEL_STAGES))
         .select("user_id", "event_type", "ts")
         .withColumn("t_view", F.min(F.when(F.col("event_type") == "view",
@@ -210,14 +206,26 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         stages
         .select(
             "stage", "event_type", "n_users",
+            # NULL (not an ANSI divide-by-zero error) when a previous
+            # stage is empty — NULLIF on both engines
             fround(F.col("n_users").cast("double")
-                   / F.col("prev_users").cast("double"), 6)
-            .alias("step_conversion"),
+                   / F.nullif(F.col("prev_users"), F.lit(0)).cast("double"),
+                   6).alias("step_conversion"),
             fround(F.col("n_users").cast("double")
-                   / F.col("first_users").cast("double"), 6)
-            .alias("overall_conversion"))
+                   / F.nullif(F.col("first_users"), F.lit(0)).cast("double"),
+                   6).alias("overall_conversion"))
         .orderBy("stage")
     )
+
+
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: a user reaches a stage only
+    with an event at-or-after their entry to the previous stage and
+    within FUNNEL_WINDOW_HOURS of it (first-touch, windowed
+    semantics). All three stage timestamps are minima over the SAME
+    user-partitioned window — one exchange, then a per-user collapse
+    and a 3-row report with step and overall conversion rates."""
+    return funnel_report(Catalog(spark, sf_dir).events)
 
 
 FUNNEL_SQL = f"""
@@ -266,9 +274,11 @@ stages AS (
 )
 SELECT stage, event_type, n_users,
        {sql_fround('CAST(n_users AS DOUBLE)'
-                   ' / CAST(prev_users AS DOUBLE)', 6)} AS step_conversion,
+                   ' / CAST(NULLIF(prev_users, 0) AS DOUBLE)', 6)}
+           AS step_conversion,
        {sql_fround('CAST(n_users AS DOUBLE)'
-                   ' / CAST(first_users AS DOUBLE)', 6)} AS overall_conversion
+                   ' / CAST(NULLIF(first_users, 0) AS DOUBLE)', 6)}
+           AS overall_conversion
 FROM stages
 ORDER BY stage
 """

@@ -731,10 +731,16 @@ def orders_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     window sums integers (order-independent), and both engines descale
     with the same floor arithmetic — fully deterministic.
     """
-    cat = Catalog(spark, sf_dir)
+    return rolling_7d_report(Catalog(spark, sf_dir).orders)
+
+
+def rolling_7d_report(orders: DataFrame) -> DataFrame:
+    """DataFrame-level core over (o_orderdate, o_totalprice) — exposed
+    separately so property tests can drive it on arbitrary in-memory
+    order sets (tests/test_analytics.py)."""
     from pyspark.sql import Window
     daily = (
-        cat.orders
+        orders
         .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
         .agg(F.count("*").cast("long").alias("n_orders"),
              F.sum(F.floor(F.col("o_totalprice") * F.lit(10000.0)
@@ -780,3 +786,60 @@ FROM rolled ORDER BY day
 
 register("orders_rolling_7d_revenue", orders_rolling_7d_revenue,
          ROLLING_7D_SQL)
+
+
+#: rank tolerance of the gate, in thousandths (percentile_approx at
+#: accuracy 10k guarantees ~0.1‰ rank error; gating at 10‰ leaves
+#: headroom while still catching a broken sketch immediately)
+APPROX_Q_TOL_PERMILLE = 10
+
+#: percentiles the gate brackets, in thousandths
+APPROX_Q_PERMILLE = (500, 900, 990)
+
+
+def approx_quantile_accuracy_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible sketch-quality gate for percentile_approx (the
+    quantile analog of minhash_accuracy_floor / ann_recall_floor):
+    ONE row asserting that each approximate percentile of
+    l_extendedprice honors its rank contract — strictly-below mass
+    ≤ p+tol and at-or-below mass ≥ p−tol. Rank-bracket form is
+    immune to ties and needs NO exact quantile: prices are ~all
+    distinct, so an exact-rank histogram would be corpus-sized,
+    while this gate is two linear passes (sketch, then counts with
+    the three cut values attached broadcast) and integer-exact
+    compares — the shape that survives 100×. A sketch regression
+    flips a boolean and hash-mismatches the pinned-constant oracle.
+    """
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.select("l_extendedprice")
+    ps = [p / 1000.0 for p in APPROX_Q_PERMILLE]
+    cuts = li.agg(F.percentile_approx(
+        "l_extendedprice", ps, F.lit(10_000)).alias("v"))
+    j = li.crossJoin(F.broadcast(cuts))
+    aggs = [F.count("*").cast("long").alias("n")]
+    for i in range(len(ps)):
+        v = F.col("v")[i]
+        aggs.append(F.sum((F.col("l_extendedprice") < v).cast("long"))
+                    .alias(f"lt_{i}"))
+        aggs.append(F.sum((F.col("l_extendedprice") <= v).cast("long"))
+                    .alias(f"le_{i}"))
+    counted = j.agg(*aggs)
+    tol = APPROX_Q_TOL_PERMILLE
+    out = [(F.col("n") > 0).alias("has_rows")]
+    for i, pm in enumerate(APPROX_Q_PERMILLE):
+        out.append(
+            ((F.col(f"lt_{i}") * 1000 <= F.col("n") * (pm + tol))
+             & (F.col(f"le_{i}") * 1000 >= F.col("n") * (pm - tol)))
+            .alias(f"p{pm}_in_bracket"))
+    return counted.select(*out)
+
+
+APPROX_Q_SQL = """
+SELECT TRUE AS has_rows,
+       TRUE AS p500_in_bracket,
+       TRUE AS p900_in_bracket,
+       TRUE AS p990_in_bracket
+"""
+
+register("approx_quantile_accuracy_floor", approx_quantile_accuracy_floor,
+         APPROX_Q_SQL)

@@ -162,6 +162,7 @@ _PRIORITY: list[str] = [
     "token_bigram_pmi",
     "label_centroid_separation",
     "orders_rolling_7d_revenue",
+    "approx_quantile_accuracy_floor",
 ]
 
 

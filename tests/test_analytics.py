@@ -209,3 +209,125 @@ def test_rolling_7d_is_calendar_range_not_rows(spark, tmp_path):
     assert rows["2024-01-01"]["rolling_7d_revenue"] == 100.0
     assert rows["2024-01-02"]["rolling_7d_revenue"] == 110.0
     assert rows["2024-01-10"]["rolling_7d_revenue"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# property-based tests (hypothesis) vs Python reference models
+# ---------------------------------------------------------------------------
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from data_warehouse_project_spark.plans.analytics import (
+    FUNNEL_WINDOW_HOURS, funnel_report)
+from data_warehouse_project_spark.plans.warehouse import rolling_7d_report
+
+_BASE = datetime(2024, 1, 1)
+
+_funnel_events = st.lists(
+    st.tuples(st.integers(0, 3),                          # user
+              st.sampled_from(["view", "click", "purchase", "error"]),
+              st.integers(0, 100)),                       # hour offset
+    min_size=0, max_size=50,
+)
+
+
+def _funnel_model(events):
+    """Reference walk: first view; first click in [t_view, +W]; first
+    purchase in [t_click, +W]."""
+    by_user = {}
+    for u, t, h in events:
+        by_user.setdefault(u, []).append((t, h))
+    n = [0, 0, 0]
+    for evs in by_user.values():
+        views = sorted(h for t, h in evs if t == "view")
+        if not views:
+            continue
+        tv = views[0]
+        n[0] += 1
+        clicks = sorted(h for t, h in evs
+                        if t == "click" and tv <= h <= tv + FUNNEL_WINDOW_HOURS)
+        if not clicks:
+            continue
+        tc = clicks[0]
+        n[1] += 1
+        purch = [h for t, h in evs
+                 if t == "purchase" and tc <= h <= tc + FUNNEL_WINDOW_HOURS]
+        if purch:
+            n[2] += 1
+    return n
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=_funnel_events)
+def test_funnel_matches_reference_model(spark, events):
+    rows = [(i, u, t, _BASE + timedelta(hours=h))
+            for i, (u, t, h) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    got = [r["n_users"] for r in funnel_report(df).collect()]
+    assert got == _funnel_model(events)
+
+
+_order_days = st.lists(
+    st.tuples(st.integers(0, 30),                         # day offset
+              st.integers(1, 10_000)),                    # price in cents
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(orders=_order_days)
+def test_rolling_7d_matches_reference_model(spark, orders):
+    rows = [(i, _BASE + timedelta(days=d), cents / 100.0)
+            for i, (d, cents) in enumerate(orders)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double")
+    got = {str(r["day"])[:10]: (r["n_orders"], r["rolling_7d_revenue"])
+           for r in rolling_7d_report(df).collect()}
+
+    daily = {}
+    for d, cents in orders:
+        n, c = daily.get(d, (0, 0))
+        daily[d] = (n + 1, c + cents)
+    exp = {}
+    for d, (n, _) in daily.items():
+        roll = sum(c for dd, (_, c) in daily.items() if d - 6 <= dd <= d)
+        key = str(_BASE + timedelta(days=d))[:10]
+        exp[key] = (n, roll / 100.0)
+    assert got == exp
+
+
+def test_approx_quantile_gate_true_on_driver_data(spark, sf_dir):
+    from data_warehouse_project_spark.plans.warehouse import (
+        approx_quantile_accuracy_floor)
+    row = approx_quantile_accuracy_floor(spark, sf_dir).collect()[0]
+    assert row["has_rows"]
+    assert row["p500_in_bracket"] and row["p900_in_bracket"] \
+        and row["p990_in_bracket"]
+
+
+def test_approx_quantile_bracket_holds_under_heavy_ties(spark, tmp_path):
+    """A mass point at one value (90% ties) is exactly the case where
+    a naive |approx-exact| value compare breaks; the rank-bracket
+    form must stay true."""
+    from data_warehouse_project_spark.plans.warehouse import (
+        approx_quantile_accuracy_floor)
+
+    rows = [Row(l_orderkey=i, l_partkey=1, l_suppkey=1, l_linenumber=1,
+                l_quantity=1.0, l_extendedprice=(42.0 if i < 900
+                                                 else 1000.0 + i),
+                l_discount=0.0, l_tax=0.0, l_returnflag="N",
+                l_linestatus="O", l_shipdate="2024-01-01 00:00:00")
+            for i in range(1000)]
+    spark.createDataFrame(rows).withColumn(
+        "l_shipdate", F.to_timestamp("l_shipdate")
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    row = approx_quantile_accuracy_floor(spark, str(tmp_path)).collect()[0]
+    assert row["has_rows"]
+    assert row["p500_in_bracket"] and row["p900_in_bracket"] \
+        and row["p990_in_bracket"]
