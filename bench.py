@@ -63,6 +63,9 @@ HEADLINE = [
     "part_market_basket",          # guarded pair self-join + lift (new r6)
     "events_funnel_conversion",    # windowed 3-stage funnel, one exchange (new r6)
     "embedding_dim_stats",         # posexplode moment aggregation (new r6)
+    "token_bigram_pmi",            # pinned two-pass collocation mining (new r6)
+    "orders_rolling_7d_revenue",   # calendar RANGE frame window (new r6)
+    "orders_backlog_timeseries",   # sweep-line interval counting (new r6)
 ]
 # doc_zipf_fit is deliberately NOT in the headline: its corpus-scale
 # work is the same explode→term-count shuffle vocab_top_terms already

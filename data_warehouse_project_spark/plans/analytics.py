@@ -149,10 +149,12 @@ FUNNEL_STAGES = ("view", "click", "purchase")
 FUNNEL_WINDOW_HOURS = 24
 
 
-def funnel_report(events: DataFrame) -> DataFrame:
-    """DataFrame-level funnel core over (user_id, event_type, ts) —
-    exposed separately so property tests can drive it on arbitrary
-    in-memory event sets (tests/test_analytics.py)."""
+def funnel_per_user(events: DataFrame) -> DataFrame:
+    """Per-user stage timestamps (user_id, t_view, t_click,
+    t_purchase) — the funnel's sufficient statistic. Exposed
+    separately because the incremental maintainer
+    (streaming/funnel_state.py) persists exactly this frame as its
+    state."""
     w = Window.partitionBy("user_id")
     bound = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
     ev = (
@@ -174,10 +176,16 @@ def funnel_report(events: DataFrame) -> DataFrame:
                      & (F.col("ts") >= F.col("t_click"))
                      & (F.col("ts") <= F.col("t_click") + bound),
                      F.col("ts"))).over(w))
-    per_user = ev.groupBy("user_id").agg(
+    return ev.groupBy("user_id").agg(
         F.max("t_view").alias("t_view"),
         F.max("t_click").alias("t_click"),
         F.max("t_purchase").alias("t_purchase"))
+
+
+def funnel_report_from_per_user(per_user: DataFrame) -> DataFrame:
+    """Render the 3-row conversion report from the per-user stage
+    timestamps (shared by the batch query and the incremental
+    maintainer's state_to_report)."""
     counts = per_user.agg(
         F.count("t_view").cast("long").alias("n_view"),
         F.count("t_click").cast("long").alias("n_click"),
@@ -216,6 +224,13 @@ def funnel_report(events: DataFrame) -> DataFrame:
                    6).alias("overall_conversion"))
         .orderBy("stage")
     )
+
+
+def funnel_report(events: DataFrame) -> DataFrame:
+    """DataFrame-level funnel core over (user_id, event_type, ts) —
+    exposed separately so property tests can drive it on arbitrary
+    in-memory event sets (tests/test_analytics.py)."""
+    return funnel_report_from_per_user(funnel_per_user(events))
 
 
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -843,3 +843,81 @@ SELECT TRUE AS has_rows,
 
 register("approx_quantile_accuracy_floor", approx_quantile_accuracy_floor,
          APPROX_Q_SQL)
+
+
+def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time by sweep-line: each order
+    contributes +1 on its order day and -1 the day after its last
+    shipment; the running sum of deltas IS the number of in-flight
+    orders on each change day (the report is a step function — days
+    between change days hold the previous value). Orders with no
+    lineitems are excluded (they would never close).
+
+    Scale: the only corpus-scale shuffles are the per-order max-ship
+    aggregation and the orderkey join; the delta union collapses to
+    calendar-day keys map-side, and the cumulative window runs over
+    the bounded change-day aggregate — the sweep-line trick turns
+    interval-overlap counting (quadratic done naively) into two
+    linear passes plus a calendar-sized scan. Pure integer counts:
+    deterministic cross-engine with no rounding machinery at all.
+    """
+    cat = Catalog(spark, sf_dir)
+    from pyspark.sql import Window
+    closes_per_order = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship")))
+    j = (
+        cat.orders
+        .select("o_orderkey", F.date_trunc("day", "o_orderdate").alias("d0"))
+        .join(closes_per_order,
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("d0", (F.date_trunc("day", "last_ship")
+                       + F.expr("INTERVAL 1 DAY")).alias("d1"))
+    )
+    deltas = (
+        j.select(F.col("d0").alias("day"), F.lit(1).alias("opened"),
+                 F.lit(0).alias("closed"))
+        .unionAll(j.select(F.col("d1").alias("day"), F.lit(0).alias("opened"),
+                           F.lit(1).alias("closed")))
+        .groupBy("day")
+        .agg(F.sum("opened").cast("long").alias("n_opened"),
+             F.sum("closed").cast("long").alias("n_closed"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    return (
+        deltas
+        .withColumn("backlog", F.sum(F.col("n_opened") - F.col("n_closed"))
+                    .over(w).cast("long"))
+        .select("day", "n_opened", "n_closed", "backlog")
+        .orderBy("day")
+    )
+
+
+BACKLOG_SQL = """
+WITH j AS (
+    SELECT date_trunc('day', o.o_orderdate) AS d0,
+           date_trunc('day', c.last_ship) + INTERVAL 1 DAY AS d1
+    FROM orders o
+    JOIN (SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+          FROM lineitem GROUP BY 1) c
+      ON o.o_orderkey = c.l_orderkey
+),
+deltas AS (
+    SELECT day, CAST(SUM(opened) AS BIGINT) AS n_opened,
+           CAST(SUM(closed) AS BIGINT) AS n_closed
+    FROM (
+        SELECT d0 AS day, 1 AS opened, 0 AS closed FROM j
+        UNION ALL
+        SELECT d1 AS day, 0 AS opened, 1 AS closed FROM j
+    ) GROUP BY day
+)
+SELECT day, n_opened, n_closed,
+       CAST(SUM(n_opened - n_closed) OVER (
+            ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS backlog
+FROM deltas
+ORDER BY day
+"""
+
+register("orders_backlog_timeseries", orders_backlog_timeseries, BACKLOG_SQL)

@@ -46,7 +46,7 @@ def _register_modules() -> None:
     from .operators import extended, quarantine, relational, skew  # noqa: F401
     from .plans import (analytics, audits, dashboard,  # noqa: F401
                         incremental, poststate, tpch, tpch_deep, warehouse)
-    from .streaming import batch_parity, transitions  # noqa: F401
+    from .streaming import batch_parity, funnel_state, transitions  # noqa: F401
     from .llm import (clusters, dedup, distributions,  # noqa: F401
                       langmix, manifest, multimodal, pipeline, quality,
                       refinery, repetition, sampling, similarity, spans,
@@ -70,7 +70,7 @@ def _register_modules() -> None:
 #:    7 slots — new-query coverage outranks the verdict's optional
 #:    r5 spot checks (r5 rows are only 1 round old and every r5
 #:    query stays parity-guarded locally). 17 queries are new this
-#:    round; the 18 outside the window (positions 51+ below — all
+#:    round; the 21 outside the window (positions 51+ below — all
 #:    parity-green locally on every pytest run, the batch before the
 #:    last swept at sf0.1) lead the round-7 window with the r4-stale
 #:    family.
@@ -130,9 +130,9 @@ _PRIORITY: list[str] = [
     "quality_score_linear",
     "vocab_top_terms",
     # --- positions 44-50: round-6-new queries (never driver-checked).
-    #     25 queries are new this round; the 7 in-window slots go to
+    #     28 queries are new this round; the 7 in-window slots go to
     #     the two index-quality gates, the incremental miner, the
-    #     three audits, and the temperature mixture. The other 18
+    #     three audits, and the temperature mixture. The other 21
     #     (positions 51+ below — all parity-green locally on every
     #     pytest run) lead the round-7 window with the r4-stale
     #     family. ---
@@ -163,6 +163,8 @@ _PRIORITY: list[str] = [
     "label_centroid_separation",
     "orders_rolling_7d_revenue",
     "approx_quantile_accuracy_floor",
+    "orders_backlog_timeseries",
+    "events_funnel_incremental",
 ]
 
 

@@ -331,3 +331,70 @@ def test_approx_quantile_bracket_holds_under_heavy_ties(spark, tmp_path):
     assert row["has_rows"]
     assert row["p500_in_bracket"] and row["p900_in_bracket"] \
         and row["p990_in_bracket"]
+
+
+def test_backlog_sweep_line_counts_overlaps(spark, tmp_path):
+    """Orders A [Jan1..Jan3-ship] and B [Jan2..Jan5-ship]: backlog is
+    1 on Jan1, 2 on Jan2, drops to 1 the day after A's last ship
+    (Jan4), 0 the day after B's (Jan6)."""
+    from data_warehouse_project_spark.plans.warehouse import (
+        orders_backlog_timeseries)
+
+    orders = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-02 09:00:00")],
+        "o_orderkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")) \
+     .withColumn("o_custkey", F.lit(1)) \
+     .withColumn("o_orderstatus", F.lit("O")) \
+     .withColumn("o_totalprice", F.lit(1.0)) \
+     .withColumn("o_orderpriority", F.lit("1"))
+    def li(ok, ship, ln):
+        return Row(l_orderkey=ok, l_partkey=1, l_suppkey=1, l_linenumber=ln,
+                   l_quantity=1.0, l_extendedprice=1.0, l_discount=0.0,
+                   l_tax=0.0, l_returnflag="N", l_linestatus="O",
+                   l_shipdate=ship)
+
+    lines = spark.createDataFrame(
+        [li(1, "2024-01-02 00:00:00", 1), li(1, "2024-01-03 00:00:00", 2),
+         li(2, "2024-01-05 00:00:00", 1)],
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    orders.write.parquet(str(tmp_path / "orders.parquet"))
+    lines.write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    rows = {str(r["day"])[:10]: r["backlog"] for r in
+            orders_backlog_timeseries(spark, str(tmp_path)).collect()}
+    assert rows == {"2024-01-01": 1, "2024-01-02": 2,
+                    "2024-01-04": 1, "2024-01-06": 0}
+
+
+def test_backlog_invariants_on_driver_data(spark, sf_dir):
+    """The sweep must balance: backlog ends at 0 and never dips
+    negative (every open has exactly one close)."""
+    from data_warehouse_project_spark.plans.warehouse import (
+        orders_backlog_timeseries)
+    rows = orders_backlog_timeseries(spark, sf_dir).collect()
+    assert rows[-1]["backlog"] == 0
+    assert all(r["backlog"] >= 0 for r in rows)
+    assert sum(r["n_opened"] for r in rows) == sum(r["n_closed"]
+                                                   for r in rows)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=_funnel_events, split=st.integers(0, 100))
+def test_funnel_state_fold_matches_batch(spark, events, split):
+    """Folding a ts-ordered two-batch arrival through the incremental
+    state must equal the batch funnel over the full history, for
+    arbitrary event sets and split points."""
+    from data_warehouse_project_spark.streaming.funnel_state import (
+        funnel_state, merge_funnel_state, state_to_report)
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    rows = [(i, u, t, _BASE + timedelta(hours=h))
+            for i, (u, t, h) in enumerate(events)]
+    cut = _BASE + timedelta(hours=split)
+    b1 = spark.createDataFrame([r for r in rows if r[3] <= cut], schema)
+    b2 = spark.createDataFrame([r for r in rows if r[3] > cut], schema)
+    got = [r["n_users"] for r in
+           state_to_report(merge_funnel_state(funnel_state(b1), b2)).collect()]
+    assert got == _funnel_model(events)

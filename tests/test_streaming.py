@@ -674,3 +674,84 @@ def test_anomaly_alerter_alert_once_across_restarts(spark, tmp_path):
     batch = spark.read.parquet(landing)
     applied = incremental.fold_batch_into_state(batch, 0, state)
     assert applied is False
+
+
+def test_funnel_maintainer_restart_matches_batch(spark, tmp_path):
+    """Checkpoint-restart parity for the incremental funnel: the
+    foreachBatch maintainer fed ts-ordered chunks across TWO runs of
+    the same checkpoint must converge to the batch twin's full
+    recompute — including a stage transition that CROSSES the restart
+    boundary (view in chunk 1, qualifying click in chunk 2)."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.plans.analytics import funnel_report
+    from data_warehouse_project_spark.streaming import funnel_state
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+
+    def feed(rows):
+        spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 1, h, m), et)
+             for u, e, h, m, et in rows], schema,
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        funnel_state.run_funnel_maintainer(stream, state, ck)
+
+    # chunk 1: user 1 view+click; user 2 view only; user 3 click only
+    # (pre-view — must never count)
+    feed([(1, 10, 9, 0, "view"), (1, 11, 9, 30, "click"),
+          (2, 12, 9, 45, "view"), (3, 13, 9, 50, "click")])
+    run()
+    # chunk 2 (restart): user 1 purchases (crosses the boundary from
+    # the carried t_click); user 2's click crosses from chunk-1 view;
+    # user 3 finally views (their old click stays disqualified)
+    feed([(1, 20, 10, 0, "purchase"), (2, 21, 10, 15, "click"),
+          (3, 22, 10, 30, "view")])
+    run()
+
+    got = {r["event_type"]: r["n_users"] for r in
+           funnel_state.state_to_report(
+               spark.read.parquet(state)).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+    # full-recompute parity on the same landing data
+    full = {r["event_type"]: r["n_users"] for r in
+            funnel_report(spark.read.parquet(landing)).collect()}
+    assert got == full
+    # restart with no new data: nothing changes (exactly-once)
+    run()
+    again = {r["event_type"]: r["n_users"] for r in
+             funnel_state.state_to_report(
+                 spark.read.parquet(state)).collect()}
+    assert again == got
+
+
+def test_funnel_fold_replay_is_idempotent(spark, tmp_path):
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import funnel_state
+
+    state = str(tmp_path / "state")
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 1, h, m), et)
+             for u, e, h, m, et in rows], schema)
+
+    b0 = batch([(1, 10, 9, 0, "view")])
+    b1 = batch([(1, 20, 10, 0, "click")])
+
+    assert funnel_state.fold_batch_into_state(b0, 0, state) is True
+    assert funnel_state.fold_batch_into_state(b1, 1, state) is True
+    assert funnel_state.fold_batch_into_state(b1, 1, state) is False
+    assert funnel_state.fold_batch_into_state(b0, 0, state) is False
+
+    got = {r["event_type"]: r["n_users"] for r in
+           funnel_state.state_to_report(
+               spark.read.parquet(state)).collect()}
+    assert got == {"view": 1, "click": 1, "purchase": 0}
