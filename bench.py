@@ -75,10 +75,14 @@ HEADLINE = [
 # Defined` warnings in this bench's stderr come from the documented
 # bounded-cardinality windows — length_band_filter's distinct-length
 # histogram, monthly_revenue_growth's ~tens-of-months LAG,
-# part_pareto_concentration's top-25 cumulative share. Each window
-# runs over an AGGREGATE or LIMIT-N result (≤ a few hundred rows),
-# never the raw corpus; tests/test_plan_quality.py pins that. The
-# warning is noise here, not a scale hazard.
+# part_pareto_concentration's top-25 cumulative share, and the
+# round-6 calendar windows (orders_rolling_7d_revenue's RANGE frame,
+# orders_backlog_timeseries' sweep-line cumulative — both over
+# day-keyed aggregates bounded by the calendar span, and
+# doc_zipf_fit's 200-row ranking). Each window runs over an
+# AGGREGATE or LIMIT-N result, never the raw corpus;
+# tests/test_plan_quality.py pins that. The warning is noise here,
+# not a scale hazard.
 
 
 def main() -> None:

@@ -264,3 +264,105 @@ ORDER BY lang
 """
 
 register("lang_head_coverage", lang_head_coverage, LANG_HEAD_SQL)
+
+
+# --------------------------------------------------------------------------
+# Per-source length-distribution drift (KL divergence vs corpus)
+# --------------------------------------------------------------------------
+
+#: documents are bucketed by token count into fixed-width bands —
+#: bounded by the length domain, independent of corpus size
+LENGTH_KL_BAND = 10
+
+#: quantization scale for the per-band KL terms
+_KL_Q = 1_000_000_000.0
+
+
+def source_length_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the token-count distribution
+    against the whole-corpus distribution — the mixture-drift monitor
+    that flags a source whose documents suddenly shorten/lengthen
+    (scraper truncation, boilerplate floods) even when its volume
+    share is unchanged.
+
+    Scale: one corpus pass computes per-doc token counts JVM-side and
+    collapses map-side to the (source × band) matrix — bounded by
+    source count × length bands, independent of corpus size.
+    Everything downstream (marginals, the KL sum) runs on that
+    matrix; the corpus band distribution attaches by broadcast.
+    Determinism: p and q are exact integer-count ratios; each band's
+    p·ln(p/q) term is quantized to 1e9 ints and integer-summed
+    (order-independent); ln carries the documented residual
+    transcendental ulp risk (compat.py policy note).
+    """
+    cat = Catalog(spark, sf_dir)
+    banded = (
+        cat.documents
+        .select("source",
+                (F.floor(F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                         / F.lit(LENGTH_KL_BAND))).cast("long").alias("band"))
+        .groupBy("source", "band")
+        .agg(F.count("*").cast("long").alias("n_sb"))
+    )
+    per_source = banded.groupBy("source").agg(
+        F.sum("n_sb").cast("long").alias("n_s"))
+    per_band = banded.groupBy("band").agg(
+        F.sum("n_sb").cast("long").alias("n_b"))
+    total = banded.agg(F.sum("n_sb").cast("long").alias("n_total"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p = d("n_sb") / d("n_s")
+    q = d("n_b") / d("n_total")
+    term_q = F.floor(p * F.log(p / q) * F.lit(_KL_Q) + F.lit(0.5)) \
+        .cast("long")
+    return (
+        banded
+        .join(per_source, "source")
+        .join(F.broadcast(per_band), "band")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(F.max("n_s").alias("n_docs"),
+             F.sum(term_q).alias("kl_q"))
+        .select("source", F.col("n_docs").cast("long").alias("n_docs"),
+                fround(F.col("kl_q").cast("double") / F.lit(_KL_Q), 6)
+                .alias("kl_vs_corpus"))
+        .orderBy("source")
+    )
+
+
+SOURCE_LENGTH_KL_SQL = f"""
+WITH banded AS (
+    SELECT source,
+           CAST(FLOOR(len(string_split_regex(trim(text), '\\s+'))
+                / {LENGTH_KL_BAND}) AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_sb
+    FROM documents GROUP BY 1, 2
+),
+per_source AS (
+    SELECT source, CAST(SUM(n_sb) AS BIGINT) AS n_s FROM banded GROUP BY 1
+),
+per_band AS (
+    SELECT band, CAST(SUM(n_sb) AS BIGINT) AS n_b FROM banded GROUP BY 1
+),
+total AS (
+    SELECT CAST(SUM(n_sb) AS BIGINT) AS n_total FROM banded
+),
+terms AS (
+    SELECT b.source, s.n_s,
+           CAST(FLOOR((CAST(b.n_sb AS DOUBLE) / CAST(s.n_s AS DOUBLE))
+                * LN((CAST(b.n_sb AS DOUBLE) / CAST(s.n_s AS DOUBLE))
+                     / (CAST(g.n_b AS DOUBLE) / CAST(t.n_total AS DOUBLE)))
+                * 1000000000.0 + 0.5) AS BIGINT) AS term_q
+    FROM banded b
+    JOIN per_source s ON b.source = s.source
+    JOIN per_band g ON b.band = g.band
+    CROSS JOIN total t
+)
+SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+       {{kl}} AS kl_vs_corpus
+FROM terms
+GROUP BY source
+ORDER BY source
+""".format(kl=sql_fround(
+    'CAST(SUM(term_q) AS DOUBLE) / 1000000000.0', 6))
+
+register("source_length_kl", source_length_kl, SOURCE_LENGTH_KL_SQL)

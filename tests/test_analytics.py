@@ -398,3 +398,42 @@ def test_funnel_state_fold_matches_batch(spark, events, split):
     got = [r["n_users"] for r in
            state_to_report(merge_funnel_state(funnel_state(b1), b2)).collect()]
     assert got == _funnel_model(events)
+
+
+def test_source_length_kl_zero_for_identical_distribution(spark, tmp_path):
+    """A source whose length distribution equals the corpus's has
+    KL = 0; a shifted source scores strictly positive; KL is never
+    negative (Gibbs)."""
+    from data_warehouse_project_spark.llm.langmix import source_length_kl
+
+    def doc(i, src, n_tokens):
+        return Row(doc_id=i, text=" ".join(["w"] * n_tokens), lang="en",
+                   source=src, n_chars=2 * n_tokens)
+
+    rows = []
+    # sources a and b: identical length mix (5 docs of 15 tokens,
+    # 5 of 35 each) → each equals the a∪b marginal as long as c is
+    # excluded... include c and a/b stay mutually identical but not
+    # equal to the corpus — so build ONLY a and b for the zero case
+    for i in range(5):
+        rows.append(doc(100 + i, "a", 15))
+        rows.append(doc(200 + i, "a", 35))
+        rows.append(doc(300 + i, "b", 15))
+        rows.append(doc(400 + i, "b", 35))
+    spark.createDataFrame(rows).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r["kl_vs_corpus"]
+           for r in source_length_kl(spark, str(tmp_path)).collect()}
+    assert out == {"a": 0.0, "b": 0.0}
+
+    # now add a shifted source c (all 95-token docs): a/b rise above
+    # zero, c scores strictly higher, and everything stays >= 0
+    rows += [doc(500 + i, "c", 95) for i in range(10)]
+    d2 = tmp_path / "v2"
+    d2.mkdir()
+    spark.createDataFrame(rows).write.parquet(str(d2 / "documents.parquet"))
+    out2 = {r["source"]: r["kl_vs_corpus"]
+            for r in source_length_kl(spark, str(d2)).collect()}
+    assert all(v >= 0 for v in out2.values())
+    assert out2["c"] > out2["a"] > 0
+    assert out2["a"] == out2["b"]

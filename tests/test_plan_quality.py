@@ -447,3 +447,45 @@ def test_r6_integrity_antijoins_and_vocab_join(r6_plans):
     # frame, never re-derive from documents
     assert "InMemoryTableScan" in vo
     assert vo.count("HashAggregate") >= 2
+
+
+@pytest.fixture(scope="module")
+def r6_late_plans(spark, sf_dir):
+    qs = registry.queries()
+    return {name: _plan(qs[name](spark, sf_dir))
+            for name in ["part_market_basket", "events_funnel_conversion",
+                         "orders_backlog_timeseries", "token_bigram_pmi",
+                         "label_centroid_separation"]}
+
+
+def test_basket_joins_pinned_set_never_cartesian(r6_late_plans):
+    # the pair self-join and both lift denominators consume the ONE
+    # pinned distinct (order, part) materialization; the only
+    # nested-loop is the broadcast one-row totals attach
+    plan = r6_late_plans["part_market_basket"]
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 4
+    assert "BroadcastNestedLoopJoin" in plan    # one-row totals only
+
+
+def test_funnel_is_single_exchange_single_scan(r6_late_plans):
+    # all three stage minima share one user_id exchange; the
+    # first_users denominator rides the structs (no second pipeline)
+    plan = r6_late_plans["events_funnel_conversion"]
+    # formatted explain prints each node twice (tree + details):
+    # 2 occurrences == exactly ONE scan node
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_backlog_and_pmi_stay_aggregate_first(r6_late_plans):
+    bl = r6_late_plans["orders_backlog_timeseries"]
+    assert "CartesianProduct" not in bl
+    pmi = r6_late_plans["token_bigram_pmi"]
+    assert "CartesianProduct" not in pmi
+    # unigram and bigram count passes are pinned (joins read the
+    # in-memory frames, not a re-derived corpus explode)
+    assert pmi.count("InMemoryTableScan") >= 3
+    cs = r6_late_plans["label_centroid_separation"]
+    assert "CartesianProduct" not in cs
+    assert "InMemoryTableScan" in cs
