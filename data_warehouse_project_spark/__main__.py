@@ -61,6 +61,21 @@ def main(argv: list[str] | None = None) -> int:
                   f"no_lines={r['n_no_lines']} "
                   f"mismatch_gt1pct={r['n_mismatch']} "
                   f"max_drift_cents={r['max_abs_diff_cents']}")
+        print("== sketch/index quality gates ==")
+        from .llm.dedup import minhash_accuracy_floor
+        from .llm.similarity import ann_recall_floor
+        from .plans.warehouse import approx_quantile_accuracy_floor
+        for gate_name, gate_fn in [
+            ("ann_recall_floor", ann_recall_floor),
+            ("minhash_accuracy_floor", minhash_accuracy_floor),
+            ("approx_quantile_accuracy_floor",
+             approx_quantile_accuracy_floor),
+        ]:
+            row = gate_fn(spark, args.sf_dir).collect()[0].asDict()
+            fails = [k for k, v in row.items() if v is False]
+            bad += len(fails)
+            state = "OK" if not fails else f"VIOLATION {fails}"
+            print(f"{gate_name:35s} {state}")
         spark.stop()
         print("HEALTHCHECK", "FAIL" if bad else "OK")
         return 1 if bad else 0
