@@ -280,3 +280,99 @@ ORDER BY label_a, label_b
 
 register("label_centroid_separation", label_centroid_separation,
          CENTROID_SEP_SQL)
+
+
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle population covariance matrix of the embedding
+    coordinates — the input to PCA/whitening health checks (a
+    collapsing spectrum flags encoder degeneration; unit tests
+    eigendecompose this exact output against numpy).
+
+    Scale: ONE corpus pass — each vector expands JVM-side (nested
+    transform + explode, whole-stage codegen, no Python) into its
+    dim·(dim+1)/2 upper-triangle products, which partial aggregation
+    collapses map-side to dim² groups: the shuffle carries
+    O(partitions × dim²) rows regardless of corpus size. Per-row
+    products and per-dim sums are quantized to integers before
+    summing (order-independent, SURVEY.md §7.4.4); the final
+    cov = E[xy] − E[x]E[y] is IEEE ops over identical integer
+    operands on both engines — no libm involved.
+    """
+    cat = Catalog(spark, sf_dir)
+    # per-row upper-triangle quantized products, exploded JVM-side
+    pairs = (
+        cat.embeddings
+        .select(F.explode(F.expr(
+            "flatten(transform(embedding, (x, i) -> "
+            " transform(slice(embedding, i + 1, size(embedding) - i), "
+            "  (y, j) -> struct(i AS dim_i, i + j AS dim_j, "
+            "   CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) "
+            "        * 1000000.0 + 0.5) AS LONG) AS qp))))"
+        )).alias("p"))
+        .select(F.col("p.dim_i").cast("long").alias("dim_i"),
+                F.col("p.dim_j").cast("long").alias("dim_j"),
+                F.col("p.qp").alias("qp"))
+        .groupBy("dim_i", "dim_j")
+        .agg(F.count("*").cast("long").alias("n_vecs"),
+             F.sum("qp").alias("sqp"))
+    )
+    sums = (
+        cat.embeddings
+        .select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(F.sum(F.floor(F.col("x").cast("double") * F.lit(_Q)
+                           + F.lit(0.5)).cast("long")).alias("sq"))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    # E[xy] from 1e6-quantized products; E[x]E[y] from 1e6-quantized
+    # coordinate sums (the 1e6·1e6 scale divides back out)
+    cov = (d("sqp") / d("n_vecs") / F.lit(_Q)
+           - (d("sq_i") / d("n_vecs") / F.lit(_Q))
+           * (d("sq_j") / d("n_vecs") / F.lit(_Q)))
+    return (
+        pairs
+        .join(F.broadcast(sums.select(F.col("dim").alias("dim_i"),
+                                      F.col("sq").alias("sq_i"))), "dim_i")
+        .join(F.broadcast(sums.select(F.col("dim").alias("dim_j"),
+                                      F.col("sq").alias("sq_j"))), "dim_j")
+        .select("dim_i", "dim_j", "n_vecs",
+                fround(cov, 6).alias("covariance"))
+        .orderBy("dim_i", "dim_j")
+    )
+
+
+EMB_COV_SQL = """
+WITH ex AS MATERIALIZED (
+    SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+           CAST(UNNEST(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.i AS dim_i, b.i AS dim_j,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           SUM(CAST(FLOOR(a.x * b.x * 1000000.0 + 0.5) AS BIGINT)) AS sqp
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+),
+sums AS (
+    SELECT dim, SUM(qx) AS sq
+    FROM (SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+                 CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0
+                      + 0.5) AS BIGINT) AS qx
+          FROM embeddings)
+    GROUP BY 1
+)
+SELECT dim_i, dim_j, n_vecs,
+       {cov} AS covariance
+FROM pairs
+JOIN (SELECT dim AS dim_i, sq AS sq_i FROM sums) si USING (dim_i)
+JOIN (SELECT dim AS dim_j, sq AS sq_j FROM sums) sj USING (dim_j)
+ORDER BY dim_i, dim_j
+""".format(cov=sql_fround(
+    'CAST(sqp AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000.0'
+    ' - (CAST(sq_i AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000.0)'
+    ' * (CAST(sq_j AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000.0)', 6))
+
+
+register("embedding_covariance_matrix", embedding_covariance_matrix,
+         EMB_COV_SQL)
