@@ -316,25 +316,35 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_vecs"),
              F.sum("qp").alias("sqp"))
     )
-    sums = (
+    # per-dim quantized coordinate sums collapsed to ONE row as a
+    # dim→sum map (key lookup is order-independent, so collect_list's
+    # nondeterministic order is harmless) — a single one-row broadcast
+    # attach instead of two 64-row broadcast joins (one fewer job,
+    # simpler plan). Local-wall-time note: a FRESH invocation costs
+    # ~2.4 s at any sf, ~all of it whole-stage-codegen compilation of
+    # the nested-transform product expression (re-executing the same
+    # DataFrame runs in <0.1 s at sf0.1) — a constant driver-side
+    # cost that amortizes over real job sizes, not a scale hazard.
+    qsums = (
         cat.embeddings
         .select(F.posexplode("embedding").alias("dim", "x"))
         .groupBy(F.col("dim").cast("long").alias("dim"))
         .agg(F.sum(F.floor(F.col("x").cast("double") * F.lit(_Q)
                            + F.lit(0.5)).cast("long")).alias("sq"))
+        .agg(F.expr("map_from_arrays(collect_list(dim), collect_list(sq))")
+             .alias("qs"))
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     # E[xy] from 1e6-quantized products; E[x]E[y] from 1e6-quantized
     # coordinate sums (the 1e6·1e6 scale divides back out)
     cov = (d("sqp") / d("n_vecs") / F.lit(_Q)
-           - (d("sq_i") / d("n_vecs") / F.lit(_Q))
-           * (d("sq_j") / d("n_vecs") / F.lit(_Q)))
+           - (F.col("qs")[F.col("dim_i")].cast("double")
+              / d("n_vecs") / F.lit(_Q))
+           * (F.col("qs")[F.col("dim_j")].cast("double")
+              / d("n_vecs") / F.lit(_Q)))
     return (
         pairs
-        .join(F.broadcast(sums.select(F.col("dim").alias("dim_i"),
-                                      F.col("sq").alias("sq_i"))), "dim_i")
-        .join(F.broadcast(sums.select(F.col("dim").alias("dim_j"),
-                                      F.col("sq").alias("sq_j"))), "dim_j")
+        .crossJoin(F.broadcast(qsums))
         .select("dim_i", "dim_j", "n_vecs",
                 fround(cov, 6).alias("covariance"))
         .orderBy("dim_i", "dim_j")
