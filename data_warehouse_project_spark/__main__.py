@@ -64,12 +64,14 @@ def main(argv: list[str] | None = None) -> int:
         print("== sketch/index quality gates ==")
         from .llm.dedup import minhash_accuracy_floor
         from .llm.similarity import ann_recall_floor
-        from .plans.warehouse import approx_quantile_accuracy_floor
+        from .plans.warehouse import (approx_quantile_accuracy_floor,
+                                      hll_distinct_accuracy_floor)
         for gate_name, gate_fn in [
             ("ann_recall_floor", ann_recall_floor),
             ("minhash_accuracy_floor", minhash_accuracy_floor),
             ("approx_quantile_accuracy_floor",
              approx_quantile_accuracy_floor),
+            ("hll_distinct_accuracy_floor", hll_distinct_accuracy_floor),
         ]:
             row = gate_fn(spark, args.sf_dir).collect()[0].asDict()
             fails = [k for k, v in row.items() if v is False]

@@ -921,3 +921,57 @@ ORDER BY day
 """
 
 register("orders_backlog_timeseries", orders_backlog_timeseries, BACKLOG_SQL)
+
+
+#: max relative error the HLL gate tolerates, percent (approx_count_
+#: distinct runs at rsd=0.02 → 5% is a 2.5-sigma margin)
+HLL_GATE_PCT = 5
+
+
+def hll_distinct_accuracy_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible HyperLogLog quality gate (completes the sketch
+    gate family: ann/minhash/quantile): ONE row asserting that
+    approx_count_distinct at rsd=0.02 lands within HLL_GATE_PCT
+    relative error of the exact distinct count on three key columns
+    of different cardinality (supplier ~1e3 · part ~1e4 ·
+    customer-of-orders ~1e4, scaling with sf). Both sides are longs,
+    the compare is pure integer arithmetic, and the sketch is
+    deterministic given the data — a regression flips a boolean and
+    hash-mismatches the pinned-constant oracle. Exact side shuffles
+    distinct keys (the thing HLL avoids) — acceptable for a gate
+    that exists precisely to certify the cheap path."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+    od = cat.orders
+    ag = (
+        li.agg(
+            F.count_distinct("l_partkey").cast("long").alias("ex_part"),
+            F.approx_count_distinct("l_partkey", 0.02).cast("long")
+            .alias("ap_part"),
+            F.count_distinct("l_suppkey").cast("long").alias("ex_supp"),
+            F.approx_count_distinct("l_suppkey", 0.02).cast("long")
+            .alias("ap_supp"))
+        .crossJoin(F.broadcast(od.agg(
+            F.count_distinct("o_custkey").cast("long").alias("ex_cust"),
+            F.approx_count_distinct("o_custkey", 0.02).cast("long")
+            .alias("ap_cust"))))
+    )
+    def ok(ap, ex):
+        return (F.abs(F.col(ap) - F.col(ex)) * 100
+                <= F.col(ex) * HLL_GATE_PCT)
+    return ag.select(
+        (F.col("ex_part") > 0).alias("has_rows"),
+        ok("ap_part", "ex_part").alias("part_within_gate"),
+        ok("ap_supp", "ex_supp").alias("supp_within_gate"),
+        ok("ap_cust", "ex_cust").alias("cust_within_gate"))
+
+
+HLL_GATE_SQL = """
+SELECT TRUE AS has_rows,
+       TRUE AS part_within_gate,
+       TRUE AS supp_within_gate,
+       TRUE AS cust_within_gate
+"""
+
+register("hll_distinct_accuracy_floor", hll_distinct_accuracy_floor,
+         HLL_GATE_SQL)

@@ -70,7 +70,7 @@ def _register_modules() -> None:
 #:    7 slots — new-query coverage outranks the verdict's optional
 #:    r5 spot checks (r5 rows are only 1 round old and every r5
 #:    query stays parity-guarded locally). 17 queries are new this
-#:    round; the 23 outside the window (positions 51+ below — all
+#:    round; the 24 outside the window (positions 51+ below — all
 #:    parity-green locally on every pytest run, the batch before the
 #:    last swept at sf0.1) lead the round-7 window with the r4-stale
 #:    family.
@@ -130,9 +130,9 @@ _PRIORITY: list[str] = [
     "quality_score_linear",
     "vocab_top_terms",
     # --- positions 44-50: round-6-new queries (never driver-checked).
-    #     30 queries are new this round; the 7 in-window slots go to
+    #     31 queries are new this round; the 7 in-window slots go to
     #     the two index-quality gates, the incremental miner, the
-    #     three audits, and the temperature mixture. The other 23
+    #     three audits, and the temperature mixture. The other 24
     #     (positions 51+ below — all parity-green locally on every
     #     pytest run) lead the round-7 window with the r4-stale
     #     family. ---
@@ -167,6 +167,7 @@ _PRIORITY: list[str] = [
     "events_funnel_incremental",
     "source_length_kl",
     "embedding_covariance_matrix",
+    "hll_distinct_accuracy_floor",
 ]
 
 

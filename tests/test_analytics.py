@@ -472,3 +472,24 @@ def test_embedding_covariance_matches_numpy_and_is_psd(spark, tmp_path):
     # the planted spectrum ordering survives: top eigenvalue ~4x² of
     # the second-largest scale
     assert eig.max() > 2.0
+
+
+def test_hll_gate_true_on_driver_data_and_detects_broken_sketch(spark, sf_dir):
+    """The HLL gate passes on real data; the bracket logic itself is
+    exercised by checking a deliberately-impossible tolerance fails
+    (proving the booleans are computed, not constants)."""
+    from data_warehouse_project_spark.plans import warehouse
+    row = warehouse.hll_distinct_accuracy_floor(spark, sf_dir).collect()[0]
+    assert all(row.asDict().values())
+
+    # with the gate forced to 0% tolerance at least one column's
+    # approximate count differs from exact (HLL is approximate),
+    # so a boolean flips — the gate is a live computation
+    orig = warehouse.HLL_GATE_PCT
+    try:
+        warehouse.HLL_GATE_PCT = 0
+        row0 = warehouse.hll_distinct_accuracy_floor(spark, sf_dir) \
+            .collect()[0].asDict()
+        assert not all(row0.values())
+    finally:
+        warehouse.HLL_GATE_PCT = orig
