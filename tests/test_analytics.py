@@ -493,3 +493,50 @@ def test_hll_gate_true_on_driver_data_and_detects_broken_sketch(spark, sf_dir):
         assert not all(row0.values())
     finally:
         warehouse.HLL_GATE_PCT = orig
+
+
+_order_intervals = st.lists(
+    st.tuples(st.integers(0, 15),                 # order day
+              st.integers(0, 10)),                # ship lag (days)
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(orders=_order_intervals)
+def test_backlog_matches_bruteforce_interval_count(spark, orders):
+    """The sweep-line backlog must equal the brute-force 'how many
+    intervals cover this day' count at every change day, for
+    arbitrary order/ship interval sets."""
+    from data_warehouse_project_spark.plans.warehouse import (
+        orders_backlog_timeseries)
+
+    orows, lrows = [], []
+    for k, (d, lag) in enumerate(orders):
+        orows.append((k, _BASE + timedelta(days=d), 1.0))
+        # last ship = order day + lag (single line per order)
+        lrows.append((k, _BASE + timedelta(days=d + lag)))
+    odf = spark.createDataFrame(
+        orows, "o_orderkey long, o_orderdate timestamp, o_totalprice double")
+    ldf = spark.createDataFrame(
+        lrows, "l_orderkey long, l_shipdate timestamp")
+    # bypass Catalog (schema projection) by calling the core on views
+    import data_warehouse_project_spark.plans.warehouse as wh
+    from unittest import mock
+
+    class _Cat:
+        def __init__(self, *_a, **_k):
+            self.orders, self.lineitem = odf, ldf
+
+    with mock.patch.object(wh, "Catalog", _Cat):
+        got = {str(r["day"])[:10]: r["backlog"] for r in
+               orders_backlog_timeseries(spark, "ignored").collect()}
+
+    days = sorted({d for d, _ in orders} |
+                  {d + lag + 1 for d, lag in orders})
+    exp = {}
+    for day in days:
+        exp[str(_BASE + timedelta(days=day))[:10]] = sum(
+            1 for d, lag in orders if d <= day <= d + lag)
+    assert got == exp
