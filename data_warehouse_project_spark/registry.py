@@ -44,7 +44,7 @@ register("flagship_my_registrations", _flagship.flagship, _flagship.FLAGSHIP_ORA
 def _register_modules() -> None:
     """Import every module that self-registers queries."""
     from .operators import extended, quarantine, relational, skew  # noqa: F401
-    from .plans import (analytics, audits, dashboard,  # noqa: F401
+    from .plans import (analytics, audits, cdc, dashboard,  # noqa: F401
                         incremental, poststate, tpch, tpch_deep, warehouse)
     from .streaming import batch_parity, funnel_state, transitions  # noqa: F401
     from .llm import (clusters, dedup, distributions,  # noqa: F401
@@ -168,6 +168,9 @@ _PRIORITY: list[str] = [
     "source_length_kl",
     "embedding_covariance_matrix",
     "hll_distinct_accuracy_floor",
+    "cdc_changelog",
+    "join_skew_report",
+    "customer_new_vs_returning",
 ]
 
 
