@@ -47,10 +47,10 @@ def _register_modules() -> None:
     from .plans import (analytics, audits, cdc, dashboard,  # noqa: F401
                         incremental, poststate, tpch, tpch_deep, warehouse)
     from .streaming import batch_parity, funnel_state, transitions  # noqa: F401
-    from .llm import (clusters, dedup, distributions,  # noqa: F401
-                      langmix, manifest, multimodal, pipeline, quality,
-                      refinery, repetition, sampling, similarity, spans,
-                      textstats)
+    from .llm import (clusters, compress, dedup, distributions,  # noqa: F401
+                      importance, langmix, manifest, multimodal, pipeline,
+                      quality, refinery, repetition, sampling, similarity,
+                      spans, textstats)
     from .functions import crypto  # noqa: F401
 
 
@@ -171,6 +171,8 @@ _PRIORITY: list[str] = [
     "cdc_changelog",
     "join_skew_report",
     "customer_new_vs_returning",
+    "dsir_importance_weights",
+    "embedding_int8_report",
 ]
 
 
