@@ -66,6 +66,11 @@ HEADLINE = [
     "token_bigram_pmi",            # pinned two-pass collocation mining (new r6)
     "orders_rolling_7d_revenue",   # calendar RANGE frame window (new r6)
     "orders_backlog_timeseries",   # sweep-line interval counting (new r6)
+    "cdc_changelog",               # snapshot-diff full-outer CDC (new r6)
+    "join_skew_report",            # per-edge key-frequency diagnostics (new r6)
+    "customer_new_vs_returning",   # (cust, month) agg + first-month window (new r6)
+    "dsir_importance_weights",     # target/raw unigram-LM log-ratio (new r6)
+    "embedding_int8_report",       # two-pass int8 codec error report (new r6)
 ]
 # doc_zipf_fit is deliberately NOT in the headline: its corpus-scale
 # work is the same explode→term-count shuffle vocab_top_terms already
