@@ -48,9 +48,9 @@ def _register_modules() -> None:
                         incremental, poststate, tpch, tpch_deep, warehouse)
     from .streaming import batch_parity, funnel_state, transitions  # noqa: F401
     from .llm import (clusters, compress, dedup, distributions,  # noqa: F401
-                      importance, langmix, manifest, multimodal, pipeline,
-                      quality, refinery, repetition, sampling, similarity,
-                      spans, textstats)
+                      importance, index, langmix, manifest, multimodal,
+                      pipeline, quality, refinery, repetition, sampling,
+                      similarity, spans, textstats)
     from .functions import crypto  # noqa: F401
 
 
@@ -173,6 +173,7 @@ _PRIORITY: list[str] = [
     "customer_new_vs_returning",
     "dsir_importance_weights",
     "embedding_int8_report",
+    "inverted_index_postings",
 ]
 
 
