@@ -49,8 +49,8 @@ def _register_modules() -> None:
     from .streaming import batch_parity, funnel_state, transitions  # noqa: F401
     from .llm import (clusters, compress, dedup, distributions,  # noqa: F401
                       importance, index, langmix, manifest, multimodal,
-                      pipeline, quality, refinery, repetition, sampling,
-                      similarity, spans, textstats)
+                      pipeline, quality, refinery, repetition, retrieval,
+                      sampling, similarity, spans, textstats)
     from .functions import crypto  # noqa: F401
 
 
@@ -174,6 +174,7 @@ _PRIORITY: list[str] = [
     "dsir_importance_weights",
     "embedding_int8_report",
     "inverted_index_postings",
+    "bm25_top_docs",
 ]
 
 

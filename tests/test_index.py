@@ -36,3 +36,37 @@ def test_inverted_index_postings_capped_and_sorted(spark, sf_dir):
         assert ids == sorted(ids)
         assert len(ids) == min(r.df, INDEX_POSTINGS_CAP)
         assert r.cf >= r.df
+
+
+def test_bm25_matches_python_model(spark, sf_dir):
+    import math
+    from data_warehouse_project_spark.llm.retrieval import (
+        BM25_B, BM25_K1, BM25_QUERY_TERMS, BM25_TOP_K, bm25_top_docs)
+    docs = {r.doc_id: r.text.strip().split()
+            for r in Catalog(spark, sf_dir).documents
+            .select("doc_id", "text").collect()}
+    n = len(docs)
+    avgdl = sum(len(ws) for ws in docs.values()) / n
+    df = {t: sum(1 for ws in docs.values() if t in ws)
+          for t in BM25_QUERY_TERMS}
+    expected = {}
+    for doc_id, ws in docs.items():
+        qsum, matched = 0, 0
+        for t in BM25_QUERY_TERMS:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            tfn = tf * (BM25_K1 + 1.0) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(ws) / avgdl))
+            qsum += math.floor(idf * tfn * 1e6 + 0.5)
+        if matched:
+            expected[doc_id] = (qsum, matched)
+    top = sorted(expected.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    top = top[:BM25_TOP_K]
+    got = bm25_top_docs(spark, sf_dir).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in top]
+    for r, (d, (qsum, matched)) in zip(got, top):
+        assert r.n_terms_matched == matched
+        assert abs(r.bm25_score - qsum / 1e6) <= 1e-6
