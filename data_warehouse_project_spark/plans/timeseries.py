@@ -1,0 +1,149 @@
+"""Exact time-series smoothing over the event stream — a trailing
+12-hour dyadic-weighted moving average (WMA) per event type on the
+dense hour spine, with an integer-exact spike flag comparing each
+hour to its trailing baseline.
+
+The reference has no time-series surface (its `events` table is CRUD
+rows, `app.py` renders lists); this extends the §2.11 analytics family
+next to `events_anomaly_mad` (robust level) and `events_gap_report`
+(missing rows). The WMA is the *trend* detector between those two: a
+deterministic short-horizon baseline each hour is compared against.
+The baseline is strictly TRAILING (lags 1..12, current hour excluded)
+— the standard anomaly formulation, and the one where a spike can
+actually exceed its own baseline.
+
+Determinism design (why this exact formulation): an EWMA's infinite
+recursion is FP-order-sensitive across engines, so we truncate to a
+12-lag window with DYADIC weights w_j = 2^(12-j) for lag j — every
+term x_{t-j} * 2^(12-j) is an exact BIGINT, the numerator is an
+order-independent integer sum, and the single final division
+num / 4095.0 is one IEEE-correctly-rounded op both engines agree on
+bit-for-bit (unlike transcendental-fed pipelines — see
+functions/compat.py's policy note). The spike test is pure integer
+arithmetic (x_t * 4095 > 2 * num), so the boolean can never flip on
+rounding.
+
+Scale design (100 TB): the corpus is reduced to (event_type, hour)
+counts FIRST — one map-side-combined aggregation, the only shuffle
+that sees raw events. The dense spine (sequence() over a one-row
+min/max aggregate × the tiny type dim, same shape as
+plans/audits.events_gap_report) and the 12 LAGs run over that bounded
+hourly aggregate: the window partition is per-type hours (~10^4 rows
+per year-type), never the corpus. Missing hours are zero-filled by
+the spine so LAG distances are true wall-clock hours, not
+"previous observed row".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.compat import fround, sql_fround
+from ..registry import register
+from ..sources.catalog import Catalog
+
+#: trailing lags in the moving average (hours t-1 .. t-12).
+WMA_LAGS = 12
+
+#: sum of dyadic weights 2^0 .. 2^11 — the exact integer denominator.
+WMA_DENOM = (1 << WMA_LAGS) - 1  # 4095
+
+
+def hourly_dense_counts(events: DataFrame) -> DataFrame:
+    """(event_type, h, x): per-type event counts on the dense global
+    hour spine, zero-filled where a type had no events that hour."""
+    hourly = (events
+              .select(F.date_trunc("hour", F.col("ts")).alias("h"),
+                      "event_type")
+              .groupBy("event_type", "h")
+              .agg(F.count("*").cast("long").alias("x")))
+    spine = (events
+             .agg(F.min(F.date_trunc("hour", F.col("ts"))).alias("lo"),
+                  F.max(F.date_trunc("hour", F.col("ts"))).alias("hi"))
+             .select(F.explode(F.expr(
+                 "sequence(lo, hi, interval 1 hour)")).alias("h")))
+    types = events.select("event_type").distinct()
+    expected = spine.join(F.broadcast(types))
+    return (expected.join(hourly, ["event_type", "h"], "left")
+            .select("event_type", "h",
+                    F.coalesce("x", F.lit(0)).cast("long").alias("x")))
+
+
+def wma_hourly(events: DataFrame) -> DataFrame:
+    """Trailing 12-hour dyadic WMA per (event_type, hour) + spike flag.
+
+    Rows start at the 13th spine hour of each type (all 12 trailing
+    lags present, so the weight denominator is the constant 4095 and
+    no partial-window estimate ever mixes into the baseline).
+    """
+    dense = hourly_dense_counts(events)
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = dense.select(
+        "event_type", "h", "x",
+        F.row_number().over(w).alias("rn"),
+        *[F.lag("x", j).over(w).alias(f"x{j}")
+          for j in range(1, WMA_LAGS + 1)],
+    ).filter(F.col("rn") >= WMA_LAGS + 1)
+    # integer numerator: x1*2^11 + x2*2^10 + ... + x12*2^0 (exact).
+    num = F.col("x1") * F.lit(1 << (WMA_LAGS - 1))
+    for j in range(2, WMA_LAGS + 1):
+        num = num + F.col(f"x{j}") * F.lit(1 << (WMA_LAGS - j))
+    return (lagged
+            .withColumn("wma_num", num.cast("long"))
+            .select(
+                "event_type", "h",
+                F.col("x").alias("n_events"),
+                fround(F.col("wma_num") / F.lit(float(WMA_DENOM)), 6)
+                .alias("wma"),
+                (F.col("x") * WMA_DENOM > 2 * F.col("wma_num"))
+                .alias("is_spike"),
+            )
+            .orderBy("event_type", "h"))
+
+
+def events_wma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event volume vs its trailing 12-hour dyadic-WMA baseline."""
+    cat = Catalog(spark, sf_dir)
+    return wma_hourly(cat.events)
+
+
+_LAG_TERMS_SQL = " + ".join(
+    f"LAG(x, {j}) OVER w * {1 << (WMA_LAGS - j)}"
+    for j in range(1, WMA_LAGS + 1))
+
+EVENTS_WMA_SQL = f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+spine AS (
+    SELECT UNNEST(generate_series((SELECT MIN(date_trunc('hour', ts))
+                                   FROM events),
+                                  (SELECT MAX(date_trunc('hour', ts))
+                                   FROM events),
+                                  INTERVAL 1 HOUR)) AS h
+),
+types AS (SELECT DISTINCT event_type FROM events),
+dense AS (
+    SELECT t.event_type, s.h, COALESCE(o.x, 0) AS x
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN hourly o ON o.event_type = t.event_type AND o.h = s.h
+),
+lagged AS (
+    SELECT event_type, h, x,
+           ROW_NUMBER() OVER w AS rn,
+           CAST({_LAG_TERMS_SQL} AS BIGINT) AS wma_num
+    FROM dense
+    WINDOW w AS (PARTITION BY event_type ORDER BY h)
+)
+SELECT event_type, h,
+       CAST(x AS BIGINT) AS n_events,
+       {sql_fround(f'wma_num / {float(WMA_DENOM)}', 6)} AS wma,
+       (x * {WMA_DENOM} > 2 * wma_num) AS is_spike
+FROM lagged
+WHERE rn >= {WMA_LAGS + 1}
+ORDER BY event_type, h
+"""
+
+register("events_wma_hourly", events_wma_hourly, EVENTS_WMA_SQL)

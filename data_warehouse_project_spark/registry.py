@@ -44,8 +44,9 @@ register("flagship_my_registrations", _flagship.flagship, _flagship.FLAGSHIP_ORA
 def _register_modules() -> None:
     """Import every module that self-registers queries."""
     from .operators import extended, quarantine, relational, skew  # noqa: F401
-    from .plans import (analytics, audits, cdc, dashboard,  # noqa: F401
-                        incremental, poststate, tpch, tpch_deep, warehouse)
+    from .plans import (analytics, audits, cdc, dashboard, graph,  # noqa: F401
+                        incremental, poststate, timeseries, tpch,
+                        tpch_deep, warehouse)
     from .streaming import batch_parity, funnel_state, transitions  # noqa: F401
     from .llm import (clusters, compress, dedup, distributions,  # noqa: F401
                       importance, index, langmix, manifest, multimodal,

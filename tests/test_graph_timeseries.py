@@ -1,0 +1,150 @@
+"""Semantic unit tests for the graph + exact-time-series operators
+(plans/graph.py, plans/timeseries.py) — invariants the parity suite
+can't express: PageRank on a hand-computable graph, the basket guard,
+zero-fill on spine gaps, and the trailing dyadic-WMA closed form."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+from data_warehouse_project_spark.plans.graph import (
+    MAX_BASKET, PR_SCALE, copurchase_edges, pagerank_topk)
+from data_warehouse_project_spark.plans.timeseries import (
+    WMA_DENOM, WMA_LAGS, hourly_dense_counts, wma_hourly)
+
+
+def _lineitem(spark, orders):
+    """orders: list of (orderkey, [partkeys])."""
+    rows = [Row(l_orderkey=ok, l_partkey=pk)
+            for ok, parts in orders for pk in parts]
+    return spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+
+def _part(spark, keys):
+    return spark.createDataFrame(
+        [Row(p_partkey=k, p_name=f"part {k}") for k in keys],
+        "p_partkey long, p_name string")
+
+
+def test_copurchase_edges_distinct_and_guarded(spark):
+    li = _lineitem(spark, [
+        (1, [10, 11, 10]),          # dup line collapses
+        (2, [10, 11]),              # repeat pair collapses
+        (3, list(range(100, 100 + MAX_BASKET + 5))),  # over guard: dropped
+        (4, [12]),                  # singleton: no pairs
+    ])
+    edges = {(r.src, r.dst) for r in copurchase_edges(li).collect()}
+    assert edges == {(10, 11), (11, 10)}
+
+
+def test_pagerank_star_graph_hand_computed(spark):
+    """Star: hub 1 co-ordered with 2, 3, 4 pairwise-only (three
+    2-item orders) — hub has deg 3, leaves deg 1. One iteration from
+    uniform SCALE, mirroring the engine's exact op order:
+    floor(rank/deg) then floor(s * 0.85)."""
+    li = _lineitem(spark, [(1, [1, 2]), (2, [1, 3]), (3, [1, 4])])
+    out = {r.p_partkey: r.pagerank_scaled
+           for r in pagerank_topk(li, _part(spark, [1, 2, 3, 4]),
+                                  iters=1, k=10).collect()}
+    base = int(0.15 * PR_SCALE)
+    hub_s = 3 * math.floor(PR_SCALE / 1)
+    hub = base + math.floor(hub_s * 0.85)
+    leaf_s = math.floor(PR_SCALE / 3)
+    leaf = base + math.floor(leaf_s * 0.85)
+    assert out[1] == hub
+    assert out[2] == out[3] == out[4] == leaf
+    assert out[1] > out[2]          # hub outranks leaves
+
+
+def test_pagerank_symmetric_triangle_ties_break_by_key(spark):
+    """Symmetric triangle: all nodes tie at (approx) SCALE every
+    iteration; output ordering falls back to partkey."""
+    li = _lineitem(spark, [(1, [7, 8, 9])])
+    rows = pagerank_topk(li, _part(spark, [7, 8, 9]), iters=3,
+                         k=10).collect()
+    assert [r.p_partkey for r in rows] == [7, 8, 9]
+    assert len({r.pagerank_scaled for r in rows}) == 1
+    assert abs(rows[0].pagerank_scaled - PR_SCALE) <= 2
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(
+        [Row(event_id=i, ts=ts, user_id=1, event_type=t,
+             value=1.0, props="{}")
+         for i, (t, ts) in enumerate(rows)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    return df
+
+
+def test_hourly_dense_counts_zero_fills_gaps(spark):
+    rows = [("click", "2024-01-01 00:10:00"),
+            ("click", "2024-01-01 00:20:00"),
+            # hour 01 missing entirely
+            ("click", "2024-01-01 02:05:00"),
+            ("view", "2024-01-01 02:30:00")]
+    dense = hourly_dense_counts(_events(spark, rows))
+    got = {(r.event_type, r.h.hour): r.x for r in dense.collect()}
+    # 3-hour spine x 2 types = 6 cells
+    assert len(got) == 6
+    assert got[("click", 0)] == 2
+    assert got[("click", 1)] == 0
+    assert got[("click", 2)] == 1
+    assert got[("view", 0)] == 0
+    assert got[("view", 2)] == 1
+
+
+def test_wma_closed_form_on_constant_and_spike(spark):
+    """13 hours of a constant rate c=3 -> trailing WMA == 3 exactly
+    at hour 12; a 36-event hour 13 is > 2x its trailing baseline."""
+    rows = []
+    for h in range(13):
+        for i in range(3):
+            rows.append(("click", f"2024-01-01 {h:02d}:0{i}:00"))
+    for i in range(36):
+        rows.append(("click", f"2024-01-01 13:{i:02d}:00"))
+    out = wma_hourly(_events(spark, rows)).collect()
+    # spine hours 0..13; rows emitted from hour 12 (13th spine hour)
+    by_hour = {r.h.hour: r for r in out}
+    assert sorted(by_hour) == [12, 13]
+    assert by_hour[12].wma == 3.0 and not by_hour[12].is_spike
+    spike = by_hour[13]
+    assert spike.n_events == 36
+    # trailing lags at hour 13 are hours 12..1, all 3 -> wma == 3
+    assert spike.wma == 3.0
+    assert spike.is_spike           # 36 > 2 * 3
+
+
+def test_wma_lag_distance_is_wall_clock(spark):
+    """A type absent for 12 straight hours has a ZERO trailing
+    baseline (spine semantics), not its last observed values."""
+    rows = [("view", "2024-01-01 00:00:00")]
+    # keep the spine alive with another type every hour
+    for h in range(1, 14):
+        rows.append(("click", f"2024-01-01 {h:02d}:00:00"))
+    out = {r.event_type: r for r in
+           wma_hourly(_events(spark, rows)).collect()
+           if r.h.hour == 13}
+    # view's single hour-0 event is lag 13 at hour 13: out of window.
+    assert out["view"].wma == 0.0
+    assert out["view"].n_events == 0
+    assert not out["view"].is_spike     # 0 > 0 is false
+    # click: hours 12..1 all have exactly 1 -> wma exactly 1.
+    assert out["click"].wma == 1.0
+    assert not out["click"].is_spike    # 1 > 2 is false
+
+
+def test_wma_requires_full_trailing_window(spark):
+    """No rows before the 13th spine hour of a type."""
+    rows = [("click", f"2024-01-01 {h:02d}:00:00") for h in range(12)]
+    assert wma_hourly(_events(spark, rows)).count() == 0
+    rows.append(("click", "2024-01-01 12:00:00"))
+    out = wma_hourly(_events(spark, rows)).collect()
+    assert len(out) == 1 and out[0].wma == 1.0 and out[0].h.hour == 12
+
+
+def test_wma_constants(spark):
+    assert WMA_LAGS == 12 and WMA_DENOM == 4095
