@@ -386,3 +386,64 @@ ORDER BY dim_i, dim_j
 
 register("embedding_covariance_matrix", embedding_covariance_matrix,
          EMB_COV_SQL)
+
+
+def pca_variance_report(cov_rows, dim_col="dim_i") -> "list[tuple]":
+    """Driver-side eigendecomposition of the collected upper-triangle
+    covariance rows → [(component, eigenvalue, var_share, cum_share)].
+
+    Separated from the query fn so unit tests can feed a
+    hand-computed matrix.
+    """
+    import numpy as np
+    dims = 1 + max(max(r["dim_i"] for r in cov_rows),
+                   max(r["dim_j"] for r in cov_rows))
+    m = np.zeros((dims, dims))
+    for r in cov_rows:
+        m[r["dim_i"], r["dim_j"]] = r["covariance"]
+        m[r["dim_j"], r["dim_i"]] = r["covariance"]
+    eig = np.linalg.eigvalsh(m)[::-1]          # descending
+    total = float(eig.sum())
+    out, cum = [], 0.0
+    for i, ev in enumerate(eig):
+        share = float(ev) / total if total else 0.0
+        cum += share
+        out.append((i + 1, round(float(ev), 6), round(share, 6),
+                    round(cum, 6)))
+    return out
+
+
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA explained-variance spectrum of the embedding space — the
+    encoder-health gate on top of ``embedding_covariance_matrix``: a
+    spectrum collapsing onto few components flags representation
+    collapse (all vectors on a line ⇒ cosine dedup/ANN quality
+    degrades); a near-flat tail of ~zero eigenvalues flags wasted
+    dimensions worth truncating before the 4× int8 step
+    (llm/compress.py).
+
+    Scale + why the eig is driver-side (MLlib's own PCA pattern —
+    RowMatrix.computePrincipalComponents solves the Gramian on the
+    driver): the distributed work is the ONE corpus pass inside
+    embedding_covariance_matrix (shuffle = dim² rows regardless of
+    corpus size); the collected matrix is dim×dim (64² here) —
+    bounded by model dimension, independent of row count — and LAPACK
+    eigvalsh on it is O(dim³) driver work, far below the cost of even
+    scheduling a distributed job. No per-document data ever reaches
+    the driver.
+
+    Rows-only (no oracle): eigendecomposition is not expressible in
+    ANSI SQL; unit tests pin the spectrum against numpy's covariance
+    of the raw vectors, the trace identity Σλ = Σ var(dim), and
+    cum_share→1.
+    """
+    cov = embedding_covariance_matrix(spark, sf_dir)
+    rows = [r.asDict() for r in cov.collect()]
+    report = pca_variance_report(rows)
+    return spark.createDataFrame(
+        report,
+        "component long, eigenvalue double, var_share double, "
+        "cum_share double")
+
+
+register("embedding_pca_variance", embedding_pca_variance, None)

@@ -474,3 +474,77 @@ ORDER BY o.event_type
 """
 
 register("events_gap_report", events_gap_report, EVENTS_GAP_SQL)
+
+
+# --------------------------------------------------------------------------
+# Dimension entity resolution (duplicate-entity audit)
+# --------------------------------------------------------------------------
+
+def entity_dedup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-entity audit over the part dimension — the MDM
+    (master-data-management) pass a warehouse runs before conformed
+    dims ship: canonicalize each part name to its token-sort
+    signature (order-insensitive, the standard entity-resolution
+    blocking key), group, and report every signature that maps to
+    MORE than one part key — duplicate entities that inflate join
+    fan-out and double-count in per-part rollups. Per group: the
+    surviving key (min — the reference's lastrowid-style stable
+    survivor rule), brand diversity, and the retail-price spread
+    (conflicting attribute values to reconcile).
+
+    Scale: canonicalization (split → array_sort → array_join) is
+    scan-side whole-stage codegen; the one shuffle is a
+    dimension-sized groupBy on the signature — never fact-scale.
+    Min/max/count aggregates only (order-independent; the spread is
+    a single IEEE subtraction of exact min/max, fround-quantized).
+    """
+    cat = Catalog(spark, sf_dir)
+    sig = F.array_join(F.array_sort(F.split(F.trim(F.col("p_name")),
+                                            r"\s+")), " ")
+    return (
+        cat.part
+        .select(sig.alias("name_signature"), "p_partkey", "p_brand",
+                "p_retailprice")
+        .groupBy("name_signature")
+        .agg(F.count("*").cast("long").alias("n_parts"),
+             F.min("p_partkey").cast("long").alias("survivor_partkey"),
+             F.countDistinct("p_brand").cast("long").alias("n_brands"),
+             F.min("p_retailprice").alias("min_price"),
+             F.max("p_retailprice").alias("max_price"))
+        .filter(F.col("n_parts") > 1)
+        .select("name_signature", "n_parts", "survivor_partkey",
+                "n_brands",
+                fround(F.col("min_price"), 2).alias("min_price"),
+                fround(F.col("max_price"), 2).alias("max_price"),
+                fround(F.col("max_price") - F.col("min_price"), 2)
+                .alias("price_spread"))
+        .orderBy(F.desc("n_parts"), "name_signature")
+    )
+
+
+ENTITY_DEDUP_SQL = f"""
+WITH canon AS (
+    SELECT array_to_string(list_sort(string_split_regex(trim(p_name),
+                                                        '\\s+')), ' ')
+               AS name_signature,
+           p_partkey, p_brand, p_retailprice
+    FROM part
+),
+grp AS (
+    SELECT name_signature,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(p_partkey) AS BIGINT) AS survivor_partkey,
+           CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands,
+           MIN(p_retailprice) AS mn, MAX(p_retailprice) AS mx
+    FROM canon GROUP BY 1
+)
+SELECT name_signature, n_parts, survivor_partkey, n_brands,
+       {sql_fround('mn', 2)} AS min_price,
+       {sql_fround('mx', 2)} AS max_price,
+       {sql_fround('mx - mn', 2)} AS price_spread
+FROM grp
+WHERE n_parts > 1
+ORDER BY n_parts DESC, name_signature
+"""
+
+register("entity_dedup_parts", entity_dedup_parts, ENTITY_DEDUP_SQL)

@@ -47,7 +47,8 @@ def _register_modules() -> None:
     from .plans import (analytics, audits, cdc, dashboard, graph,  # noqa: F401
                         incremental, poststate, timeseries, tpch,
                         tpch_deep, warehouse)
-    from .streaming import batch_parity, funnel_state, transitions  # noqa: F401
+    from .streaming import (batch_parity, distinct_users,  # noqa: F401
+                            funnel_state, transitions)
     from .llm import (clusters, compress, dedup, distributions,  # noqa: F401
                       importance, index, langmix, manifest, multimodal,
                       pipeline, quality, refinery, repetition, retrieval,

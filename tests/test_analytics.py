@@ -540,3 +540,42 @@ def test_backlog_matches_bruteforce_interval_count(spark, orders):
         exp[str(_BASE + timedelta(days=day))[:10]] = sum(
             1 for d, lag in orders if d <= day <= d + lag)
     assert got == exp
+
+
+def test_pca_variance_matches_numpy(spark, sf_dir):
+    """Spectrum from the quantized distributed covariance matches
+    numpy's eig of the exact covariance; shares sum to 1; trace
+    identity holds."""
+    import numpy as np
+    from data_warehouse_project_spark.llm.distributions import (
+        embedding_pca_variance)
+    from data_warehouse_project_spark.sources.catalog import Catalog
+
+    rows = embedding_pca_variance(spark, sf_dir).collect()
+    V = np.stack([np.array(r.embedding, dtype=float) for r in
+                  Catalog(spark, sf_dir).embeddings.collect()])
+    cov = np.cov(V.T, bias=True)
+    eig = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    got = np.array([r.eigenvalue for r in rows])
+    assert len(rows) == V.shape[1]
+    assert np.abs(eig - got).max() < 1e-4          # quantization tol
+    assert abs(sum(r.var_share for r in rows) - 1.0) < 1e-3
+    assert rows[-1].cum_share == 1.0
+    assert abs(got.sum() - np.trace(cov)) < 1e-3   # trace identity
+    # descending order + 1-based components
+    assert [r.component for r in rows] == list(range(1, len(rows) + 1))
+    assert all(a.eigenvalue >= b.eigenvalue
+               for a, b in zip(rows, rows[1:]))
+
+
+def test_pca_variance_report_hand_matrix():
+    """Known 2x2 covariance: eigenvalues 3 and 1."""
+    from data_warehouse_project_spark.llm.distributions import (
+        pca_variance_report)
+    rows = [{"dim_i": 0, "dim_j": 0, "covariance": 2.0},
+            {"dim_i": 0, "dim_j": 1, "covariance": 1.0},
+            {"dim_i": 1, "dim_j": 1, "covariance": 2.0}]
+    out = pca_variance_report(rows)
+    assert [r[1] for r in out] == [3.0, 1.0]
+    assert [r[2] for r in out] == [0.75, 0.25]
+    assert out[-1][3] == 1.0
