@@ -147,3 +147,103 @@ ORDER BY event_type, h
 """
 
 register("events_wma_hourly", events_wma_hourly, EVENTS_WMA_SQL)
+
+
+# --------------------------------------------------------------------------
+# Seasonal (hour-of-week) median baseline
+# --------------------------------------------------------------------------
+
+def seasonal_baseline(events: DataFrame) -> DataFrame:
+    """Per-hour event volume vs its SEASONAL baseline — the exact
+    discrete median of the same hour-of-week across all observed
+    weeks. Completes the anomaly triad: events_anomaly_mad (global
+    level), wma_hourly (trailing trend), and this (weekly shape) —
+    a Monday-9am spike is judged against Monday-9am history, not
+    against 3am hours.
+
+    Hour-of-week is epoch-hours mod 168 — pure integer arithmetic,
+    engine-neutral (dayofweek() numbering differs across engines and
+    never enters the plan). Medians use the quantile_disc rank rule
+    (rank ceil(n/2) in sorted order) from events_anomaly_mad, exact
+    on integer counts. Zero-filled spine hours join the sample like
+    any other — a silent week-long outage drags its hours' baselines
+    down instead of vanishing from them.
+
+    Scale: everything after the first map-side-combined hourly count
+    runs on the (hours × types) aggregate; the median window
+    partitions it ~168-ways per type. Output is one row per spine
+    hour per type with the baseline and an integer-exact spike flag
+    (n > 2·max(med, 1) — the greatest() guard for hyper-stable keys,
+    same rationale as the MAD detector's).
+    """
+    dense = hourly_dense_counts(events)
+    keyed = dense.withColumn(
+        "how", (F.floor(F.unix_timestamp("h") / 3600) % 168)
+        .cast("long"))
+    w = Window.partitionBy("event_type", "how").orderBy("x", "h")
+    ranked = keyed.select(
+        "event_type", "how", "x",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy("event_type", "how")).alias("c"))
+    med = (ranked.filter(F.col("rn") >= F.ceil(F.col("c") / 2))
+           .groupBy("event_type", "how")
+           .agg(F.min("x").cast("long").alias("seasonal_med")))
+    return (keyed.join(med, ["event_type", "how"])
+            .select("event_type", "h",
+                    F.col("x").alias("n_events"),
+                    "seasonal_med",
+                    (F.col("x") > 2 * F.greatest(F.col("seasonal_med"),
+                                                 F.lit(1)))
+                    .alias("is_spike"))
+            .orderBy("event_type", "h"))
+
+
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event volume vs its hour-of-week median baseline."""
+    cat = Catalog(spark, sf_dir)
+    return seasonal_baseline(cat.events)
+
+
+EVENTS_SEASONAL_SQL = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+spine AS (
+    SELECT UNNEST(generate_series((SELECT MIN(date_trunc('hour', ts))
+                                   FROM events),
+                                  (SELECT MAX(date_trunc('hour', ts))
+                                   FROM events),
+                                  INTERVAL 1 HOUR)) AS h
+),
+types AS (SELECT DISTINCT event_type FROM events),
+dense AS (
+    SELECT t.event_type, s.h, COALESCE(o.x, 0) AS x,
+           CAST(FLOOR(date_part('epoch', s.h) / 3600) AS BIGINT) % 168
+               AS how
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN hourly o ON o.event_type = t.event_type AND o.h = s.h
+),
+ranked AS (
+    SELECT event_type, how, x,
+           ROW_NUMBER() OVER (PARTITION BY event_type, how
+                              ORDER BY x, h) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type, how) AS c
+    FROM dense
+),
+med AS (
+    SELECT event_type, how, CAST(MIN(x) AS BIGINT) AS seasonal_med
+    FROM ranked WHERE rn >= CEIL(c / 2.0)
+    GROUP BY 1, 2
+)
+SELECT d.event_type, d.h, CAST(d.x AS BIGINT) AS n_events,
+       m.seasonal_med,
+       (d.x > 2 * GREATEST(m.seasonal_med, 1)) AS is_spike
+FROM dense d JOIN med m ON d.event_type = m.event_type AND d.how = m.how
+ORDER BY d.event_type, d.h
+"""
+
+register("events_seasonal_baseline", events_seasonal_baseline,
+         EVENTS_SEASONAL_SQL)

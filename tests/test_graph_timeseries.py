@@ -148,3 +148,55 @@ def test_wma_requires_full_trailing_window(spark):
 
 def test_wma_constants(spark):
     assert WMA_LAGS == 12 and WMA_DENOM == 4095
+
+
+def test_seasonal_baseline_median_and_spike(spark):
+    """Three weeks; one hour-of-week slot has counts [2, 2, 8]:
+    discrete median 2, the 8-event week flags (8 > 2*2); slots with
+    [2, 2, 2] never flag; hours 168h apart share one baseline."""
+    from data_warehouse_project_spark.plans.timeseries import (
+        seasonal_baseline)
+    rows = []
+    for week in range(3):
+        day = 1 + 7 * week
+        n = 8 if week == 2 else 2
+        for i in range(n):                      # target slot: 00:xx
+            rows.append(("click", f"2024-01-{day:02d} 00:{i:02d}:00"))
+        for i in range(2):                      # control slot: 01:xx
+            rows.append(("click", f"2024-01-{day:02d} 01:{i:02d}:00"))
+    out = seasonal_baseline(_events(spark, rows)).collect()
+    by = {(r.h.day, r.h.hour): r for r in out}
+    # target slot: median of [2, 2, 8] = 2 for all three weeks
+    for day in (1, 8, 15):
+        assert by[(day, 0)].seasonal_med == 2
+    assert not by[(1, 0)].is_spike and not by[(8, 0)].is_spike
+    assert by[(15, 0)].is_spike                 # 8 > 2*max(2,1)
+    # control slot: [2, 2, 2] -> median 2, no flags
+    for day in (1, 8, 15):
+        assert by[(day, 1)].seasonal_med == 2
+        assert not by[(day, 1)].is_spike
+    # zero-filled hours participate: hour 02 of week 1 has x=0 and a
+    # zero baseline (its weekly samples are all zero-filled)
+    assert by[(1, 2)].n_events == 0
+    assert by[(1, 2)].seasonal_med == 0
+    assert not by[(1, 2)].is_spike              # 0 > 2*max(0,1) false
+
+
+def test_seasonal_baseline_zero_week_drags_median(spark):
+    """A one-week outage (zero-filled) enters the sample: counts
+    [4, 0, 4] -> discrete median (rank ceil(3/2)=2 of sorted
+    [0, 4, 4]) = 4; spike rule compares against 4, not the mean."""
+    from data_warehouse_project_spark.plans.timeseries import (
+        seasonal_baseline)
+    rows = []
+    for week in (0, 2):
+        day = 1 + 7 * week
+        for i in range(4):
+            rows.append(("click", f"2024-01-{day:02d} 00:{i:02d}:00"))
+    # keep the spine alive over the silent middle week
+    rows.append(("view", "2024-01-08 00:00:00"))
+    out = seasonal_baseline(_events(spark, rows)).collect()
+    by = {(r.event_type, r.h.day, r.h.hour): r for r in out}
+    assert by[("click", 1, 0)].seasonal_med == 4
+    assert by[("click", 8, 0)].n_events == 0
+    assert by[("click", 8, 0)].seasonal_med == 4
