@@ -36,8 +36,9 @@ llm/clusters.py already uses for connected components).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.compat import fround, sql_fround
 from ..registry import register
 from ..sources.catalog import Catalog
 
@@ -77,22 +78,40 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
 def pagerank_topk(lineitem: DataFrame, part: DataFrame,
                   iters: int = PR_ITERS, k: int = PR_TOP_K) -> DataFrame:
     """Top-k parts by integer PageRank over the co-purchase graph."""
-    edges = copurchase_edges(lineitem)
-    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    from ..cache import pin
+    # the edge list feeds deg once and every iteration's src-join —
+    # without a persist the order-keyed self-join + distinct recomputes
+    # per iteration (4× at iters=3; measured 4.8 s → ~2 s at sf0.1).
+    # At 100 TB the same move is materializing the edge table once
+    # before the power iterations.
+    edges = pin(copurchase_edges(lineitem))
+    deg = pin(edges.groupBy("src")
+              .agg(F.count("*").cast("long").alias("deg")))
     # nodes = every part with at least one co-purchase (deg >= 1 by
     # construction, so there are no dangling nodes to redistribute).
     ranks = deg.select("src", F.lit(PR_SCALE).cast("long").alias("rank"))
     base = int(0.15 * PR_SCALE)
     for _ in range(iters):
-        contrib = (ranks.join(deg, "src")
-                   .select("src",
-                           F.floor(F.col("rank") / F.col("deg"))
-                           .cast("long").alias("contrib")))
+        # the rank/contrib vectors are NODE-sized — here the part
+        # DIMENSION's cardinality (a dim table by construction), so
+        # broadcasting them keeps the edge side scan-local: each
+        # iteration shuffles only the (dst, partial-sum) aggregate
+        # (nodes rows), never the edge list (measured 1.5-2.2 s →
+        # ~1.0 s per iteration at sf0.1). On a graph whose node set
+        # is NOT dim-sized (users, documents), drop the broadcast
+        # hints and let the iteration shuffle edges on src/dst — the
+        # classic Pregel exchange.
+        contrib = F.broadcast(
+            ranks.join(deg, "src")
+            .select("src",
+                    F.floor(F.col("rank") / F.col("deg"))
+                    .cast("long").alias("contrib")))
         s = (edges.join(contrib, "src")
              .groupBy("dst")
              .agg(F.sum("contrib").cast("long").alias("s")))
         ranks = (deg.select("src")
-                 .join(s.withColumnRenamed("dst", "src"), "src", "left")
+                 .join(F.broadcast(s.withColumnRenamed("dst", "src")),
+                       "src", "left")
                  .select("src",
                          (F.lit(base)
                           + F.floor(F.coalesce(F.col("s"), F.lit(0))
@@ -170,3 +189,141 @@ LIMIT {PR_TOP_K}
 
 register("part_copurchase_pagerank", part_copurchase_pagerank,
          _pagerank_sql())
+
+
+# --------------------------------------------------------------------------
+# Item-item affinity (co-purchase collaborative filtering)
+# --------------------------------------------------------------------------
+
+#: per-node neighbor-head size for candidate generation. Bounds the
+#: wedge join at nodes × CAP² — the standard production item-CF
+#: candidate-generation cap (full wedge enumeration is Σ deg², which
+#: on this graph is already ~28M at sf0.01 and quadratic in density).
+AFFINITY_CAP = 20
+
+#: report size.
+AFFINITY_TOP_K = 20
+
+
+def affinity_topk(lineitem: DataFrame, k: int = AFFINITY_TOP_K) -> DataFrame:
+    """"Customers who bought X also bought Y" — top-k part pairs by
+    shared-neighbor cosine over the WEIGHTED co-purchase graph,
+    with candidate generation from per-node top-R neighbor heads.
+
+    Pipeline (each stage named for its 100 TB behavior):
+    1. weighted edges w(a,b) = number of orders containing both —
+       one order-keyed self-join + pair groupBy (map-side combined);
+       the basket guard bounds per-order fan-out.
+    2. per-node top-R neighbor head by (w DESC, partkey) — a window
+       over the edge list, the rank-capped-postings discipline of
+       llm/index.py: hubs contribute R candidates, not deg².
+    3. wedge join head(c→a) ⋈ head(c→b), a < b → common-neighbor
+       counts over the capped lists; fan-out ≤ nodes × R², linear in
+       node count, independent of degree skew.
+    4. score = common / sqrt(|head(a)| · |head(b)|) — cosine over
+       capped neighbor sets; sqrt of an integer product is one
+       IEEE-correctly-rounded op (no libm risk), fround-quantized,
+       ranked on the ROUNDED value (token_bigram_pmi discipline).
+
+    The cap is part of the operator's SEMANTICS (deterministic, both
+    engines apply it identically), exactly like dedup_ngram_jaccard's
+    hot-shingle df cap — candidate truncation is what makes item-CF
+    runnable at catalog scale, and the oracle applies the same rule.
+    """
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    small = (items.groupBy("l_orderkey")
+             .agg(F.count("*").alias("n_items"))
+             .filter(F.col("n_items") <= MAX_BASKET)
+             .select("l_orderkey"))
+    kept = items.join(small, "l_orderkey")
+    a = kept.select(F.col("l_orderkey").alias("k"),
+                    F.col("l_partkey").alias("src"))
+    b = kept.select(F.col("l_orderkey").alias("k"),
+                    F.col("l_partkey").alias("dst"))
+    wedges_src = (a.join(b, "k")
+                  .filter(F.col("src") != F.col("dst"))
+                  .groupBy("src", "dst")
+                  .agg(F.count("*").cast("long").alias("w")))
+
+    wn = Window.partitionBy("src").orderBy(F.desc("w"), "dst")
+    from ..cache import pin
+    # head feeds both wedge sides and hsize — pin it so the weighted
+    # self-join + window runs once, not three times.
+    head = pin(wedges_src
+               .withColumn("rn", F.row_number().over(wn))
+               .filter(F.col("rn") <= AFFINITY_CAP)
+               .select("src", "dst"))
+    hsize = head.groupBy("src").agg(F.count("*").cast("long").alias("hs"))
+    left = head.select(F.col("src").alias("c"), F.col("dst").alias("pa"))
+    right = head.select(F.col("src").alias("c"), F.col("dst").alias("pb"))
+    common = (left.join(right, "c")
+              .filter(F.col("pa") < F.col("pb"))
+              .groupBy("pa", "pb")
+              .agg(F.count("*").cast("long").alias("n_common")))
+    return (common
+            .join(hsize.select(F.col("src").alias("pa"),
+                               F.col("hs").alias("ha")), "pa")
+            .join(hsize.select(F.col("src").alias("pb"),
+                               F.col("hs").alias("hb")), "pb")
+            .select(F.col("pa").alias("part_a"),
+                    F.col("pb").alias("part_b"), "n_common",
+                    fround(F.col("n_common")
+                           / F.sqrt((F.col("ha") * F.col("hb"))
+                                    .cast("double")), 6)
+                    .alias("affinity"))
+            .orderBy(F.desc("affinity"), "part_a", "part_b")
+            .limit(k))
+
+
+def part_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchase affinity pairs over the driver lineitem."""
+    cat = Catalog(spark, sf_dir)
+    return affinity_topk(cat.lineitem)
+
+
+PART_AFFINITY_SQL = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+small AS (
+    SELECT l_orderkey FROM items GROUP BY l_orderkey
+    HAVING COUNT(*) <= {MAX_BASKET}
+),
+kept AS (
+    SELECT i.l_orderkey, i.l_partkey FROM items i
+    JOIN small s ON i.l_orderkey = s.l_orderkey
+),
+wedges AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM kept a JOIN kept b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+),
+head AS (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rn
+        FROM wedges)
+    WHERE rn <= {AFFINITY_CAP}
+),
+hsize AS (
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS hs FROM head GROUP BY src
+),
+common AS (
+    SELECT l.dst AS pa, r.dst AS pb, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM head l JOIN head r ON l.src = r.src AND l.dst < r.dst
+    GROUP BY 1, 2
+)
+SELECT c.pa AS part_a, c.pb AS part_b, c.n_common,
+       {sql_fround('c.n_common / SQRT(CAST(ha.hs * hb.hs AS DOUBLE))', 6)}
+           AS affinity
+FROM common c
+JOIN hsize ha ON ha.src = c.pa
+JOIN hsize hb ON hb.src = c.pb
+ORDER BY affinity DESC, part_a, part_b
+LIMIT {AFFINITY_TOP_K}
+"""
+
+register("part_affinity_topk", part_affinity_topk, PART_AFFINITY_SQL)

@@ -177,6 +177,14 @@ _PRIORITY: list[str] = [
     "embedding_int8_report",
     "inverted_index_postings",
     "bm25_top_docs",
+    # r6 continuation batch 2 (also never driver-checked; r7 window)
+    "part_copurchase_pagerank",
+    "events_wma_hourly",
+    "entity_dedup_parts",
+    "embedding_pca_variance",
+    "events_distinct_users_incremental",
+    "events_seasonal_baseline",
+    "part_affinity_topk",
 ]
 
 

@@ -200,3 +200,26 @@ def test_seasonal_baseline_zero_week_drags_median(spark):
     assert by[("click", 1, 0)].seasonal_med == 4
     assert by[("click", 8, 0)].n_events == 0
     assert by[("click", 8, 0)].seasonal_med == 4
+
+
+def test_part_affinity_hand_computed(spark):
+    """Two 3-item orders {1,2,3} and {1,4,5}: all neighbor lists are
+    under the cap, so heads = full neighbor sets and the capped
+    cosine is the plain shared-neighbor cosine — hand-checkable."""
+    from data_warehouse_project_spark.plans.graph import affinity_topk
+    li = _lineitem(spark, [(1, [1, 2, 3]), (2, [1, 4, 5])])
+    rows = affinity_topk(li, k=100).collect()
+    got = {(r.part_a, r.part_b): (r.n_common, r.affinity) for r in rows}
+    # N(2)={1,3}, N(3)={1,2}: common={1}... plus is (2,3) an edge?
+    # Edges don't matter — candidates come only from shared contexts.
+    # (2,3) share context 1 -> common 1, cos = 1/sqrt(2*2) = 0.5
+    assert got[(2, 3)] == (1, 0.5)
+    assert got[(4, 5)] == (1, 0.5)
+    # (2,4) share only context 1 -> cos = 0.5 as well
+    assert got[(2, 4)] == (1, 0.5)
+    # (1,2): contexts are 3 (N(3)={1,2}) -> common 1,
+    # |head(1)|=4, |head(2)|=2 -> cos = 1/sqrt(8)
+    assert got[(1, 2)][0] == 1
+    assert abs(got[(1, 2)][1] - 1 / (8 ** 0.5)) < 1e-6
+    # every candidate pair shares at least one context node
+    assert all(v[0] >= 1 for v in got.values())
