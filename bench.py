@@ -76,6 +76,8 @@ HEADLINE = [
     "events_seasonal_baseline",    # hour-of-week median baseline (new r6)
     "bm25_top_docs",               # inverted-index ranked retrieval (new r6)
     "part_affinity_topk",          # capped item-CF wedge join (new r6)
+    "events_top_paths",            # sessionized journey mining (new r6)
+    "doc_compression_ratio",       # zlib Arrow map-only signal (new r6)
 ]
 # doc_zipf_fit is deliberately NOT in the headline: its corpus-scale
 # work is the same explode→term-count shuffle vocab_top_terms already

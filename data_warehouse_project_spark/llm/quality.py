@@ -723,3 +723,68 @@ ORDER BY decile
 
 register("quality_calibration_report", quality_calibration_report,
          QUALITY_CALIBRATION_SQL)
+
+
+# --------------------------------------------------------------------------
+# Compression-ratio quality signal (zlib proxy)
+# --------------------------------------------------------------------------
+
+#: deflate level — fixed so the signal is deterministic for a given
+#: zlib build (the stdlib bundles one per Python release).
+_ZLIB_LEVEL = 6
+
+#: ratio below which a document is flagged as near-pure boilerplate
+#: (highly compressible ⇒ repetitive / templated content).
+COMPRESS_FLAG_RATIO = 0.35
+
+#: Arrow batch iterator schema
+_COMPRESS_SCHEMA = ("doc_id long, raw_len long, comp_len long, "
+                    "ratio double, is_boilerplate boolean")
+
+
+def compression_signal(docs: DataFrame) -> DataFrame:
+    """Per-document zlib compression ratio — the model-free
+    redundancy detector real corpus pipelines run next to the n-gram
+    repetition stats (public Dolma/RefinedWeb practice: templated or
+    machine-generated text compresses far better than natural prose,
+    so a LOW compressed/raw ratio flags boilerplate the token-level
+    fractions can miss, e.g. long-range repeated paragraphs).
+
+    Engine shape: a justified Arrow stage — deflate is a bit-level
+    algorithm no SQL engine expresses, so this is mapInPandas (the
+    multimodal featurizer discipline): map-only over the source
+    partitioning, ZERO shuffle, batches arrive as Arrow columns and
+    only four small scalars per doc flow out. Rows-only registry
+    entry (DuckDB has no zlib); unit tests pin exact stdlib-zlib
+    values and the repetitive<diverse ordering.
+    """
+    import pandas as pd
+
+    def _score(batches):
+        import zlib
+        for pdf in batches:
+            raw = pdf["text"].fillna("").str.encode("utf-8")
+            raw_len = raw.str.len()
+            comp_len = raw.map(
+                lambda b: len(zlib.compress(b, _ZLIB_LEVEL)))
+            ratio = (comp_len / raw_len.clip(lower=1)).round(6)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "raw_len": raw_len,
+                "comp_len": comp_len,
+                "ratio": ratio,
+                "is_boilerplate": ratio < COMPRESS_FLAG_RATIO,
+            })
+
+    return (docs.select("doc_id", "text")
+            .mapInPandas(_score, schema=_COMPRESS_SCHEMA)
+            .orderBy("doc_id"))
+
+
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio boilerplate signal over the corpus."""
+    cat = Catalog(spark, sf_dir)
+    return compression_signal(cat.documents)
+
+
+register("doc_compression_ratio", doc_compression_ratio, None)

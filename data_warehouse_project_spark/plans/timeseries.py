@@ -247,3 +247,96 @@ ORDER BY d.event_type, d.h
 
 register("events_seasonal_baseline", events_seasonal_baseline,
          EVENTS_SEASONAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Linear revenue trend (OLS over the daily aggregate) + projection
+# --------------------------------------------------------------------------
+
+def orders_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row OLS fit of daily order revenue vs day index, with a
+    7-day forward projection — the capacity-planning forecast next to
+    monthly_revenue_growth's period-over-period LAG (that one reads
+    history; this one extrapolates it).
+
+    Determinism (the doc_zipf_fit OLS discipline, but with NO
+    transcendentals at all): x = integer day index, y = exact revenue
+    cents, so n, Σx, Σy, Σxy, Σx² are all order-independent BIGINT
+    sums; slope and intercept are single IEEE divisions of identical
+    integer operands — bit-identical across engines. Overflow bound:
+    ΣxΣy stays < 2^63 while days·max_daily_cents < ~1.3e14 (three
+    orders of magnitude above this corpus at sf0.1); a 100 TB
+    deployment rescales y to whole dollars before fitting.
+
+    Scale: ONE map-side-combined groupBy reduces the fact to ≤
+    calendar-days rows; every moment is aggregated from that bounded
+    frame; min-day attaches as a broadcast one-row scalar.
+    """
+    cat = Catalog(spark, sf_dir)
+    daily = (cat.orders
+             .groupBy(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("day"))
+             .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                        .cast("long")).alias("cents")))
+    d0 = daily.agg(F.min("day").alias("d0"))
+    m = (daily.join(F.broadcast(d0))
+         .select(F.datediff("day", "d0").cast("long").alias("x"), "cents")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum("x").cast("long").alias("sx"),
+              F.sum("cents").cast("long").alias("sy"),
+              F.sum(F.col("x") * F.col("cents")).cast("long").alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx")))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = ((d("n") * d("sxy") - d("sx") * d("sy"))
+             / (d("n") * d("sxx") - d("sx") * d("sx")))
+    intercept = (d("sy") - slope * d("sx")) / d("n")
+    # 7-day projection: sum_{d=n..n+6} (a + b d) = 7a + b*(7n + 21)
+    proj = 7 * intercept + slope * (7 * d("n") + F.lit(21.0))
+    return m.select(
+        F.col("n").alias("n_days"),
+        fround(slope, 4).alias("slope_cents_per_day"),
+        fround(intercept, 4).alias("intercept_cents"),
+        fround(proj, 4).alias("next_7d_cents"))
+
+
+REVENUE_TREND_SQL = """
+WITH daily AS (
+    SELECT date_trunc('day', o_orderdate) AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+idx AS (
+    SELECT CAST(date_diff('day', (SELECT MIN(day) FROM daily), day)
+                AS BIGINT) AS x, cents
+    FROM daily
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(cents) AS BIGINT) AS sy,
+           CAST(SUM(x * cents) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM idx
+)
+SELECT n AS n_days,
+       {slope} AS slope_cents_per_day,
+       {intercept} AS intercept_cents,
+       {proj} AS next_7d_cents
+FROM (
+    SELECT n, sx, sy, sxy, sxx,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               AS b
+    FROM m
+)
+""".format(
+    slope=sql_fround("b", 4),
+    intercept=sql_fround(
+        "(CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)",
+        4),
+    proj=sql_fround(
+        "7 * ((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))"
+        " / CAST(n AS DOUBLE)) + b * (7 * CAST(n AS DOUBLE) + 21.0)", 4))
+
+register("orders_revenue_trend", orders_revenue_trend, REVENUE_TREND_SQL)

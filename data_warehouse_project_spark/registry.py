@@ -185,6 +185,9 @@ _PRIORITY: list[str] = [
     "events_distinct_users_incremental",
     "events_seasonal_baseline",
     "part_affinity_topk",
+    "events_top_paths",
+    "doc_compression_ratio",
+    "orders_revenue_trend",
 ]
 
 

@@ -762,3 +762,106 @@ FROM dq CROSS JOIN eq
 """
 
 register("session_stats", session_stats, SESSION_STATS_SQL)
+
+
+# --------------------------------------------------------------------------
+# User-journey path mining (top session paths)
+# --------------------------------------------------------------------------
+
+#: events per session that enter the path string — the truncation cap
+#: that keeps the per-session payload bounded no matter how long a
+#: bot session runs (the rank-capped-postings discipline applied to
+#: journeys; real path-analysis tools cap identically).
+PATH_MAX = 8
+
+#: report size.
+PATH_TOP_K = 20
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user-journey paths: sessionize (the 30-min gap rule of
+    events_sessionize), take each session's first PATH_MAX events in
+    (ts, event_id) order, render them as a '>'-joined path string,
+    and count sessions per path — the path-discovery complement to
+    events_top_transitions (which sees only adjacent pairs) and the
+    funnel (which checks ONE fixed path).
+
+    Scale: one user-keyed window pass (shared gaps-and-islands shape
+    with the sessionizer), a per-session rank filter that discards
+    everything past the cap BEFORE any string materializes, one
+    (user, session) aggregation building bounded path strings, and a
+    tiny path-keyed count. Ordered-aggregation determinism: Spark's
+    collect_list order is undefined, so the path is built by
+    sort_array over (ts, event_id, type) structs — the same total
+    order the oracle's ORDER BY inside string_agg uses.
+    """
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        cat.events
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                   > SESSION_GAP_S), 1).otherwise(0))
+        .withColumn("session_seq", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("user_id", "session_seq")
+            .orderBy("ts", "event_id")))
+        .filter(F.col("rn") <= PATH_MAX)
+    )
+    paths = (
+        flagged.groupBy("user_id", "session_seq")
+        .agg(F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"]),
+            ">").alias("path"))
+    )
+    return (paths.groupBy("path")
+            .agg(F.count("*").cast("long").alias("n_sessions"))
+            .orderBy(F.desc("n_sessions"), "path")
+            .limit(PATH_TOP_K))
+
+
+EVENTS_TOP_PATHS_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_S}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_session) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+),
+capped AS (
+    SELECT user_id, session_seq, ts, event_id, event_type
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY user_id, session_seq
+              ORDER BY ts, event_id) AS rn
+          FROM sessions)
+    WHERE rn <= {PATH_MAX}
+),
+paths AS (
+    SELECT user_id, session_seq,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM capped GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOP_K}
+"""
+
+register("events_top_paths", events_top_paths, EVENTS_TOP_PATHS_SQL)

@@ -223,3 +223,32 @@ def test_part_affinity_hand_computed(spark):
     assert abs(got[(1, 2)][1] - 1 / (8 ** 0.5)) < 1e-6
     # every candidate pair shares at least one context node
     assert all(v[0] >= 1 for v in got.values())
+
+
+def test_revenue_trend_recovers_planted_line(spark, tmp_path):
+    """Exact linear daily revenue (100 + 7*d dollars) -> OLS recovers
+    slope 700 cents/day and intercept 10000 cents exactly; the 7-day
+    projection matches the closed form."""
+    from pyspark.sql import Row
+
+    from data_warehouse_project_spark.plans.timeseries import (
+        orders_revenue_trend)
+    rows = []
+    for d in range(30):
+        rows.append(Row(
+            o_orderkey=d, o_custkey=1, o_orderstatus="F",
+            o_totalprice=float(100 + 7 * d),
+            o_orderdate=f"2024-01-{d + 1:02d} 00:00:00",
+            o_orderpriority="1-URGENT"))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate string, "
+              "o_orderpriority string")
+    df = df.withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    out = orders_revenue_trend(spark, str(tmp_path)).collect()[0]
+    assert out.n_days == 30
+    assert out.slope_cents_per_day == 700.0
+    assert out.intercept_cents == 10000.0
+    # next 7 days are d=30..36: sum(10000 + 700 d) = 7*10000 + 700*231
+    assert out.next_7d_cents == 7 * 10000 + 700 * 231

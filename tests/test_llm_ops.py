@@ -848,3 +848,47 @@ def test_ntile_quartiles_partition_the_counts(spark, sf_dir):
             r["min_price"] for r in qs)
         prs = [r["avg_percent_rank"] for r in qs]
         assert prs == sorted(prs) and 0.0 <= prs[0] <= prs[-1] <= 1.0
+
+
+def test_compression_signal_values_and_ordering(spark):
+    """Exact stdlib-zlib pin + the semantic the flag exists for:
+    repetitive text compresses (much) better than diverse text."""
+    import zlib
+
+    from pyspark.sql import Row
+
+    from data_warehouse_project_spark.llm.quality import (
+        COMPRESS_FLAG_RATIO, _ZLIB_LEVEL, compression_signal)
+
+    rep = "spam ham " * 200
+    div = " ".join(f"w{i}x{i * 7919 % 997}" for i in range(300))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=rep), Row(doc_id=2, text=div),
+         Row(doc_id=3, text=""), Row(doc_id=4, text=None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_signal(docs).collect()}
+    # exact pin against the same zlib build
+    for i, t in ((1, rep), (2, div)):
+        assert out[i].comp_len == len(zlib.compress(t.encode(),
+                                                    _ZLIB_LEVEL))
+        assert out[i].raw_len == len(t.encode())
+    assert out[1].ratio < out[2].ratio          # repetitive << diverse
+    assert out[1].is_boilerplate                # heavy repetition flags
+    assert out[1].ratio < COMPRESS_FLAG_RATIO
+    assert not out[2].is_boilerplate
+    # empty / NULL text: raw_len 0, ratio computed against the
+    # 1-byte clamp, never a division error
+    assert out[3].raw_len == 0 and out[4].raw_len == 0
+    assert out[3].comp_len > 0                  # zlib header bytes
+
+
+def test_compression_signal_plan_is_map_only(spark, sf_dir):
+    """No shuffle: the Arrow stage runs on the scan partitioning
+    (the multimodal featurizer discipline); only the final orderBy
+    exchanges the four-scalar rows."""
+    from data_warehouse_project_spark.llm.quality import (
+        doc_compression_ratio)
+    plan = (doc_compression_ratio(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
