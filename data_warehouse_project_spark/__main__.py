@@ -78,6 +78,23 @@ def main(argv: list[str] | None = None) -> int:
             bad += len(fails)
             state = "OK" if not fails else f"VIOLATION {fails}"
             print(f"{gate_name:35s} {state}")
+        # per-key incremental HLL gate (one boolean per (type, day))
+        from .streaming.distinct_users import (
+            events_distinct_users_incremental)
+        misses = [r for r in events_distinct_users_incremental(
+            spark, args.sf_dir).collect() if not r["within_gate"]]
+        bad += len(misses)
+        print(f"{'events_distinct_users_incremental':35s} "
+              + ("OK" if not misses else
+                 f"VIOLATION {[(r['event_type'], str(r['day'])) for r in misses[:5]]}"))
+        print("== dimension entity duplicates (informational) ==")
+        from .plans.audits import entity_dedup_parts
+        dup_rows = entity_dedup_parts(spark, args.sf_dir).collect()
+        n_extra = sum(r["n_parts"] - 1 for r in dup_rows)
+        print(f"duplicate part-name groups: {len(dup_rows)} "
+              f"(redundant keys: {n_extra}); largest: "
+              + ", ".join(f"{r['name_signature']}×{r['n_parts']}"
+                          for r in dup_rows[:3]))
         spark.stop()
         print("HEALTHCHECK", "FAIL" if bad else "OK")
         return 1 if bad else 0

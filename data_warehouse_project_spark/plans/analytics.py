@@ -301,3 +301,76 @@ ORDER BY stage
 
 register("part_market_basket", part_market_basket, MARKET_BASKET_SQL)
 register("events_funnel_conversion", events_funnel_conversion, FUNNEL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Engagement stickiness (DAU/MAU)
+# --------------------------------------------------------------------------
+
+def events_stickiness_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month product-engagement stickiness: average daily active
+    users over monthly active users (the classic DAU/MAU ratio) plus
+    the raw actives — the one-number health metric next to
+    session_stats (depth) and customer_new_vs_returning (acquisition).
+
+    Exactness at scale: DAU and MAU are EXACT distincts, computed as
+    two distinct-shuffles over (day, user) and (month, user) key
+    pairs — both map-side-pre-deduped projections of the fact, never
+    a sliding-window distinct (a trailing-30d MAU needs sketch unions
+    — events_distinct_users_incremental's HLL state serves that
+    shape). avg_dau = Σ dau / n_days and stickiness are single IEEE
+    divisions of exact longs, fround-quantized.
+    """
+    cat = Catalog(spark, sf_dir)
+    ev = (cat.events.filter(F.col("user_id").isNotNull())
+          .select(F.date_trunc("month", F.col("ts")).alias("month"),
+                  F.date_trunc("day", F.col("ts")).alias("day"),
+                  "user_id"))
+    dau = (ev.select("month", "day", "user_id").distinct()
+           .groupBy("month", "day")
+           .agg(F.count("*").cast("long").alias("dau")))
+    daily = (dau.groupBy("month")
+             .agg(F.count("*").cast("long").alias("n_days"),
+                  F.sum("dau").cast("long").alias("sum_dau")))
+    mau = (ev.select("month", "user_id").distinct()
+           .groupBy("month")
+           .agg(F.count("*").cast("long").alias("mau")))
+    return (daily.join(mau, "month")
+            .select("month", "n_days", "mau",
+                    fround(F.col("sum_dau") / F.col("n_days"), 4)
+                    .alias("avg_dau"),
+                    fround(F.col("sum_dau")
+                           / (F.col("n_days") * F.col("mau")), 6)
+                    .alias("stickiness"))
+            .orderBy("month"))
+
+
+STICKINESS_SQL = f"""
+WITH ev AS (
+    SELECT date_trunc('month', ts) AS month,
+           date_trunc('day', ts) AS day, user_id
+    FROM events WHERE user_id IS NOT NULL
+),
+dau AS (
+    SELECT month, day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+    FROM ev GROUP BY 1, 2
+),
+daily AS (
+    SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(dau) AS BIGINT) AS sum_dau
+    FROM dau GROUP BY 1
+),
+mau AS (
+    SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+    FROM ev GROUP BY 1
+)
+SELECT d.month, d.n_days, m.mau,
+       {sql_fround('CAST(d.sum_dau AS DOUBLE) / d.n_days', 4)} AS avg_dau,
+       {sql_fround('CAST(d.sum_dau AS DOUBLE) / (d.n_days * m.mau)', 6)}
+           AS stickiness
+FROM daily d JOIN mau m ON d.month = m.month
+ORDER BY d.month
+"""
+
+register("events_stickiness_monthly", events_stickiness_monthly,
+         STICKINESS_SQL)

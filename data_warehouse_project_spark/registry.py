@@ -188,6 +188,7 @@ _PRIORITY: list[str] = [
     "events_top_paths",
     "doc_compression_ratio",
     "orders_revenue_trend",
+    "events_stickiness_monthly",
 ]
 
 

@@ -579,3 +579,24 @@ def test_pca_variance_report_hand_matrix():
     assert [r[1] for r in out] == [3.0, 1.0]
     assert [r[2] for r in out] == [0.75, 0.25]
     assert out[-1][3] == 1.0
+
+
+def test_stickiness_hand_computed(spark, tmp_path):
+    """2 days: day1 users {1,2}, day2 users {1}; MAU=2, avg_dau=1.5,
+    stickiness=0.75. A second month with one user pins per-month
+    isolation."""
+    from data_warehouse_project_spark.plans.analytics import (
+        events_stickiness_monthly)
+    rows = [(1, "view", "2024-01-01 10:00:00"),
+            (2, "view", "2024-01-01 11:00:00"),
+            (1, "view", "2024-01-02 10:00:00"),
+            (1, "click", "2024-01-02 10:05:00"),   # same user+day: no-op
+            (9, "view", "2024-02-03 09:00:00")]
+    d = _write_events(spark, tmp_path, [(u, t, ts) for u, t, ts in rows])
+    out = {r.month.month: r for r in
+           events_stickiness_monthly(spark, d).collect()}
+    jan, feb = out[1], out[2]
+    assert (jan.n_days, jan.mau, jan.avg_dau, jan.stickiness) == \
+        (2, 2, 1.5, 0.75)
+    assert (feb.n_days, feb.mau, feb.avg_dau, feb.stickiness) == \
+        (1, 1, 1.0, 1.0)

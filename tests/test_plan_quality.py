@@ -11,6 +11,7 @@ import io
 import pytest
 
 from data_warehouse_project_spark import registry
+from data_warehouse_project_spark.cache import release_all
 
 
 def _plan(df, mode: str = "formatted") -> str:
@@ -489,3 +490,69 @@ def test_backlog_and_pmi_stay_aggregate_first(r6_late_plans):
     cs = r6_late_plans["label_centroid_separation"]
     assert "CartesianProduct" not in cs
     assert "InMemoryTableScan" in cs
+
+
+@pytest.fixture(scope="module")
+def r6c_plans(spark, sf_dir):
+    qs = registry.queries()
+    names = ["events_top_paths", "events_wma_hourly",
+             "events_seasonal_baseline", "part_copurchase_pagerank",
+             "part_affinity_topk", "events_stickiness_monthly",
+             "orders_revenue_trend"]
+    out = {}
+    for name in names:
+        out[name] = _plan(qs[name](spark, sf_dir))
+        release_all()
+    return out
+
+
+def test_r6c_paths_single_user_exchange(r6c_plans):
+    """The journey miner's session window, in-session rank, and path
+    aggregation all run on ONE user-keyed exchange (rank partition
+    (user, session) and groupBy(user, session) are refinements the
+    hash(user_id) partitioning already satisfies); the only other
+    exchange is the tiny path-count aggregate."""
+    import re
+    plan = r6c_plans["events_top_paths"]
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan,
+                                 flags=re.M))
+    assert n_exchanges == 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_r6c_spine_windows_consume_hourly_aggregate(r6c_plans):
+    """WMA and seasonal baseline: the corpus collapses to the hourly
+    aggregate BEFORE any window (HashAggregate below the window
+    exchange); the spine × types attach is the bounded broadcast
+    nested loop, never a cartesian."""
+    for name in ("events_wma_hourly", "events_seasonal_baseline"):
+        plan = r6c_plans[name]
+        assert "HashAggregate" in plan, name
+        assert "BroadcastNestedLoopJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_r6c_graph_reuses_pinned_edges_and_broadcasts(r6c_plans):
+    """PageRank: the pinned edge/degree tables appear as
+    InMemoryTableScans (the self-join builds once, not per
+    iteration) and the node-sized vectors join by broadcast; same
+    reuse pin for the affinity head."""
+    pr = r6c_plans["part_copurchase_pagerank"]
+    assert "InMemoryTableScan" in pr
+    assert "BroadcastHashJoin" in pr
+    assert "CartesianProduct" not in pr
+    af = r6c_plans["part_affinity_topk"]
+    assert "InMemoryTableScan" in af
+    assert "CartesianProduct" not in af
+
+
+def test_r6c_trend_and_stickiness_are_aggregate_first(r6c_plans):
+    """OLS trend: one-row moments over the daily aggregate, min-day
+    attached by broadcast one-row scalar; stickiness: exact distincts
+    as pre-deduped key-pair aggregations, no window at all."""
+    tr = r6c_plans["orders_revenue_trend"]
+    assert "BroadcastNestedLoopJoin" in tr       # one-row d0 attach
+    assert "Window" not in tr
+    st = r6c_plans["events_stickiness_monthly"]
+    assert "Window" not in st
+    assert "CartesianProduct" not in st
