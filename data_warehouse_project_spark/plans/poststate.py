@@ -371,3 +371,120 @@ register("scd2_apply_post_state", scd2_apply_post_state,
          SCD2_APPLY_POST_STATE_SQL)
 register("scd2_lookup_temporal", scd2_lookup_temporal,
          SCD2_LOOKUP_TEMPORAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# GDPR erasure (right-to-be-forgotten cascade)
+# --------------------------------------------------------------------------
+
+#: deterministic erasure cohort: ~1% of customers
+GDPR_MOD, GDPR_REM = 97, 13
+
+
+def gdpr_erasure_post_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade — the compliance write path no
+    warehouse ships without (the reference soft-deletes single cards,
+    db.py:327; GDPR/CCPA erasure must HARD-delete a subject and every
+    fact row reachable from them). Erase the deterministic cohort
+    c_custkey % 97 == 13, cascade customer → orders → lineitem by
+    anti-join, persist all three post-states through the staged-swap
+    overwrite, read them back, and report per-table before/deleted/
+    after counts plus an orphan check re-verified ON the persisted
+    files (zero surviving orders of erased customers, zero surviving
+    lineitems of deleted orders).
+
+    Scale: each cascade level is ONE anti-join keyed on the erasure
+    frontier (cohort keys ≪ dim; deleted orderkeys are broadcast-able
+    until the cohort is a large fraction of the fact — at which point
+    production would flip to a shuffle-hash anti-join, same plan
+    shape). No shuffle touches surviving rows beyond the join itself;
+    a partition-pruned layout (write_date_partitioned) would rewrite
+    only affected partitions.
+    """
+    cat = Catalog(spark, sf_dir)
+    erased = (cat.customer
+              .filter(F.col("c_custkey") % GDPR_MOD == GDPR_REM)
+              .select("c_custkey"))
+    cust_after = cat.customer.join(erased, "c_custkey", "left_anti")
+    dead_orders = (cat.orders
+                   .join(erased,
+                         cat.orders.o_custkey == erased.c_custkey,
+                         "left_semi")
+                   .select("o_orderkey"))
+    ord_after = cat.orders.join(
+        erased, cat.orders.o_custkey == erased.c_custkey, "left_anti")
+    li_after = cat.lineitem.join(
+        dead_orders,
+        cat.lineitem.l_orderkey == dead_orders.o_orderkey, "left_anti")
+    base = tempfile.mkdtemp(prefix="dwps-gdpr-")
+    overwrite_table(spark, cust_after, base + "/customer")
+    overwrite_table(spark, ord_after, base + "/orders")
+    overwrite_table(spark, li_after, base + "/lineitem")
+    cust_p = spark.read.parquet(base + "/customer")
+    ord_p = spark.read.parquet(base + "/orders")
+    li_p = spark.read.parquet(base + "/lineitem")
+
+    def counts(before: DataFrame, after: DataFrame, tbl: str,
+               orphans) -> DataFrame:
+        return (before.agg(F.count("*").cast("long").alias("n_before"))
+                .crossJoin(F.broadcast(
+                    after.agg(F.count("*").cast("long").alias("n_after"))))
+                .crossJoin(F.broadcast(
+                    orphans.agg(F.count("*").cast("long")
+                                .alias("n_orphans"))))
+                .select(F.lit(tbl).alias("tbl"), "n_before",
+                        (F.col("n_before") - F.col("n_after"))
+                        .cast("long").alias("n_deleted"),
+                        "n_after",
+                        (F.col("n_orphans") == 0).alias("erasure_clean")))
+
+    # orphan probes run against the PERSISTED post-state files
+    cust_orph = cust_p.join(erased, "c_custkey", "left_semi")
+    ord_orph = ord_p.join(erased, ord_p.o_custkey == erased.c_custkey,
+                          "left_semi")
+    li_orph = li_p.join(dead_orders,
+                        li_p.l_orderkey == dead_orders.o_orderkey,
+                        "left_semi")
+    return (counts(cat.customer, cust_p, "customer", cust_orph)
+            .unionByName(counts(cat.orders, ord_p, "orders", ord_orph))
+            .unionByName(counts(cat.lineitem, li_p, "lineitem", li_orph))
+            .orderBy("tbl"))
+
+
+GDPR_ERASURE_SQL = f"""
+WITH erased AS (
+    SELECT c_custkey FROM customer WHERE c_custkey % {GDPR_MOD} = {GDPR_REM}
+),
+dead_orders AS (
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM erased)
+)
+SELECT 'customer' AS tbl,
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_before,
+       CAST((SELECT COUNT(*) FROM erased) AS BIGINT) AS n_deleted,
+       CAST((SELECT COUNT(*) FROM customer) -
+            (SELECT COUNT(*) FROM erased) AS BIGINT) AS n_after,
+       TRUE AS erasure_clean
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders))
+            AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem) -
+            (SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders))
+            AS BIGINT),
+       TRUE
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM dead_orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) -
+            (SELECT COUNT(*) FROM dead_orders) AS BIGINT),
+       TRUE
+ORDER BY tbl
+"""
+
+register("gdpr_erasure_post_state", gdpr_erasure_post_state,
+         GDPR_ERASURE_SQL)

@@ -189,6 +189,7 @@ _PRIORITY: list[str] = [
     "doc_compression_ratio",
     "orders_revenue_trend",
     "events_stickiness_monthly",
+    "gdpr_erasure_post_state",
 ]
 
 

@@ -312,3 +312,27 @@ def test_delta_record_payment_plan_construction(monkeypatch):
     assert writes.delta_enabled() is False  # delta not importable here
     with pytest.raises(RuntimeError, match="delta-spark"):
         writes.record_payment_delta(None, "p", "r", None, 1)
+
+
+def test_gdpr_erasure_cascade_invariants(spark, sf_dir):
+    """Erasure post-state: deleted counts consistent with the cohort
+    rule, all three tables report a clean (orphan-free) persisted
+    post-state, and the cascade arithmetic balances."""
+    from data_warehouse_project_spark.plans.poststate import (
+        GDPR_MOD, GDPR_REM, gdpr_erasure_post_state)
+    from data_warehouse_project_spark.sources.catalog import Catalog
+
+    out = {r.tbl: r for r in
+           gdpr_erasure_post_state(spark, sf_dir).collect()}
+    assert set(out) == {"customer", "orders", "lineitem"}
+    for r in out.values():
+        assert r.n_before - r.n_deleted == r.n_after
+        assert r.erasure_clean
+    cat = Catalog(spark, sf_dir)
+    from pyspark.sql import functions as F
+    n_cohort = cat.customer.filter(
+        F.col("c_custkey") % GDPR_MOD == GDPR_REM).count()
+    assert out["customer"].n_deleted == n_cohort > 0
+    # facts of the cohort actually existed (cascade is non-vacuous)
+    assert out["orders"].n_deleted > 0
+    assert out["lineitem"].n_deleted > 0
