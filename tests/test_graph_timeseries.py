@@ -252,3 +252,84 @@ def test_revenue_trend_recovers_planted_line(spark, tmp_path):
     assert out.intercept_cents == 10000.0
     # next 7 days are d=30..36: sum(10000 + 700 d) = 7*10000 + 700*231
     assert out.next_7d_cents == 7 * 10000 + 700 * 231
+
+
+# --------------------------------------------------------------------------
+# Property tests: Spark plans vs pure-Python reference models
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+#: random small basket lists: up to 8 orders of up to 5 parts from a
+#: 10-part universe (dense enough for real graphs, small enough that
+#: the reference model is obviously correct)
+_orders_strategy = st.lists(
+    st.lists(st.integers(1, 10), min_size=1, max_size=5),
+    min_size=1, max_size=8)
+
+
+def _pagerank_reference(orders, iters):
+    """The exact integer recurrence, in plain Python."""
+    import math
+    from data_warehouse_project_spark.plans.graph import PR_SCALE
+    edges = set()
+    for parts in orders:
+        ps = set(parts)
+        if len(ps) > 30:
+            continue
+        for a in ps:
+            for b in ps:
+                if a != b:
+                    edges.add((a, b))
+    if not edges:
+        return {}
+    deg = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    rank = {n: PR_SCALE for n in deg}
+    base = int(0.15 * PR_SCALE)
+    for _ in range(iters):
+        contrib = {n: math.floor(rank[n] / deg[n]) for n in deg}
+        s = {n: 0 for n in deg}
+        for a, b in edges:
+            s[b] += contrib[a]
+        rank = {n: base + math.floor(s[n] * 0.85) for n in deg}
+    return rank
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(orders=_orders_strategy, iters=st.integers(1, 3))
+def test_pagerank_matches_python_reference(spark, orders, iters):
+    from data_warehouse_project_spark.plans.graph import pagerank_topk
+    li = _lineitem(spark, list(enumerate(orders)))
+    expected = _pagerank_reference(orders, iters)
+    got = {r.p_partkey: r.pagerank_scaled
+           for r in pagerank_topk(li, _part(spark, list(range(1, 11))),
+                                  iters=iters, k=100).collect()}
+    assert got == expected, (orders, iters)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(counts=st.lists(st.integers(0, 20), min_size=13, max_size=20))
+def test_wma_matches_python_reference(spark, counts):
+    """Random hourly series (hour i has counts[i] events) vs the
+    closed-form trailing dyadic WMA in plain Python."""
+    from data_warehouse_project_spark.plans.timeseries import (
+        WMA_DENOM, WMA_LAGS, wma_hourly)
+    rows = []
+    # hour 0 and the last hour must be non-empty to pin the spine
+    counts = [max(counts[0], 1)] + counts[1:-1] + [max(counts[-1], 1)]
+    for h, c in enumerate(counts):
+        for i in range(c):
+            rows.append(("click", f"2024-01-01 {h:02d}:{i:02d}:00"))
+    out = {r.h.hour: r for r in wma_hourly(_events(spark, rows)).collect()}
+    for t in range(WMA_LAGS, len(counts)):
+        num = sum(counts[t - j] << (WMA_LAGS - j)
+                  for j in range(1, WMA_LAGS + 1))
+        assert out[t].n_events == counts[t]
+        assert out[t].wma == round(num / WMA_DENOM, 6) or \
+            abs(out[t].wma - num / WMA_DENOM) < 1e-6
+        assert out[t].is_spike == (counts[t] * WMA_DENOM > 2 * num)
+    assert set(out) == set(range(WMA_LAGS, len(counts)))
