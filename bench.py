@@ -78,6 +78,7 @@ HEADLINE = [
     "part_affinity_topk",          # capped item-CF wedge join (new r6)
     "events_top_paths",            # sessionized journey mining (new r6)
     "doc_compression_ratio",       # zlib Arrow map-only signal (new r6)
+    "chunk_dedup_report",          # sequence-level dedup accounting (new r6)
 ]
 # doc_zipf_fit is deliberately NOT in the headline: its corpus-scale
 # work is the same explode→term-count shuffle vocab_top_terms already

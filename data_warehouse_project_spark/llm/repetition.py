@@ -29,7 +29,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.compat import fround, sql_fround
 from ..registry import register
@@ -283,3 +283,95 @@ LEFT JOIN c5 ON d.doc_id = c5.doc_id
 register("doc_repetition_stats", doc_repetition_stats, DOC_REPETITION_SQL)
 register("chunk_documents", chunk_documents, CHUNK_DOCUMENTS_SQL)
 register("dup_ngram_char_fracs", dup_ngram_char_fracs, DUP_NGRAM_CHAR_SQL)
+
+
+def chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-level dedup accounting — the dedup pass that runs
+    AFTER chunking, on the unit the trainer actually consumes: a
+    chunk whose md5 recurs anywhere in the corpus is a duplicate
+    training sequence even when its parent documents are distinct
+    (shared boilerplate windows survive document-level dedup). Per
+    source plus an ALL row: chunk count, corpus-wide-duplicate chunk
+    count, the duplicated fraction, and the token mass a
+    keep-one-copy pass would drop.
+
+    Scale: reuses chunk_documents' zero-shuffle chunker; corpus-wide
+    chunk totals are a WINDOW SUM over the (hash)-keyed partial
+    aggregate (the span_stats shape — no totals-table self-join);
+    the drop mass per hash is (copies − 1) · tokens, attributed to
+    the source whose doc carries each dropped copy (every copy past
+    the FIRST by (doc_id, chunk_idx) order is a drop — deterministic
+    survivor rule, matching dedup_survivors' min-key discipline).
+    """
+    cat = Catalog(spark, sf_dir)
+    chunks = (chunk_documents(spark, sf_dir)
+              .join(cat.documents.select("doc_id", "source"), "doc_id"))
+    w = Window.partitionBy("chunk_hash")
+    ranked = chunks.select(
+        "source", "chunk_hash", "n_chunk_tokens",
+        F.count("*").over(w).alias("copies"),
+        F.row_number().over(
+            Window.partitionBy("chunk_hash")
+            .orderBy("doc_id", "chunk_idx")).alias("copy_rank"))
+    per_source = (ranked.groupBy("source")
+                  .agg(F.count("*").cast("long").alias("n_chunks"),
+                       F.sum(F.when(F.col("copies") >= 2, 1).otherwise(0))
+                       .cast("long").alias("n_dup_chunks"),
+                       F.sum(F.when(F.col("copy_rank") >= 2,
+                                    F.col("n_chunk_tokens")).otherwise(0))
+                       .cast("long").alias("drop_tokens")))
+    allr = (per_source
+            .agg(F.sum("n_chunks").cast("long").alias("n_chunks"),
+                 F.sum("n_dup_chunks").cast("long").alias("n_dup_chunks"),
+                 F.sum("drop_tokens").cast("long").alias("drop_tokens"))
+            .select(F.lit("ALL").alias("source"), "n_chunks",
+                    "n_dup_chunks", "drop_tokens"))
+    return (per_source.select("source", "n_chunks", "n_dup_chunks",
+                              "drop_tokens")
+            .unionByName(allr)
+            .select("source", "n_chunks", "n_dup_chunks",
+                    fround(F.col("n_dup_chunks") / F.col("n_chunks"), 6)
+                    .alias("dup_chunk_frac"), "drop_tokens")
+            .orderBy("source"))
+
+
+CHUNK_DEDUP_SQL = f"""
+WITH chunks AS ({CHUNK_DOCUMENTS_SQL}),
+sourced AS (
+    SELECT c.doc_id, c.chunk_idx, c.n_chunk_tokens, c.chunk_hash,
+           d.source
+    FROM chunks c JOIN documents d ON c.doc_id = d.doc_id
+),
+ranked AS (
+    SELECT source, chunk_hash, n_chunk_tokens,
+           COUNT(*) OVER (PARTITION BY chunk_hash) AS copies,
+           ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                              ORDER BY doc_id, chunk_idx) AS copy_rank
+    FROM sourced
+),
+per_source AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(SUM(CASE WHEN copy_rank >= 2 THEN n_chunk_tokens
+                         ELSE 0 END) AS BIGINT) AS drop_tokens
+    FROM ranked GROUP BY 1
+),
+unioned AS (
+    SELECT * FROM per_source
+    UNION ALL
+    SELECT 'ALL', CAST(SUM(n_chunks) AS BIGINT),
+           CAST(SUM(n_dup_chunks) AS BIGINT),
+           CAST(SUM(drop_tokens) AS BIGINT)
+    FROM per_source
+)
+SELECT source, n_chunks, n_dup_chunks,
+       {sql_fround('CAST(n_dup_chunks AS DOUBLE) / n_chunks', 6)}
+           AS dup_chunk_frac,
+       drop_tokens
+FROM unioned
+ORDER BY source
+"""
+
+register("chunk_dedup_report", chunk_dedup_report, CHUNK_DEDUP_SQL)

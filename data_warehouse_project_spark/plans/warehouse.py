@@ -975,3 +975,66 @@ SELECT TRUE AS has_rows,
 
 register("hll_distinct_accuracy_floor", hll_distinct_accuracy_floor,
          HLL_GATE_SQL)
+
+
+def geo_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the geographic dimension hierarchy (region →
+    nation): revenue and customer counts at nation, region, and
+    grand-total levels in ONE pass — the drill-down cube every BI
+    layer serves, and the one rollup shape the status/priority pair
+    doesn't cover (a true snowflake hierarchy through two dim hops).
+
+    Scale: orders pre-aggregates per customer key FIRST (map-side
+    combined, the largest shuffle is (custkey, cents) pairs), then
+    the dim chain customer→nation→region attaches by broadcast and
+    the rollup runs over the customer-sized frame — the fact never
+    joins the dims row-by-row. Cents-exact sums, IEEE-exact final
+    divide."""
+    cat = Catalog(spark, sf_dir)
+    per_cust = (cat.orders
+                .groupBy("o_custkey")
+                .agg(F.count("*").cast("long").alias("n_orders"),
+                     F.sum(F.floor(F.col("o_totalprice") * 100
+                                   + F.lit(0.5)).cast("long"))
+                     .alias("cents")))
+    dim = (cat.customer.select("c_custkey", "c_nationkey")
+           .join(F.broadcast(cat.nation.select("n_nationkey", "n_name",
+                                               "n_regionkey")),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(cat.region.select("r_regionkey", "r_name")),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("c_custkey", F.col("r_name").alias("region"),
+                   F.col("n_name").alias("nation")))
+    return (per_cust
+            .join(dim, per_cust.o_custkey == dim.c_custkey)
+            .rollup("region", "nation")
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 F.sum("n_orders").cast("long").alias("n_orders"),
+                 fround(F.sum("cents") / F.lit(100.0), 2)
+                 .alias("revenue"))
+            .orderBy("region", "nation"))
+
+
+GEO_ROLLUP_SQL = f"""
+WITH per_cust AS (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+dim AS (
+    SELECT c.c_custkey, r.r_name AS region, n.n_name AS nation
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT d.region, d.nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(p.n_orders) AS BIGINT) AS n_orders,
+       {sql_fround('SUM(p.cents) / 100.0', 2)} AS revenue
+FROM per_cust p JOIN dim d ON p.o_custkey = d.c_custkey
+GROUP BY ROLLUP (d.region, d.nation)
+ORDER BY region, nation
+"""
+
+register("geo_revenue_rollup", geo_revenue_rollup, GEO_ROLLUP_SQL)

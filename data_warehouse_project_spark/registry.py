@@ -190,6 +190,8 @@ _PRIORITY: list[str] = [
     "orders_revenue_trend",
     "events_stickiness_monthly",
     "gdpr_erasure_post_state",
+    "geo_revenue_rollup",
+    "chunk_dedup_report",
 ]
 
 

@@ -892,3 +892,43 @@ def test_compression_signal_plan_is_map_only(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_chunk_dedup_planted_duplicate_window(spark, tmp_path):
+    """Two docs from different sources share an identical 64-token
+    opening window; a third is unique. The shared chunk counts as
+    duplicated in BOTH sources, the drop mass charges only the
+    second copy (first-copy survivor rule), and the ALL row sums."""
+    from pyspark.sql import Row
+
+    from data_warehouse_project_spark.llm.repetition import (
+        CHUNK_TOKENS, chunk_dedup_report)
+
+    shared = " ".join(f"t{i}" for i in range(CHUNK_TOKENS))
+    docs = [
+        Row(doc_id=1, text=shared, lang="en", source="a",
+            n_chars=len(shared)),
+        Row(doc_id=2, text=shared, lang="en", source="b",
+            n_chars=len(shared)),
+        Row(doc_id=3, text="totally different words here",
+            lang="en", source="a", n_chars=28),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in
+           chunk_dedup_report(spark, str(tmp_path)).collect()}
+    # doc1: 2 chunks (64 tokens -> starts 0 and 48); doc2 same;
+    # doc3: 1 chunk. The stride-48 tail chunks (16 tokens) also
+    # match each other across docs 1 and 2.
+    assert out["a"].n_chunks == 3 and out["b"].n_chunks == 2
+    assert out["a"].n_dup_chunks == 2      # doc1's two shared chunks
+    assert out["b"].n_dup_chunks == 2      # doc2's two shared chunks
+    # survivor rule: doc1 (lower doc_id) keeps; doc2's copies drop.
+    # doc2 drops chunk0 (64 tokens) + the stride tail chunk (16) = 80
+    assert out["a"].drop_tokens == 0
+    assert out["b"].drop_tokens == 80
+    assert out["ALL"].n_chunks == 5
+    assert out["ALL"].n_dup_chunks == 4
+    assert out["ALL"].drop_tokens == 80
