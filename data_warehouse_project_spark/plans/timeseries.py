@@ -340,3 +340,130 @@ FROM (
         " / CAST(n AS DOUBLE)) + b * (7 * CAST(n AS DOUBLE) + 21.0)", 4))
 
 register("orders_revenue_trend", orders_revenue_trend, REVENUE_TREND_SQL)
+
+
+# --------------------------------------------------------------------------
+# Event-time disorder (watermark sizing report)
+# --------------------------------------------------------------------------
+
+#: simulated ingest shards: a real feed carries (kafka partition,
+#: offset); the synthetic feed has only a global event_id, so shard
+#: = event_id % N stands in for the partition key. Lateness is
+#: measured against the SHARD's high-watermark — exactly the
+#: granularity Structured Streaming tracks event-time progress at.
+DISORDER_SHARDS = 16
+
+
+def events_disorder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How out-of-order is the event feed? For every event, lateness
+    = (highest event-time already seen on its ingest shard at its
+    arrival) − (its own event-time), arrival order = event_id within
+    shard event_id % DISORDER_SHARDS. One row per event type with
+    the late-event count and the exact discrete p50/p95/max lateness
+    in seconds — THE empirical input for choosing the streaming
+    jobs' watermark (`withWatermark` holds state for max expected
+    lateness: too small drops these events, too large bloats state;
+    streaming/jobs.py currently uses fixed literals).
+
+    Finding on the driver feed (recorded, not a bug): the synthetic
+    events arrive perfectly event-time-ordered, so every lateness is
+    0 and the report certifies an in-order feed — the planted-
+    disorder unit test (tests/test_graph_timeseries.py) keeps the
+    measurement path non-vacuous, the dedup_embedding_cosine_planted
+    discipline.
+
+    Exactness: lateness is integer seconds from a running MAX window
+    (order-independent given the per-shard (event_id) arrival
+    order); p50/p95 use the quantile_disc rank rule over per-type
+    lateness HISTOGRAMS (value, count) — the quantile windows see
+    distinct lateness values only, never events (length_band_filter
+    discipline).
+
+    Scale: the running-max window partitions by shard (a real feed's
+    kafka partition — hundreds of ways parallel, never a global
+    sort); everything downstream is histogram-sized.
+    """
+    cat = Catalog(spark, sf_dir)
+    w = (Window.partitionBy("shard").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    late = (cat.events
+            .select("event_id", "event_type",
+                    (F.col("event_id") % DISORDER_SHARDS).alias("shard"),
+                    F.unix_timestamp("ts").alias("sec"))
+            .withColumn("hwm", F.max("sec").over(w))
+            .select("event_type",
+                    F.greatest(F.coalesce(F.col("hwm") - F.col("sec"),
+                                          F.lit(0)), F.lit(0))
+                    .cast("long").alias("late_s")))
+    hist = (late.groupBy("event_type", "late_s")
+            .agg(F.count("*").cast("long").alias("c")))
+    wv = Window.partitionBy("event_type").orderBy("late_s")
+    ranked = hist.select(
+        "event_type", "late_s", "c",
+        F.sum("c").over(wv).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"))
+
+    def disc_q(num: int, den: int, out: str) -> DataFrame:
+        return (ranked.filter(F.col("cum") * den >= F.col("n") * num)
+                .groupBy("event_type")
+                .agg(F.min("late_s").cast("long").alias(out)))
+
+    agg = (late.groupBy("event_type")
+           .agg(F.count("*").cast("long").alias("n_events"),
+                F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+                .cast("long").alias("n_late"),
+                F.max("late_s").cast("long").alias("max_late_s")))
+    return (agg.join(disc_q(1, 2, "p50_late_s"), "event_type")
+            .join(disc_q(19, 20, "p95_late_s"), "event_type")
+            .select("event_type", "n_events", "n_late",
+                    "p50_late_s", "p95_late_s", "max_late_s")
+            .orderBy("event_type"))
+
+
+EVENTS_DISORDER_SQL = f"""
+WITH late AS (
+    SELECT event_type,
+           CAST(GREATEST(COALESCE(
+               MAX(epoch(ts)) OVER (PARTITION BY event_id % {DISORDER_SHARDS}
+                                    ORDER BY event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) - epoch(ts), 0), 0)
+               AS BIGINT) AS late_s
+    FROM events
+),
+hist AS (
+    SELECT event_type, late_s, CAST(COUNT(*) AS BIGINT) AS c
+    FROM late GROUP BY 1, 2
+),
+ranked AS (
+    SELECT event_type, late_s, c,
+           SUM(c) OVER (PARTITION BY event_type ORDER BY late_s
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(c) OVER (PARTITION BY event_type) AS n
+    FROM hist
+),
+p50 AS (
+    SELECT event_type, CAST(MIN(late_s) AS BIGINT) AS p50_late_s
+    FROM ranked WHERE cum * 2 >= n GROUP BY 1
+),
+p95 AS (
+    SELECT event_type, CAST(MIN(late_s) AS BIGINT) AS p95_late_s
+    FROM ranked WHERE cum * 20 >= n * 19 GROUP BY 1
+),
+agg AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           CAST(MAX(late_s) AS BIGINT) AS max_late_s
+    FROM late GROUP BY 1
+)
+SELECT a.event_type, a.n_events, a.n_late,
+       p50.p50_late_s, p95.p95_late_s, a.max_late_s
+FROM agg a
+JOIN p50 ON a.event_type = p50.event_type
+JOIN p95 ON a.event_type = p95.event_type
+ORDER BY a.event_type
+"""
+
+register("events_disorder_report", events_disorder_report,
+         EVENTS_DISORDER_SQL)

@@ -71,11 +71,12 @@ def _register_modules() -> None:
 #: 4. round-6-new queries (never driver-checked) fill the remaining
 #:    7 slots — new-query coverage outranks the verdict's optional
 #:    r5 spot checks (r5 rows are only 1 round old and every r5
-#:    query stays parity-guarded locally). 17 queries are new this
-#:    round; the 24 outside the window (positions 51+ below — all
-#:    parity-green locally on every pytest run, the batch before the
-#:    last swept at sf0.1) lead the round-7 window with the r4-stale
-#:    family.
+#:    query stays parity-guarded locally). Round 6 ultimately added
+#:    ~45 new queries across its continuation batches; everything
+#:    outside the 50-slot window (positions 51+ below — all
+#:    parity-green locally on every pytest run and swept at sf0.1,
+#:    README "Current state") leads the round-7 window together with
+#:    the r4-stale family.
 #: Displaced queries (r4/r5-green relational, streaming batch twins,
 #: cube/window family, LLM text/quality families) are regression-
 #: guarded by tests/test_registry_parity.py's local DuckDB oracle on
@@ -192,6 +193,7 @@ _PRIORITY: list[str] = [
     "gdpr_erasure_post_state",
     "geo_revenue_rollup",
     "chunk_dedup_report",
+    "events_disorder_report",
 ]
 
 

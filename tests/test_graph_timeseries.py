@@ -333,3 +333,39 @@ def test_wma_matches_python_reference(spark, counts):
             abs(out[t].wma - num / WMA_DENOM) < 1e-6
         assert out[t].is_spike == (counts[t] * WMA_DENOM > 2 * num)
     assert set(out) == set(range(WMA_LAGS, len(counts)))
+
+
+def test_disorder_report_planted_late_arrivals(spark, tmp_path):
+    """Planted disorder: on shard 0, an event with a HIGHER event_id
+    carries an EARLIER event-time -> its lateness is the gap to the
+    shard high-watermark; in-order events report 0."""
+    from pyspark.sql import Row
+
+    from data_warehouse_project_spark.plans.timeseries import (
+        DISORDER_SHARDS, events_disorder_report)
+    S = DISORDER_SHARDS
+    rows = [
+        # shard 0 arrivals: t=100, t=400, then a LATE one at t=160
+        Row(event_id=0 * S, ts="2024-01-01 00:01:40", event_type="click"),
+        Row(event_id=1 * S, ts="2024-01-01 00:06:40", event_type="click"),
+        Row(event_id=2 * S, ts="2024-01-01 00:02:40", event_type="click"),
+        # shard 1: perfectly ordered views
+        Row(event_id=0 * S + 1, ts="2024-01-01 00:00:10", event_type="view"),
+        Row(event_id=1 * S + 1, ts="2024-01-01 00:00:20", event_type="view"),
+    ]
+    df = spark.createDataFrame(
+        [(r.event_id, r.ts, 1, r.event_type, 1.0, "{}") for r in rows],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in
+           events_disorder_report(spark, str(tmp_path)).collect()}
+    click = out["click"]
+    # one late click: hwm 400 - its own 160 = 240 s
+    assert click.n_events == 3 and click.n_late == 1
+    assert click.max_late_s == 240
+    assert click.p50_late_s == 0          # majority in-order
+    assert click.p95_late_s == 240        # rank ceil(.95*3)=3 -> 240
+    view = out["view"]
+    assert view.n_late == 0 and view.max_late_s == 0
