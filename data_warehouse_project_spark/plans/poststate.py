@@ -488,3 +488,61 @@ ORDER BY tbl
 
 register("gdpr_erasure_post_state", gdpr_erasure_post_state,
          GDPR_ERASURE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Versioned-write post-state (time travel)
+# --------------------------------------------------------------------------
+
+def versioned_write_post_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel driver query: snapshot v1 = the cards table as
+    ingested; v2 = after the SOFT_DELETE_KEYS soft-delete (the same
+    mutation soft_delete_post_state applies destructively). BOTH
+    versions are then read back through the version reader — v2 via
+    the _LATEST pointer, v1 by explicit time travel — and reported
+    side-by-side: the audit "what did this table look like before
+    the delete" that plain overwrite cannot answer.
+
+    Scale note: versioning cost is one extra directory per snapshot
+    and a one-line pointer swap; the report aggregates each
+    snapshot independently (two bounded scans)."""
+    from ..writes import overwrite_table_versioned, read_table_version
+    cat = Catalog(spark, sf_dir)
+    cards = (cat.customer.select("c_custkey", "c_mktsegment")
+             .withColumn("is_active", F.lit(1)))
+    base = tempfile.mkdtemp(prefix="dwps-versioned-") + "/cards"
+    v1 = overwrite_table_versioned(spark, cards, base)
+    mutated = cards
+    for k in SOFT_DELETE_KEYS:
+        mutated = soft_delete(mutated, "c_custkey", k)
+    v2 = overwrite_table_versioned(spark, mutated, base)
+
+    def snap(version, df):
+        return (df.agg(F.count("*").cast("long").alias("n_rows"),
+                       F.sum("is_active").cast("long").alias("n_active"))
+                .select(F.lit(version).cast("long").alias("version"),
+                        "n_rows", "n_active"))
+
+    latest = read_table_version(spark, base)            # pointer → v2
+    historical = read_table_version(spark, base, v1)    # time travel
+    return (snap(v1, historical).unionByName(snap(v2, latest))
+            .orderBy("version"))
+
+
+VERSIONED_WRITE_SQL = f"""
+SELECT CAST(1 AS BIGINT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM customer
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+       - CAST(SUM(CASE WHEN c_custkey IN {SOFT_DELETE_KEYS}
+                       THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer
+ORDER BY version
+"""
+
+register("versioned_write_post_state", versioned_write_post_state,
+         VERSIONED_WRITE_SQL)

@@ -194,6 +194,7 @@ _PRIORITY: list[str] = [
     "geo_revenue_rollup",
     "chunk_dedup_report",
     "events_disorder_report",
+    "versioned_write_post_state",
 ]
 
 

@@ -235,6 +235,68 @@ def overwrite_table(spark: SparkSession, df: DataFrame, path: str) -> None:
 
 
 # --------------------------------------------------------------------------
+# Multi-version staged writes (time travel without a table format)
+# --------------------------------------------------------------------------
+
+#: pointer file inside a versioned table dir (atomic os.replace swap)
+_LATEST = "_LATEST"
+
+
+def overwrite_table_versioned(spark: SparkSession, df: DataFrame,
+                              path: str, keep: int = 3) -> int:
+    """Versioned overwrite: write the new snapshot to ``path/v=N``
+    (N = 1 + current latest), then atomically swap the ``_LATEST``
+    pointer file — the minimal time-travel contract the lakehouse
+    table formats provide, re-expressed with plain parquet + POSIX
+    rename. Crash-safety: a failure BEFORE the pointer swap leaves
+    readers on the old version with the orphan data dir invisible (a
+    later write reuses the next free N); the swap itself is one
+    os.replace. Old versions beyond ``keep`` are pruned AFTER the
+    pointer moves, so no live reader's version disappears under it.
+    Returns the new version number.
+
+    At 100 TB the same layout holds per partition directory, and
+    ``keep`` is the retention the vacuum job enforces — this is the
+    plain-parquet skeleton of Delta/Iceberg snapshot + vacuum.
+    """
+    os.makedirs(path, exist_ok=True)
+    versions = list_table_versions(path)
+    new_v = (versions[-1] + 1) if versions else 1
+    df.write.mode("overwrite").parquet(os.path.join(path, f"v={new_v}"))
+    tmp = os.path.join(path, f".{_LATEST}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write(str(new_v))
+    os.replace(tmp, os.path.join(path, _LATEST))
+    for old_v in versions[:-(keep - 1)] if keep > 1 else versions:
+        shutil.rmtree(os.path.join(path, f"v={old_v}"), ignore_errors=True)
+    return new_v
+
+
+def list_table_versions(path: str) -> list[int]:
+    """Sorted snapshot versions present under a versioned table dir."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(int(d.split("=", 1)[1]) for d in os.listdir(path)
+                  if d.startswith("v=") and d.split("=", 1)[1].isdigit())
+
+
+def read_table_version(spark: SparkSession, path: str,
+                       version: int | None = None) -> DataFrame:
+    """Read a snapshot: ``version=None`` follows the _LATEST pointer
+    (the default reader path); an explicit version time-travels to
+    that retained snapshot (raises if pruned/never written)."""
+    if version is None:
+        with open(os.path.join(path, _LATEST)) as fh:
+            version = int(fh.read().strip())
+    vdir = os.path.join(path, f"v={version}")
+    if not os.path.isdir(vdir):
+        raise ValueError(
+            f"version {version} not present under {path!r} "
+            f"(have {list_table_versions(path)})")
+    return spark.read.parquet(vdir)
+
+
+# --------------------------------------------------------------------------
 # Delta-gated transactional record_payment (ref db.py:450-468)
 # --------------------------------------------------------------------------
 

@@ -336,3 +336,36 @@ def test_gdpr_erasure_cascade_invariants(spark, sf_dir):
     # facts of the cohort actually existed (cascade is non-vacuous)
     assert out["orders"].n_deleted > 0
     assert out["lineitem"].n_deleted > 0
+
+
+def test_versioned_write_retention_and_pointer(spark, tmp_path):
+    """Snapshots accumulate with a keep-window, the pointer always
+    follows the newest, pruned versions raise, and an orphan data
+    dir without a pointer swap is invisible to the default reader."""
+    import os
+
+    from data_warehouse_project_spark.writes import (
+        list_table_versions, overwrite_table_versioned,
+        read_table_version)
+    p = str(tmp_path / "t")
+    dfs = [spark.range(n).withColumnRenamed("id", "k")
+           for n in (1, 2, 3, 4)]
+    assert overwrite_table_versioned(spark, dfs[0], p, keep=2) == 1
+    assert overwrite_table_versioned(spark, dfs[1], p, keep=2) == 2
+    assert read_table_version(spark, p).count() == 2      # pointer
+    assert read_table_version(spark, p, 1).count() == 1   # time travel
+    assert overwrite_table_versioned(spark, dfs[2], p, keep=2) == 3
+    assert list_table_versions(p) == [2, 3]               # v1 pruned
+    assert read_table_version(spark, p).count() == 3
+    assert read_table_version(spark, p, 2).count() == 2
+    try:
+        read_table_version(spark, p, 1)
+        assert False, "pruned version must raise"
+    except ValueError:
+        pass
+    # crash window: data dir exists but pointer never swapped ->
+    # default reader stays on the old version; next write skips past
+    dfs[3].write.parquet(os.path.join(p, "v=4"))
+    assert read_table_version(spark, p).count() == 3
+    assert overwrite_table_versioned(spark, dfs[3], p, keep=2) == 5
+    assert read_table_version(spark, p).count() == 4
