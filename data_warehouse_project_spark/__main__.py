@@ -55,6 +55,24 @@ def main(argv: list[str] | None = None) -> int:
             bad += r["n_orphans"] + r["n_null_fk"]
             print(f"{r['edge']:40s} child={r['n_child']:>10d} "
                   f"null_fk={r['n_null_fk']} orphans={r['n_orphans']}{flag}")
+        print("== primary-key uniqueness ==")
+        from .plans.audits import pk_uniqueness_report
+        # Known dataset property (recorded finding, every sf): the
+        # synthetic generator assigns lineitem linenumbers randomly,
+        # so (l_orderkey, l_linenumber) is NOT unique in driver data
+        # — reported, never failed on. All other tables gate.
+        known_nonunique = {"lineitem"}
+        for r in pk_uniqueness_report(spark, args.sf_dir).collect():
+            if r["n_dup_keys"] == 0:
+                flag = ""
+            elif r["tbl"] in known_nonunique:
+                flag = "  (known synthetic-data property)"
+            else:
+                flag = "  <-- VIOLATION"
+                bad += r["n_dup_keys"]
+            print(f"{r['tbl']:12s} rows={r['n_rows']:>10d} "
+                  f"dup_keys={r['n_dup_keys']} "
+                  f"excess={r['n_excess_rows']}{flag}")
         print("== order reconciliation ==")
         for r in order_consistency_audit(spark, args.sf_dir).collect():
             print(f"status={r['o_orderstatus']} orders={r['n_orders']} "

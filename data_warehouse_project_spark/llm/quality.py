@@ -788,3 +788,77 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("doc_compression_ratio", doc_compression_ratio, None)
+
+
+# --------------------------------------------------------------------------
+# Per-source quality matrix ("which scrape source is dirtiest")
+# --------------------------------------------------------------------------
+
+def source_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source roll-up of the Gopher rule outcomes — the triage
+    dashboard that decides which SOURCE gets re-crawled, filtered
+    harder, or dropped, instead of judging documents one at a time:
+    doc count, keep rate, and the mean of each quality signal.
+
+    Composition: runs gopher_quality_flags (one explode pass) and
+    joins source on doc_id, then collapses to a sources-sized frame.
+    Means are quantized-term integer sums (compat.py policy: the
+    per-doc signals are already 6-dp-rounded, so floor(x·1e6+0.5)
+    recovers each term exactly and the sum is order-independent)."""
+    cat = Catalog(spark, sf_dir)
+    flags = gopher_quality_flags(spark, sf_dir)
+    q = lambda c: F.floor(F.col(c) * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    per = (flags.join(cat.documents.select("doc_id", "source"), "doc_id")
+           .groupBy("source")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum(F.col("keep").cast("long")).cast("long")
+                .alias("n_keep"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+                F.sum(q("ttr")).alias("qttr"),
+                F.sum(q("top_token_frac")).alias("qtop"),
+                F.sum(q("dup_bigram_frac")).alias("qdup")))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (per.select(
+        "source", "n_docs",
+        fround(d("n_keep") / d("n_docs"), 6).alias("keep_rate"),
+        "n_tokens",
+        fround(d("qttr") / d("n_docs") / F.lit(1e6), 6).alias("mean_ttr"),
+        fround(d("qtop") / d("n_docs") / F.lit(1e6), 6)
+        .alias("mean_top_token_frac"),
+        fround(d("qdup") / d("n_docs") / F.lit(1e6), 6)
+        .alias("mean_dup_bigram_frac"))
+        .orderBy("source"))
+
+
+SOURCE_QUALITY_SQL = f"""
+WITH flags AS ({GOPHER_SQL}),
+per AS (
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f.keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+           CAST(SUM(f.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(FLOOR(f.ttr * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS qttr,
+           CAST(SUM(CAST(FLOOR(f.top_token_frac * 1000000.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS qtop,
+           CAST(SUM(CAST(FLOOR(f.dup_bigram_frac * 1000000.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS qdup
+    FROM flags f JOIN documents d ON f.doc_id = d.doc_id
+    GROUP BY 1
+)
+SELECT source, n_docs,
+       {sql_fround('CAST(n_keep AS DOUBLE) / n_docs', 6)} AS keep_rate,
+       n_tokens,
+       {sql_fround('CAST(qttr AS DOUBLE) / n_docs / 1000000.0', 6)}
+           AS mean_ttr,
+       {sql_fround('CAST(qtop AS DOUBLE) / n_docs / 1000000.0', 6)}
+           AS mean_top_token_frac,
+       {sql_fround('CAST(qdup AS DOUBLE) / n_docs / 1000000.0', 6)}
+           AS mean_dup_bigram_frac
+FROM per
+ORDER BY source
+"""
+
+register("source_quality_matrix", source_quality_matrix,
+         SOURCE_QUALITY_SQL)

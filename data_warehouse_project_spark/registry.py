@@ -195,6 +195,8 @@ _PRIORITY: list[str] = [
     "chunk_dedup_report",
     "events_disorder_report",
     "versioned_write_post_state",
+    "source_quality_matrix",
+    "pk_uniqueness_report",
 ]
 
 
