@@ -623,3 +623,65 @@ FROM (SELECT {kl}, COUNT(*) AS c FROM {tbl} GROUP BY {kl})""")
 
 
 register("pk_uniqueness_report", pk_uniqueness_report, _pk_sql())
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (quasi-identifier re-identification risk)
+# --------------------------------------------------------------------------
+
+#: re-identification threshold: groups smaller than K are risky
+K_ANON = 5
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit over the customer dimension: treat (mktsegment,
+    nationkey) as the quasi-identifier pair an attacker could link on
+    and report the k-anonymity profile — per power-of-two group-size
+    band: equivalence-class count and row mass, plus each band's
+    share of customers below the K_ANON threshold. The release gate
+    that complements pii_scrub (masks direct identifiers) and
+    gdpr_erasure (removes subjects): quasi-identifiers re-identify
+    WITHOUT any direct identifier.
+
+    Scale: one map-side-combined groupBy on the quasi-identifier,
+    then a band rollup over the equivalence-class aggregate (bounded
+    by distinct QI combinations). Band = the bit length of the group
+    size (band b ⇔ size in [2^(b-1), 2^b)), computed as the string
+    length of the base-2 representation — exact integer/string
+    arithmetic identical in both engines; no transcendental log
+    enters the plan.
+    """
+    cat = Catalog(spark, sf_dir)
+    eq = (cat.customer
+          .groupBy("c_mktsegment", "c_nationkey")
+          .agg(F.count("*").cast("long").alias("gsize")))
+    # power-of-two band via bit length: band = len(bin(gsize)) - 1,
+    # exact integer arithmetic in both engines
+    band = (F.length(F.conv(F.col("gsize").cast("string"), 10, 2))
+            .cast("long"))
+    return (eq.select(band.alias("size_band_log2"), "gsize")
+            .groupBy("size_band_log2")
+            .agg(F.count("*").cast("long").alias("n_groups"),
+                 F.sum("gsize").cast("long").alias("n_customers"),
+                 F.sum(F.when(F.col("gsize") < K_ANON, F.col("gsize"))
+                       .otherwise(0)).cast("long")
+                 .alias("n_below_k"))
+            .orderBy("size_band_log2"))
+
+
+K_ANONYMITY_SQL = f"""
+WITH eq AS (
+    SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS gsize
+    FROM customer GROUP BY 1, 2
+)
+SELECT CAST(LENGTH(bin(gsize)) AS BIGINT) AS size_band_log2,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(gsize) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN gsize < {K_ANON} THEN gsize ELSE 0 END)
+            AS BIGINT) AS n_below_k
+FROM eq
+GROUP BY 1
+ORDER BY size_band_log2
+"""
+
+register("k_anonymity_report", k_anonymity_report, K_ANONYMITY_SQL)

@@ -197,6 +197,7 @@ _PRIORITY: list[str] = [
     "versioned_write_post_state",
     "source_quality_matrix",
     "pk_uniqueness_report",
+    "k_anonymity_report",
 ]
 
 

@@ -369,3 +369,45 @@ def test_versioned_write_retention_and_pointer(spark, tmp_path):
     assert read_table_version(spark, p).count() == 3
     assert overwrite_table_versioned(spark, dfs[3], p, keep=2) == 5
     assert read_table_version(spark, p).count() == 4
+
+
+def test_versioned_merge_rollback(spark, tmp_path):
+    """Transactional-flavored composition: MERGE results land as a
+    new snapshot; a bad batch is 'rolled back' by reading the prior
+    version and re-snapshotting it — the plain-parquet equivalent of
+    RESTORE TABLE ... VERSION AS OF."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_project_spark.writes import (
+        merge_upsert, overwrite_table_versioned, read_table_version)
+    p = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "A", 10), (2, "B", 20)], "k long, seg string, bal long")
+    v1 = overwrite_table_versioned(spark, base, p)
+    good = spark.createDataFrame(
+        [(2, "B2", 25, False), (3, "C", 30, False)],
+        "k long, seg string, bal long, do_delete boolean")
+    merged = merge_upsert(read_table_version(spark, p), good,
+                          keys=["k"], update_cols=["seg", "bal"],
+                          delete_condition=F.col("s.do_delete"))
+    v2 = overwrite_table_versioned(spark, merged, p)
+    assert {(r.k, r.seg, r.bal) for r in
+            read_table_version(spark, p).collect()} == \
+        {(1, "A", 10), (2, "B2", 25), (3, "C", 30)}
+    # "bad" batch deletes everything; lands as v3
+    bad = spark.createDataFrame(
+        [(1, "X", 0, True), (2, "X", 0, True), (3, "X", 0, True)],
+        "k long, seg string, bal long, do_delete boolean")
+    wrecked = merge_upsert(read_table_version(spark, p), bad,
+                           keys=["k"], update_cols=["seg", "bal"],
+                           delete_condition=F.col("s.do_delete"))
+    overwrite_table_versioned(spark, wrecked, p)
+    assert read_table_version(spark, p).count() == 0
+    # rollback: restore v2 as a NEW version (history stays linear)
+    restored = overwrite_table_versioned(
+        spark, read_table_version(spark, p, v2), p)
+    assert restored == 4
+    assert {(r.k, r.seg, r.bal) for r in
+            read_table_version(spark, p).collect()} == \
+        {(1, "A", 10), (2, "B2", 25), (3, "C", 30)}
+    assert v1 == 1 and v2 == 2
