@@ -1038,3 +1038,97 @@ ORDER BY region, nation
 """
 
 register("geo_revenue_rollup", geo_revenue_rollup, GEO_ROLLUP_SQL)
+
+
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit: the Herfindahl–Hirschman index of
+    supplier revenue share within each nation (HHI = Σ share², in
+    the conventional 0–10000 points), with supplier count and the
+    top supplier's share — single-source-risk flagging per
+    procurement region, the concentration complement to
+    part_pareto_concentration's top-N cumulative share.
+
+    Determinism: revenue is cents-exact per (nation, supplier); each
+    share² term is ONE IEEE divide + multiply of identical integer
+    operands, quantized to an integer before the order-independent
+    SUM (compat.py hazard-#1 policy — a naive SUM of share² doubles
+    would hash-flake on aggregation order).
+
+    Scale: lineitem collapses map-side to (suppkey, cents); the
+    supplier→nation dim attaches by broadcast; everything after is
+    suppliers-sized.
+    """
+    cat = Catalog(spark, sf_dir)
+    per_supp = (cat.lineitem
+                .groupBy("l_suppkey")
+                .agg(F.sum(F.floor(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount")) * 100
+                                   + F.lit(0.5)).cast("long"))
+                     .alias("cents")))
+    keyed = (per_supp
+             .join(F.broadcast(cat.supplier.select("s_suppkey",
+                                                   "s_nationkey")),
+                   per_supp.l_suppkey == F.col("s_suppkey"))
+             .join(F.broadcast(cat.nation.select("n_nationkey",
+                                                 "n_name")),
+                   F.col("s_nationkey") == F.col("n_nationkey"))
+             .select(F.col("n_name").alias("nation"), "cents"))
+    tot = keyed.groupBy("nation").agg(
+        F.sum("cents").alias("tot"),
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.max("cents").alias("max_cents"))
+    # share² in basis points², quantized to micro-points before SUM
+    share2_q = F.floor(
+        (F.col("cents").cast("double") / F.col("tot"))
+        * (F.col("cents").cast("double") / F.col("tot"))
+        * F.lit(1e10) + F.lit(0.5)).cast("long")
+    hhi = (keyed.join(tot.select("nation", "tot"), "nation")
+           .groupBy("nation")
+           .agg(F.sum(share2_q).alias("qh")))
+    return (tot.join(hhi, "nation")
+            .select("nation", "n_suppliers",
+                    fround(F.col("qh").cast("double") / F.lit(1e6), 2)
+                    .alias("hhi"),
+                    fround(F.col("max_cents").cast("double")
+                           / F.col("tot") * 100, 4)
+                    .alias("top_share_pct"))
+            .orderBy("nation"))
+
+
+SUPPLIER_HHI_SQL = f"""
+WITH per_supp AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem GROUP BY 1
+),
+keyed AS (
+    SELECT n.n_name AS nation, p.cents
+    FROM per_supp p
+    JOIN supplier s ON p.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+tot AS (
+    SELECT nation, SUM(cents) AS tot,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           MAX(cents) AS max_cents
+    FROM keyed GROUP BY 1
+),
+hhi AS (
+    SELECT k.nation,
+           SUM(CAST(FLOOR((CAST(k.cents AS DOUBLE) / t.tot)
+                          * (CAST(k.cents AS DOUBLE) / t.tot)
+                          * 10000000000.0 + 0.5) AS BIGINT)) AS qh
+    FROM keyed k JOIN tot t ON k.nation = t.nation
+    GROUP BY 1
+)
+SELECT t.nation, t.n_suppliers,
+       {sql_fround('CAST(h.qh AS DOUBLE) / 1000000.0', 2)} AS hhi,
+       {sql_fround('CAST(t.max_cents AS DOUBLE) / t.tot * 100', 4)}
+           AS top_share_pct
+FROM tot t JOIN hhi h ON t.nation = h.nation
+ORDER BY t.nation
+"""
+
+register("supplier_hhi_by_nation", supplier_hhi_by_nation,
+         SUPPLIER_HHI_SQL)

@@ -198,6 +198,7 @@ _PRIORITY: list[str] = [
     "source_quality_matrix",
     "pk_uniqueness_report",
     "k_anonymity_report",
+    "supplier_hhi_by_nation",
 ]
 
 

@@ -369,3 +369,29 @@ def test_disorder_report_planted_late_arrivals(spark, tmp_path):
     assert click.p95_late_s == 240        # rank ceil(.95*3)=3 -> 240
     view = out["view"]
     assert view.n_late == 0 and view.max_late_s == 0
+
+
+def test_pagerank_empty_and_singleton_graphs(spark):
+    """No co-purchases at all (every order is a singleton) -> empty
+    result, no crash; guard-excluded mega-order contributes nothing."""
+    from data_warehouse_project_spark.plans.graph import (
+        MAX_BASKET, pagerank_topk)
+    li = _lineitem(spark, [(1, [1]), (2, [2]),
+                           (3, list(range(50, 50 + MAX_BASKET + 2)))])
+    assert pagerank_topk(li, _part(spark, [1, 2]), iters=2,
+                         k=10).count() == 0
+
+
+def test_affinity_requires_shared_context(spark):
+    """Candidates come only from a shared THIRD neighbor: a 2-item
+    order's pair has no common context -> no candidate at all (the
+    semantic difference vs part_market_basket, which counts direct
+    co-occurrence); a 3-item order yields all three within-order
+    pairs, each through the remaining item."""
+    from data_warehouse_project_spark.plans.graph import affinity_topk
+    li = _lineitem(spark, [(1, [1, 2]), (2, [3, 4])])
+    assert affinity_topk(li, k=50).count() == 0
+    li3 = _lineitem(spark, [(1, [5, 6, 7])])
+    got = {(r.part_a, r.part_b) for r in
+           affinity_topk(li3, k=50).collect()}
+    assert got == {(5, 6), (5, 7), (6, 7)}
