@@ -382,6 +382,27 @@ MINHASH_MAE_GATE_PCT = 5
 MINHASH_MAX_AE_GATE_PCT = 25
 
 
+def _minhash_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified pairs + signature-estimated Jaccard + quantized abs
+    error — the scoring frame minhash_accuracy_floor gates on and
+    lsh_threshold_sweep curves over (one shared construction)."""
+    pairs, sigs = _minhash_verified_pairs(spark, sf_dir)
+    a = sigs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("signature").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("signature").alias("sig_b"))
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("est", F.expr(
+            "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), "
+            "v -> v)) / size(sig_a)"))
+        # abs error quantized to 1e6 ints: exact sums/compares
+        .withColumn("ae_q", F.floor(
+            F.abs(F.col("est") - F.col("jaccard")) * 1e6 + F.lit(0.5))
+            .cast("long"))
+    )
+
+
 def minhash_accuracy_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible MinHash estimator-quality gate (the sketch
     analog of ann_recall_floor): ONE row asserting that over the
@@ -397,21 +418,7 @@ def minhash_accuracy_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only the verified-pair rows (bounded by LSH collisions).
     Integer-exact compares: errors scale to 1e6 ints before the
     mean/max gates."""
-    pairs, sigs = _minhash_verified_pairs(spark, sf_dir)
-    a = sigs.select(F.col("doc_id").alias("doc_a"),
-                    F.col("signature").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"),
-                    F.col("signature").alias("sig_b"))
-    scored = (
-        pairs.join(a, "doc_a").join(b, "doc_b")
-        .withColumn("est", F.expr(
-            "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), "
-            "v -> v)) / size(sig_a)"))
-        # abs error quantized to 1e6 ints: exact sums/compares
-        .withColumn("ae_q", F.floor(
-            F.abs(F.col("est") - F.col("jaccard")) * 1e6 + F.lit(0.5))
-            .cast("long"))
-    )
+    scored = _minhash_scored_pairs(spark, sf_dir)
     return (
         scored.agg(F.count("*").alias("n"),
                    F.sum("ae_q").alias("sum_ae"),
@@ -637,3 +644,57 @@ ORDER BY source_a, source_b
 
 register("cross_source_leakage", cross_source_leakage,
          CROSS_SOURCE_LEAKAGE_SQL)
+
+
+#: thresholds the calibration sweep evaluates (the verified-pair
+#: population exists only at exact jaccard ≥ JACCARD_THRESHOLD, so
+#: the curve starts there)
+SWEEP_THRESHOLDS = (0.4, 0.5, 0.6, 0.7, 0.8)
+
+
+def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration curve for the MinHash estimator — the
+    table an index tuner reads before picking a dedup cutoff: for
+    each candidate threshold t, how many verified pairs the EXACT
+    Jaccard admits, how many the 32-lane ESTIMATE admits, their
+    overlap, and precision/recall of estimate-vs-exact at t. The
+    accuracy floor gates a scalar (MAE); this shows WHERE on the
+    curve the estimator over/under-admits, which decides t and the
+    band/row configuration together.
+
+    Scale: one tiny aggregation per threshold over the shared scored
+    frame (bounded by LSH collisions) — the pipeline runs once, the
+    5-threshold fan-out is a constant factor on a pairs-sized frame.
+    Rows-only (xxhash64 signatures are Spark-specific); unit tests
+    pin monotonicity and the exact-column counts against a Python
+    recount.
+    """
+    scored = _minhash_scored_pairs(spark, sf_dir)
+    outs = []
+    for t in SWEEP_THRESHOLDS:
+        q = int(t * 1e6)
+        # integer-quantized threshold compares (est/jaccard are
+        # 6-dp-rounded already)
+        jq = F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)).cast("long")
+        eq = F.floor(F.col("est") * 1e6 + F.lit(0.5)).cast("long")
+        outs.append(scored.agg(
+            F.lit(t).alias("threshold"),
+            F.sum((jq >= q).cast("long")).cast("long").alias("n_exact"),
+            F.sum((eq >= q).cast("long")).cast("long").alias("n_est"),
+            F.sum(((jq >= q) & (eq >= q)).cast("long")).cast("long")
+            .alias("n_both")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return (out.select(
+        "threshold", "n_exact", "n_est", "n_both",
+        fround(F.col("n_both")
+               / F.greatest(F.col("n_est"), F.lit(1)), 6)
+        .alias("precision"),
+        fround(F.col("n_both")
+               / F.greatest(F.col("n_exact"), F.lit(1)), 6)
+        .alias("recall"))
+        .orderBy("threshold"))
+
+
+register("lsh_threshold_sweep", lsh_threshold_sweep, None)

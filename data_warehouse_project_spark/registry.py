@@ -199,6 +199,7 @@ _PRIORITY: list[str] = [
     "pk_uniqueness_report",
     "k_anonymity_report",
     "supplier_hhi_by_nation",
+    "lsh_threshold_sweep",
 ]
 
 

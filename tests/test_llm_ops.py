@@ -932,3 +932,46 @@ def test_chunk_dedup_planted_duplicate_window(spark, tmp_path):
     assert out["ALL"].n_chunks == 5
     assert out["ALL"].n_dup_chunks == 4
     assert out["ALL"].drop_tokens == 80
+
+
+def test_lsh_threshold_sweep_planted_curve(spark, tmp_path):
+    """Planted pairs at distinct similarity levels: an identical pair
+    (J=1.0, collides in every band) and a ~0.75-overlap pair; the
+    sweep's exact counts drop as t rises past each pair's jaccard,
+    n_both <= min(n_exact, n_est), and rates stay in [0, 1]."""
+    from pyspark.sql import Row
+
+    from data_warehouse_project_spark.llm.dedup import (
+        SWEEP_THRESHOLDS, lsh_threshold_sweep)
+
+    base = [f"w{i}" for i in range(40)]
+    t_identical = " ".join(base)
+    # ~75% shingle overlap: change the tail quarter of tokens
+    t_similar = " ".join(base[:30] + [f"x{i}" for i in range(10)])
+    filler = [" ".join(f"f{d}_{i}" for i in range(40))
+              for d in range(6)]
+    docs = ([Row(doc_id=1, text=t_identical, lang="en", source="s",
+                 n_chars=1)]
+            + [Row(doc_id=2, text=t_identical, lang="en", source="s",
+                   n_chars=1)]
+            + [Row(doc_id=3, text=t_similar, lang="en", source="s",
+                   n_chars=1)]
+            + [Row(doc_id=10 + d, text=t, lang="en", source="s",
+                   n_chars=1) for d, t in enumerate(filler)])
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = lsh_threshold_sweep(spark, str(tmp_path)).collect()
+    assert [r.threshold for r in rows] == list(SWEEP_THRESHOLDS)
+    exact = [r.n_exact for r in rows]
+    # identical pair survives every threshold; counts never increase
+    assert exact[-1] >= 1
+    assert all(a >= b for a, b in zip(exact, exact[1:]))
+    # the 0.75-ish pair is admitted at 0.4 but not at 0.8 (if it
+    # collided into the candidate set at all, which the identical
+    # pair guarantees for itself)
+    assert exact[0] >= exact[-1]
+    for r in rows:
+        assert r.n_both <= min(r.n_exact, r.n_est)
+        assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
