@@ -35,9 +35,9 @@ from ..sources.catalog import Catalog
 from .params import BAND_HI_PCT, BAND_LO_PCT, MAX_DUP_2GRAM
 
 
-def corpus_refinery_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source funnel: docs_in → docs_band → docs_clean →
-    docs_unique, with the end-to-end retention rate."""
+def _funnel_frames(spark: SparkSession, sf_dir: str):
+    """(docs, band, clean, survivors) — the funnel's stage frames,
+    shared by the report and the materializing build."""
     # deferred sibling imports (see the module-top comment)
     from .quality import length_band_filter
     from .repetition import _tokens, dup_char_frac_chain
@@ -63,6 +63,13 @@ def corpus_refinery_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         .join(docs.select("doc_id", "source"), "doc_id")
     )
+    return docs, band, clean, survivors
+
+
+def corpus_refinery_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source funnel: docs_in → docs_band → docs_clean →
+    docs_unique, with the end-to-end retention rate."""
+    docs, band, clean, survivors = _funnel_frames(spark, sf_dir)
 
     def counts(df: DataFrame, out: str) -> DataFrame:
         return df.groupBy("source").agg(F.count("*").cast("long").alias(out))
@@ -85,7 +92,7 @@ def corpus_refinery_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-REFINERY_SQL = f"""
+REFINERY_CTES = f"""
 WITH hist AS (
     SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY n_chars
 ),
@@ -139,7 +146,9 @@ survivors AS (
           FROM clean JOIN fp ON clean.doc_id = fp.doc_id
           GROUP BY fp.fp) s
     JOIN documents d ON s.doc_id = d.doc_id
-),
+)"""
+
+REFINERY_SQL = REFINERY_CTES + f""",
 per AS (
     SELECT d.source,
            CAST(COUNT(*) AS BIGINT) AS docs_in
@@ -162,3 +171,63 @@ ORDER BY per.source
 """
 
 register("corpus_refinery_report", corpus_refinery_report, REFINERY_SQL)
+
+
+# --------------------------------------------------------------------------
+# Materializing build (the funnel's write path)
+# --------------------------------------------------------------------------
+
+def corpus_build_post_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus build that actually SHIPS: run the refinery funnel,
+    assign the deterministic 90/10 train/eval split (the
+    train_test_split bucket rule on surviving doc_ids), WRITE the
+    refined corpus split-partitioned through the staged-swap
+    overwrite, read the persisted files back, and report the
+    manifest per (split, source) — docs and character mass. The LLM
+    pipeline's analog of the warehouse post-state queries: evidence
+    the write path produces the corpus the query path promised.
+
+    Scale: the funnel is corpus_refinery_report's plan; the write
+    adds one partitioned write of the surviving rows (split
+    partition pruning serves train-only readers); the manifest
+    aggregates the persisted files, so a write-path bug (dropped
+    partition, truncated file) hash-mismatches the oracle."""
+    import tempfile
+
+    from .sampling import _bucket
+    from ..writes import overwrite_table
+
+    docs, _, _, survivors = _funnel_frames(spark, sf_dir)
+    refined = (survivors.select("doc_id")
+               .join(docs, "doc_id")
+               .withColumn("split",
+                           F.when(_bucket("doc_id") < 90, F.lit("train"))
+                           .otherwise(F.lit("eval"))))
+    path = tempfile.mkdtemp(prefix="dwps-corpus-build-") + "/refined"
+    # partitionBy(split) inside the staged swap: write to staging
+    # with the layout, then atomic-rename (overwrite_table writes
+    # unpartitioned, so stage the layout by hand here)
+    staging = path + ".staging"
+    refined.write.mode("overwrite").partitionBy("split").parquet(staging)
+    import os
+    os.rename(staging, path)
+    persisted = spark.read.parquet(path)
+    return (persisted.groupBy("split", "source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"))
+            .orderBy("split", "source"))
+
+
+CORPUS_BUILD_SQL = REFINERY_CTES + """
+SELECT CASE WHEN ((s.doc_id * 2654435761) % 2147483647) % 100 < 90
+            THEN 'train' ELSE 'eval' END AS split,
+       d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+FROM survivors s JOIN documents d ON s.doc_id = d.doc_id
+GROUP BY 1, 2
+ORDER BY split, d.source
+"""
+
+register("corpus_build_post_state", corpus_build_post_state,
+         CORPUS_BUILD_SQL)

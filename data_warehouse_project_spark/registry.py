@@ -200,6 +200,7 @@ _PRIORITY: list[str] = [
     "k_anonymity_report",
     "supplier_hhi_by_nation",
     "lsh_threshold_sweep",
+    "corpus_build_post_state",
 ]
 
 
