@@ -213,3 +213,64 @@ def run_anomaly_alert_maintainer(events_stream: DataFrame, state_path: str,
     )
     q.awaitTermination()
     return q
+
+
+def _state_hourly(state: DataFrame) -> DataFrame:
+    """Adapt the rollup state to the timeseries detectors' dense-
+    input contract (cast back to the events-path timestamp type so
+    unix_timestamp/sequence arithmetic is identical)."""
+    return state.select(
+        "event_type",
+        F.col("hour").cast("timestamp").alias("h"),
+        F.col("n_events").cast("long").alias("x"))
+
+
+def wma_from_rollup_state(state: DataFrame) -> DataFrame:
+    """Serve the trailing dyadic-WMA spike report from the MAINTAINED
+    rollup state — O(state), independent of history size (the
+    anomalies_from_rollup_state pattern applied to the trend
+    detector)."""
+    from .timeseries import dense_from_hourly, wma_from_dense
+    return wma_from_dense(dense_from_hourly(_state_hourly(state)))
+
+
+def seasonal_from_rollup_state(state: DataFrame) -> DataFrame:
+    """Serve the hour-of-week median baseline from the MAINTAINED
+    rollup state — completing state-served coverage of the anomaly
+    triad (MAD level / WMA trend / weekly shape) over ONE state."""
+    from .timeseries import dense_from_hourly, seasonal_from_dense
+    return seasonal_from_dense(dense_from_hourly(_state_hourly(state)))
+
+
+def events_wma_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: two-batch incremental state build (the
+    incremental_hourly_rollup arrival split), WMA served from the
+    merged state. Oracle = the batch detector's FULL-RECOMPUTE SQL:
+    state-served must be indistinguishable from rescanning events."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    state = merge_hourly_state(hourly_rollup_state(first), second)
+    return wma_from_rollup_state(state)
+
+
+def events_seasonal_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: seasonal baseline served from the merged
+    two-batch state; oracle = the batch detector's SQL."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    state = merge_hourly_state(hourly_rollup_state(first), second)
+    return seasonal_from_rollup_state(state)
+
+
+def _twin_sql():
+    from .timeseries import EVENTS_SEASONAL_SQL, EVENTS_WMA_SQL
+    return EVENTS_WMA_SQL, EVENTS_SEASONAL_SQL
+
+
+_WMA_SQL, _SEASONAL_SQL = _twin_sql()
+register("events_wma_served", events_wma_served, _WMA_SQL)
+register("events_seasonal_served", events_seasonal_served, _SEASONAL_SQL)

@@ -49,6 +49,23 @@ WMA_LAGS = 12
 WMA_DENOM = (1 << WMA_LAGS) - 1  # 4095
 
 
+def dense_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Zero-fill an (event_type, h, x) hourly frame onto the dense
+    global hour spine (spine bounds = the frame's own min/max hour —
+    identical to the raw-events bounds since date_trunc commutes
+    with min/max). Shared by the events-scan path and the
+    rollup-state-served path."""
+    spine = (hourly
+             .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+             .select(F.explode(F.expr(
+                 "sequence(lo, hi, interval 1 hour)")).alias("h")))
+    types = hourly.select("event_type").distinct()
+    expected = spine.join(F.broadcast(types))
+    return (expected.join(hourly, ["event_type", "h"], "left")
+            .select("event_type", "h",
+                    F.coalesce("x", F.lit(0)).cast("long").alias("x")))
+
+
 def hourly_dense_counts(events: DataFrame) -> DataFrame:
     """(event_type, h, x): per-type event counts on the dense global
     hour spine, zero-filled where a type had no events that hour."""
@@ -57,16 +74,7 @@ def hourly_dense_counts(events: DataFrame) -> DataFrame:
                       "event_type")
               .groupBy("event_type", "h")
               .agg(F.count("*").cast("long").alias("x")))
-    spine = (events
-             .agg(F.min(F.date_trunc("hour", F.col("ts"))).alias("lo"),
-                  F.max(F.date_trunc("hour", F.col("ts"))).alias("hi"))
-             .select(F.explode(F.expr(
-                 "sequence(lo, hi, interval 1 hour)")).alias("h")))
-    types = events.select("event_type").distinct()
-    expected = spine.join(F.broadcast(types))
-    return (expected.join(hourly, ["event_type", "h"], "left")
-            .select("event_type", "h",
-                    F.coalesce("x", F.lit(0)).cast("long").alias("x")))
+    return dense_from_hourly(hourly)
 
 
 def wma_hourly(events: DataFrame) -> DataFrame:
@@ -76,7 +84,13 @@ def wma_hourly(events: DataFrame) -> DataFrame:
     lags present, so the weight denominator is the constant 4095 and
     no partial-window estimate ever mixes into the baseline).
     """
-    dense = hourly_dense_counts(events)
+    return wma_from_dense(hourly_dense_counts(events))
+
+
+def wma_from_dense(dense: DataFrame) -> DataFrame:
+    """The WMA detector half over ANY dense (event_type, h, x) frame
+    — fed by the events scan (wma_hourly) or the maintained rollup
+    state (plans/incremental.wma_from_rollup_state)."""
     w = Window.partitionBy("event_type").orderBy("h")
     lagged = dense.select(
         "event_type", "h", "x",
@@ -176,7 +190,12 @@ def seasonal_baseline(events: DataFrame) -> DataFrame:
     (n > 2·max(med, 1) — the greatest() guard for hyper-stable keys,
     same rationale as the MAD detector's).
     """
-    dense = hourly_dense_counts(events)
+    return seasonal_from_dense(hourly_dense_counts(events))
+
+
+def seasonal_from_dense(dense: DataFrame) -> DataFrame:
+    """The seasonal-median detector half over ANY dense frame (same
+    dual feeding as wma_from_dense)."""
     keyed = dense.withColumn(
         "how", (F.floor(F.unix_timestamp("h") / 3600) % 168)
         .cast("long"))

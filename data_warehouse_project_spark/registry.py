@@ -201,6 +201,8 @@ _PRIORITY: list[str] = [
     "supplier_hhi_by_nation",
     "lsh_threshold_sweep",
     "corpus_build_post_state",
+    "events_wma_served",
+    "events_seasonal_served",
 ]
 
 
