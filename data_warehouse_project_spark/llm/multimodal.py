@@ -249,3 +249,62 @@ from ..registry import register  # noqa: E402  (registration tail)
 register("multimodal_features", multimodal_features_query, None)
 register("multimodal_meta_stats", multimodal_meta_query, MULTIMODAL_META_SQL)
 register("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SQL)
+
+
+def blob_dedup(blobs: DataFrame) -> DataFrame:
+    """Content-addressed exact dedup of binary payloads — the image/
+    audio-corpus dedup pass (identical bytes re-crawled under
+    different asset ids): md5 the payload SCAN-SIDE so only 16-byte
+    digests ever shuffle (the binary itself never leaves its
+    partition — the module's binary-never-shuffles policy), group,
+    and report each duplicate digest with its survivor id and the
+    byte mass a keep-one-copy pass reclaims."""
+    return (
+        blobs
+        .select(F.md5(F.col("payload")).alias("digest"),
+                "asset_id",
+                F.length(F.col("payload")).cast("long").alias("n_bytes"))
+        .groupBy("digest")
+        .agg(F.count("*").cast("long").alias("n_assets"),
+             F.min("asset_id").cast("long").alias("survivor_asset_id"),
+             F.min("n_bytes").cast("long").alias("n_bytes"))
+        .filter(F.col("n_assets") > 1)
+        .select("digest", "n_assets", "survivor_asset_id", "n_bytes",
+                ((F.col("n_assets") - 1) * F.col("n_bytes"))
+                .cast("long").alias("reclaimable_bytes"))
+        .orderBy(F.desc("n_assets"), "digest")
+    )
+
+
+def multimodal_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (oracle-checked): the fixture blobs are the
+    documents' UTF-8 bytes, so DuckDB's md5(text) reproduces the
+    payload digest exactly — duplicate-document content therefore
+    doubles as duplicate-blob content, and the oracle checks the
+    whole digest/survivor/byte-mass report.
+
+    Recorded finding: the driver corpus has NO raw-byte duplicates
+    (its near-dups differ in whitespace, which the text-path
+    dedup_exact normalizes away but a byte-exact blob digest keeps),
+    so the natural row is an agreed-empty 0 = 0 — the planted-
+    payload unit test keeps the dedup path non-vacuous
+    (dedup_embedding_cosine_planted discipline)."""
+    from ..sources.catalog import Catalog
+    return blob_dedup(documents_as_blobs(Catalog(spark, sf_dir).documents))
+
+
+MULTIMODAL_BLOB_DEDUP_SQL = """
+SELECT md5(text) AS digest,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(MIN(doc_id) AS BIGINT) AS survivor_asset_id,
+       CAST(MIN(strlen(text)) AS BIGINT) AS n_bytes,
+       CAST((COUNT(*) - 1) * MIN(strlen(text)) AS BIGINT)
+           AS reclaimable_bytes
+FROM documents
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+ORDER BY n_assets DESC, digest
+"""
+
+register("multimodal_blob_dedup", multimodal_blob_dedup,
+         MULTIMODAL_BLOB_DEDUP_SQL)

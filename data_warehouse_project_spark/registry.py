@@ -203,6 +203,7 @@ _PRIORITY: list[str] = [
     "corpus_build_post_state",
     "events_wma_served",
     "events_seasonal_served",
+    "multimodal_blob_dedup",
 ]
 
 

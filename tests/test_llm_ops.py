@@ -975,3 +975,34 @@ def test_lsh_threshold_sweep_planted_curve(spark, tmp_path):
     for r in rows:
         assert r.n_both <= min(r.n_exact, r.n_est)
         assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+
+
+def test_blob_dedup_planted_duplicate_payloads(spark):
+    """Identical bytes under different asset ids collapse to one
+    survivor with the right reclaimable mass; near-identical bytes
+    (one char differs) do NOT collapse."""
+    from pyspark.sql import Row
+
+    from data_warehouse_project_spark.llm.multimodal import blob_dedup
+
+    payload = b"\x00\x01binary-ish payload \xff" * 10
+    rows = [
+        Row(asset_id=1, media_type="image", payload=payload,
+            meta_json="{}"),
+        Row(asset_id=2, media_type="image", payload=payload,
+            meta_json="{}"),
+        Row(asset_id=5, media_type="image", payload=payload,
+            meta_json="{}"),
+        Row(asset_id=3, media_type="image", payload=payload + b"x",
+            meta_json="{}"),
+    ]
+    blobs = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary, "
+              "meta_json string")
+    out = blob_dedup(blobs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_assets == 3
+    assert r.survivor_asset_id == 1
+    assert r.n_bytes == len(payload)
+    assert r.reclaimable_bytes == 2 * len(payload)
