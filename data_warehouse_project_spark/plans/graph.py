@@ -327,3 +327,103 @@ LIMIT {AFFINITY_TOP_K}
 """
 
 register("part_affinity_topk", part_affinity_topk, PART_AFFINITY_SQL)
+
+
+# --------------------------------------------------------------------------
+# Frontier traversal (BFS hops from a seed part)
+# --------------------------------------------------------------------------
+
+#: traversal depth — per-hop frontier expansion, unrolled like the
+#: PageRank iterations
+REACH_HOPS = 3
+
+
+def reach_hops(lineitem: DataFrame, hops: int = REACH_HOPS) -> DataFrame:
+    """Per-hop BFS reach from a deterministic seed (the smallest
+    partkey with any co-purchase): how many parts are FIRST reached
+    at hop 1, 2, 3 — the substitution-neighborhood / blast-radius
+    query ("if this part is discontinued, how far does the
+    co-purchase network feel it"), and the third iterative graph
+    workload next to centrality (PageRank) and item-CF (affinity).
+
+    Shape: classic frontier BFS as unrolled joins — visited and
+    frontier are node-sized frames; each hop is ONE edges⋈frontier
+    broadcast join + anti-join against visited (the frontier/visited
+    sets are dimension-sized here; a user- or document-scale graph
+    would shuffle the edge list on src instead — the same caveat as
+    the PageRank broadcast note). Deterministic: seed = MIN(src),
+    membership is exact set logic, no scores anywhere."""
+    from ..cache import pin
+    edges = pin(copurchase_edges(lineitem))
+    seed = edges.agg(F.min("src").alias("node"))
+    visited = seed.select("node", F.lit(0).alias("hop"))
+    frontier = visited.select("node")
+    outs = [visited]
+    for h in range(1, hops + 1):
+        nxt = (edges.join(F.broadcast(frontier),
+                          edges.src == frontier.node)
+               .select(F.col("dst").alias("node")).distinct()
+               .join(F.broadcast(
+                   visited.select("node")), "node", "left_anti"))
+        nxt_h = nxt.select("node", F.lit(h).alias("hop"))
+        visited = visited.unionByName(nxt_h)
+        frontier = nxt
+        outs.append(nxt_h)
+    return (visited.groupBy("hop")
+            .agg(F.count("*").cast("long").alias("n_first_reached"))
+            .select(F.col("hop").cast("long").alias("hop"),
+                    "n_first_reached")
+            .orderBy("hop"))
+
+
+def part_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reach profile of the co-purchase graph from the min-key
+    seed part."""
+    cat = Catalog(spark, sf_dir)
+    return reach_hops(cat.lineitem)
+
+
+def _reach_sql() -> str:
+    ctes = ["""
+v0 AS (
+    SELECT MIN(src) AS node FROM edges
+)"""]
+    prev_visited = "SELECT node FROM v0"
+    prev_frontier = "v0"
+    for h in range(1, REACH_HOPS + 1):
+        ctes.append(f"""
+f{h} AS (
+    SELECT DISTINCT e.dst AS node
+    FROM edges e JOIN {prev_frontier} f ON e.src = f.node
+    WHERE e.dst NOT IN ({prev_visited})
+)""")
+        prev_visited = prev_visited + f" UNION SELECT node FROM f{h}"
+        prev_frontier = f"f{h}"
+    hop_rows = ["SELECT 0 AS hop, CAST(COUNT(*) AS BIGINT) "
+                "AS n_first_reached FROM v0"]
+    for h in range(1, REACH_HOPS + 1):
+        hop_rows.append(f"SELECT {h}, CAST(COUNT(*) AS BIGINT) FROM f{h}")
+    return (f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+small AS (
+    SELECT l_orderkey FROM items GROUP BY l_orderkey
+    HAVING COUNT(*) <= {MAX_BASKET}
+),
+kept AS (
+    SELECT i.l_orderkey, i.l_partkey FROM items i
+    JOIN small s ON i.l_orderkey = s.l_orderkey
+),
+edges AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM kept a JOIN kept b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey <> b.l_partkey
+),"""
+            + ",".join(ctes)
+            + "\nSELECT * FROM (\n"
+            + "\nUNION ALL\n".join(hop_rows)
+            + "\n) t WHERE n_first_reached > 0 ORDER BY hop")
+
+
+register("part_reach_hops", part_reach_hops, _reach_sql())

@@ -204,6 +204,7 @@ _PRIORITY: list[str] = [
     "events_wma_served",
     "events_seasonal_served",
     "multimodal_blob_dedup",
+    "part_reach_hops",
 ]
 
 

@@ -395,3 +395,17 @@ def test_affinity_requires_shared_context(spark):
     got = {(r.part_a, r.part_b) for r in
            affinity_topk(li3, k=50).collect()}
     assert got == {(5, 6), (5, 7), (6, 7)}
+
+
+def test_reach_hops_path_graph(spark):
+    """Path graph 1-2-3-4 (three 2-item orders): BFS from seed 1
+    first-reaches exactly one node per hop."""
+    from data_warehouse_project_spark.plans.graph import reach_hops
+    li = _lineitem(spark, [(1, [1, 2]), (2, [2, 3]), (3, [3, 4])])
+    got = [(r.hop, r.n_first_reached)
+           for r in reach_hops(li, hops=3).collect()]
+    assert got == [(0, 1), (1, 1), (2, 1), (3, 1)]
+    # depth-limited: hops=1 sees only the seed's neighbors
+    got1 = [(r.hop, r.n_first_reached)
+            for r in reach_hops(li, hops=1).collect()]
+    assert got1 == [(0, 1), (1, 1)]
