@@ -669,7 +669,12 @@ def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin monotonicity and the exact-column counts against a Python
     recount.
     """
-    scored = _minhash_scored_pairs(spark, sf_dir)
+    from ..cache import pin
+    # the 5 per-threshold aggregations would each re-run the whole
+    # LSH bucket/verify/score pipeline downstream of the pinned
+    # shingle frame — pin the (pairs-sized) scored frame so the
+    # pipeline executes once and the fan-out reads cached rows
+    scored = pin(_minhash_scored_pairs(spark, sf_dir))
     outs = []
     for t in SWEEP_THRESHOLDS:
         q = int(t * 1e6)

@@ -218,8 +218,11 @@ def corpus_build_post_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("split", "source"))
 
 
-CORPUS_BUILD_SQL = REFINERY_CTES + """
-SELECT CASE WHEN ((s.doc_id * 2654435761) % 2147483647) % 100 < 90
+from .sampling import _sql_bucket  # noqa: E402  (leaf-safe: sampling
+#                                     imports only registry/catalog)
+
+CORPUS_BUILD_SQL = REFINERY_CTES + f"""
+SELECT CASE WHEN {_sql_bucket('s.doc_id')} < 90
             THEN 'train' ELSE 'eval' END AS split,
        d.source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

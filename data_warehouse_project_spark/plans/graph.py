@@ -56,15 +56,36 @@ MAX_BASKET = 30
 PR_TOP_K = 20
 
 
-def copurchase_edges(lineitem: DataFrame) -> DataFrame:
-    """Distinct directed edges (src, dst) between parts that appear in
-    the same order, both directions, self-pairs excluded."""
+def _kept_items(lineitem: DataFrame) -> DataFrame:
+    """Distinct (order, part) pairs with the basket-size guard applied
+    — the shared front end of every co-purchase graph construction
+    (edges, weighted edges, wedges)."""
     items = lineitem.select("l_orderkey", "l_partkey").distinct()
     small = (items.groupBy("l_orderkey")
              .agg(F.count("*").alias("n_items"))
              .filter(F.col("n_items") <= MAX_BASKET)
              .select("l_orderkey"))
-    kept = items.join(small, "l_orderkey")
+    return items.join(small, "l_orderkey")
+
+
+#: the matching SQL front end, shared by every graph oracle
+_KEPT_SQL = f"""items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+small AS (
+    SELECT l_orderkey FROM items GROUP BY l_orderkey
+    HAVING COUNT(*) <= {MAX_BASKET}
+),
+kept AS (
+    SELECT i.l_orderkey, i.l_partkey FROM items i
+    JOIN small s ON i.l_orderkey = s.l_orderkey
+)"""
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct directed edges (src, dst) between parts that appear in
+    the same order, both directions, self-pairs excluded."""
+    kept = _kept_items(lineitem)
     a = kept.select(F.col("l_orderkey").alias("k"),
                     F.col("l_partkey").alias("src"))
     b = kept.select(F.col("l_orderkey").alias("k"),
@@ -156,17 +177,7 @@ def _pagerank_sql() -> str:
     iters = ",".join(_iter_sql("r0" if i == 1 else f"r{i - 1}", i, base)
                      for i in range(1, PR_ITERS + 1))
     return f"""
-WITH items AS (
-    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-small AS (
-    SELECT l_orderkey FROM items GROUP BY l_orderkey
-    HAVING COUNT(*) <= {MAX_BASKET}
-),
-kept AS (
-    SELECT i.l_orderkey, i.l_partkey FROM items i
-    JOIN small s ON i.l_orderkey = s.l_orderkey
-),
+WITH {_KEPT_SQL},
 edges AS (
     SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
     FROM kept a JOIN kept b ON a.l_orderkey = b.l_orderkey
@@ -220,8 +231,12 @@ def affinity_topk(lineitem: DataFrame, k: int = AFFINITY_TOP_K) -> DataFrame:
     3. wedge join head(c→a) ⋈ head(c→b), a < b → common-neighbor
        counts over the capped lists; fan-out ≤ nodes × R², linear in
        node count, independent of degree skew.
-    4. score = common / sqrt(|head(a)| · |head(b)|) — cosine over
-       capped neighbor sets; sqrt of an integer product is one
+    4. score = |S_a ∩ S_b| / sqrt(|S_a| · |S_b|) where S_x is the
+       set of context nodes whose HEAD contains x — numerator and
+       denominator over the SAME in-membership sets, so the score is
+       a true set cosine, bounded by 1 (Cauchy–Schwarz; normalizing
+       by the out-list sizes instead would let hub in-membership
+       push scores past 1). sqrt of an integer product is one
        IEEE-correctly-rounded op (no libm risk), fround-quantized,
        ranked on the ROUNDED value (token_bigram_pmi discipline).
 
@@ -230,12 +245,7 @@ def affinity_topk(lineitem: DataFrame, k: int = AFFINITY_TOP_K) -> DataFrame:
     hot-shingle df cap — candidate truncation is what makes item-CF
     runnable at catalog scale, and the oracle applies the same rule.
     """
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    small = (items.groupBy("l_orderkey")
-             .agg(F.count("*").alias("n_items"))
-             .filter(F.col("n_items") <= MAX_BASKET)
-             .select("l_orderkey"))
-    kept = items.join(small, "l_orderkey")
+    kept = _kept_items(lineitem)
     a = kept.select(F.col("l_orderkey").alias("k"),
                     F.col("l_partkey").alias("src"))
     b = kept.select(F.col("l_orderkey").alias("k"),
@@ -253,7 +263,8 @@ def affinity_topk(lineitem: DataFrame, k: int = AFFINITY_TOP_K) -> DataFrame:
                .withColumn("rn", F.row_number().over(wn))
                .filter(F.col("rn") <= AFFINITY_CAP)
                .select("src", "dst"))
-    hsize = head.groupBy("src").agg(F.count("*").cast("long").alias("hs"))
+    # in-membership counts |S_x| = #contexts whose head contains x
+    hsize = head.groupBy("dst").agg(F.count("*").cast("long").alias("hs"))
     left = head.select(F.col("src").alias("c"), F.col("dst").alias("pa"))
     right = head.select(F.col("src").alias("c"), F.col("dst").alias("pb"))
     common = (left.join(right, "c")
@@ -261,9 +272,9 @@ def affinity_topk(lineitem: DataFrame, k: int = AFFINITY_TOP_K) -> DataFrame:
               .groupBy("pa", "pb")
               .agg(F.count("*").cast("long").alias("n_common")))
     return (common
-            .join(hsize.select(F.col("src").alias("pa"),
+            .join(hsize.select(F.col("dst").alias("pa"),
                                F.col("hs").alias("ha")), "pa")
-            .join(hsize.select(F.col("src").alias("pb"),
+            .join(hsize.select(F.col("dst").alias("pb"),
                                F.col("hs").alias("hb")), "pb")
             .select(F.col("pa").alias("part_a"),
                     F.col("pb").alias("part_b"), "n_common",
@@ -282,17 +293,7 @@ def part_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PART_AFFINITY_SQL = f"""
-WITH items AS (
-    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-small AS (
-    SELECT l_orderkey FROM items GROUP BY l_orderkey
-    HAVING COUNT(*) <= {MAX_BASKET}
-),
-kept AS (
-    SELECT i.l_orderkey, i.l_partkey FROM items i
-    JOIN small s ON i.l_orderkey = s.l_orderkey
-),
+WITH {_KEPT_SQL},
 wedges AS (
     SELECT a.l_partkey AS src, b.l_partkey AS dst,
            CAST(COUNT(*) AS BIGINT) AS w
@@ -309,7 +310,7 @@ head AS (
     WHERE rn <= {AFFINITY_CAP}
 ),
 hsize AS (
-    SELECT src, CAST(COUNT(*) AS BIGINT) AS hs FROM head GROUP BY src
+    SELECT dst, CAST(COUNT(*) AS BIGINT) AS hs FROM head GROUP BY dst
 ),
 common AS (
     SELECT l.dst AS pa, r.dst AS pb, CAST(COUNT(*) AS BIGINT) AS n_common
@@ -320,8 +321,8 @@ SELECT c.pa AS part_a, c.pb AS part_b, c.n_common,
        {sql_fround('c.n_common / SQRT(CAST(ha.hs * hb.hs AS DOUBLE))', 6)}
            AS affinity
 FROM common c
-JOIN hsize ha ON ha.src = c.pa
-JOIN hsize hb ON hb.src = c.pb
+JOIN hsize ha ON ha.dst = c.pa
+JOIN hsize hb ON hb.dst = c.pb
 ORDER BY affinity DESC, part_a, part_b
 LIMIT {AFFINITY_TOP_K}
 """
@@ -355,7 +356,11 @@ def reach_hops(lineitem: DataFrame, hops: int = REACH_HOPS) -> DataFrame:
     membership is exact set logic, no scores anywhere."""
     from ..cache import pin
     edges = pin(copurchase_edges(lineitem))
-    seed = edges.agg(F.min("src").alias("node"))
+    # isNotNull guard: on an EDGELESS graph the min() aggregate still
+    # yields one NULL row — without the filter the report would claim
+    # one part reached at hop 0 (and the SQL twin would agree)
+    seed = (edges.agg(F.min("src").alias("node"))
+            .filter(F.col("node").isNotNull()))
     visited = seed.select("node", F.lit(0).alias("hop"))
     frontier = visited.select("node")
     outs = [visited]
@@ -386,7 +391,7 @@ def part_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _reach_sql() -> str:
     ctes = ["""
 v0 AS (
-    SELECT MIN(src) AS node FROM edges
+    SELECT MIN(src) AS node FROM edges HAVING COUNT(*) > 0
 )"""]
     prev_visited = "SELECT node FROM v0"
     prev_frontier = "v0"
@@ -404,17 +409,7 @@ f{h} AS (
     for h in range(1, REACH_HOPS + 1):
         hop_rows.append(f"SELECT {h}, CAST(COUNT(*) AS BIGINT) FROM f{h}")
     return (f"""
-WITH items AS (
-    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-small AS (
-    SELECT l_orderkey FROM items GROUP BY l_orderkey
-    HAVING COUNT(*) <= {MAX_BASKET}
-),
-kept AS (
-    SELECT i.l_orderkey, i.l_partkey FROM items i
-    JOIN small s ON i.l_orderkey = s.l_orderkey
-),
+WITH {_KEPT_SQL},
 edges AS (
     SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
     FROM kept a JOIN kept b ON a.l_orderkey = b.l_orderkey

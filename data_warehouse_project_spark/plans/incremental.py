@@ -135,18 +135,23 @@ def run_rollup_maintainer(events_stream: DataFrame, state_path: str,
     return q
 
 
-def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry (rows-only: HLL estimates aren't SQL-reproducible
-    in DuckDB): split the events table into two arrival batches, build
-    state from the first, merge the second incrementally, and report.
-    Unit tests assert the merged report EXACTLY equals the report built
-    from all events at once (merge associativity)."""
-    cat = Catalog(spark, sf_dir)
-    ev = cat.events
+def _two_batch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry entries' shared arrival simulation: split events
+    into two batches by event_id parity, build state from the first,
+    merge the second — ONE recipe so the rollup report and every
+    state-served detector exercise the identical state construction."""
+    ev = Catalog(spark, sf_dir).events
     first = ev.filter(F.col("event_id") % 2 == 0)
     second = ev.filter(F.col("event_id") % 2 == 1)
-    state = merge_hourly_state(hourly_rollup_state(first), second)
-    return state_to_report(state)
+    return merge_hourly_state(hourly_rollup_state(first), second)
+
+
+def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only: HLL estimates aren't SQL-reproducible
+    in DuckDB): two-batch incremental state build, rendered as the
+    rollup report. Unit tests assert the merged report EXACTLY equals
+    the report built from all events at once (merge associativity)."""
+    return state_to_report(_two_batch_state(spark, sf_dir))
 
 
 register("incremental_hourly_rollup", incremental_hourly_rollup, None)
@@ -243,27 +248,16 @@ def seasonal_from_rollup_state(state: DataFrame) -> DataFrame:
 
 
 def events_wma_served(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry: two-batch incremental state build (the
-    incremental_hourly_rollup arrival split), WMA served from the
-    merged state. Oracle = the batch detector's FULL-RECOMPUTE SQL:
-    state-served must be indistinguishable from rescanning events."""
-    cat = Catalog(spark, sf_dir)
-    ev = cat.events
-    first = ev.filter(F.col("event_id") % 2 == 0)
-    second = ev.filter(F.col("event_id") % 2 == 1)
-    state = merge_hourly_state(hourly_rollup_state(first), second)
-    return wma_from_rollup_state(state)
+    """Registry entry: WMA served from the shared two-batch state.
+    Oracle = the batch detector's FULL-RECOMPUTE SQL: state-served
+    must be indistinguishable from rescanning events."""
+    return wma_from_rollup_state(_two_batch_state(spark, sf_dir))
 
 
 def events_seasonal_served(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry: seasonal baseline served from the merged
+    """Registry entry: seasonal baseline served from the shared
     two-batch state; oracle = the batch detector's SQL."""
-    cat = Catalog(spark, sf_dir)
-    ev = cat.events
-    first = ev.filter(F.col("event_id") % 2 == 0)
-    second = ev.filter(F.col("event_id") % 2 == 1)
-    state = merge_hourly_state(hourly_rollup_state(first), second)
-    return seasonal_from_rollup_state(state)
+    return seasonal_from_rollup_state(_two_batch_state(spark, sf_dir))
 
 
 def _twin_sql():

@@ -302,6 +302,7 @@ def orders_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.datediff("day", "d0").cast("long").alias("x"), "cents")
          .agg(F.count("*").cast("long").alias("n"),
               F.sum("x").cast("long").alias("sx"),
+              F.max("x").cast("long").alias("mx"),
               F.sum("cents").cast("long").alias("sy"),
               F.sum(F.col("x") * F.col("cents")).cast("long").alias("sxy"),
               F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx")))
@@ -309,8 +310,11 @@ def orders_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = ((d("n") * d("sxy") - d("sx") * d("sy"))
              / (d("n") * d("sxx") - d("sx") * d("sx")))
     intercept = (d("sy") - slope * d("sx")) / d("n")
-    # 7-day projection: sum_{d=n..n+6} (a + b d) = 7a + b*(7n + 21)
-    proj = 7 * intercept + slope * (7 * d("n") + F.lit(21.0))
+    # 7-day projection over the days AFTER the last observed index mx
+    # (NOT after the populated-day count n — gap days keep their x
+    # index, so n < mx on sparse series and an n-based window lands
+    # inside history): sum_{d=mx+1..mx+7} (a + b d) = 7a + b(7mx + 28)
+    proj = 7 * intercept + slope * (7 * d("mx") + F.lit(28.0))
     return m.select(
         F.col("n").alias("n_days"),
         fround(slope, 4).alias("slope_cents_per_day"),
@@ -333,6 +337,7 @@ idx AS (
 m AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(MAX(x) AS BIGINT) AS mx,
            CAST(SUM(cents) AS BIGINT) AS sy,
            CAST(SUM(x * cents) AS BIGINT) AS sxy,
            CAST(SUM(x * x) AS BIGINT) AS sxx
@@ -343,7 +348,7 @@ SELECT n AS n_days,
        {intercept} AS intercept_cents,
        {proj} AS next_7d_cents
 FROM (
-    SELECT n, sx, sy, sxy, sxx,
+    SELECT n, sx, mx, sy, sxy, sxx,
            (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
                AS b
@@ -356,7 +361,7 @@ FROM (
         4),
     proj=sql_fround(
         "7 * ((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))"
-        " / CAST(n AS DOUBLE)) + b * (7 * CAST(n AS DOUBLE) + 21.0)", 4))
+        " / CAST(n AS DOUBLE)) + b * (7 * CAST(mx AS DOUBLE) + 28.0)", 4))
 
 register("orders_revenue_trend", orders_revenue_trend, REVENUE_TREND_SQL)
 

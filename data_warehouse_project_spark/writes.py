@@ -244,16 +244,19 @@ _LATEST = "_LATEST"
 
 def overwrite_table_versioned(spark: SparkSession, df: DataFrame,
                               path: str, keep: int = 3) -> int:
-    """Versioned overwrite: write the new snapshot to ``path/v=N``
-    (N = 1 + current latest), then atomically swap the ``_LATEST``
+    """Versioned overwrite: stage the new snapshot inside the table
+    dir, rename it to ``path/v=N`` (N = 1 + current latest) only
+    after the write completed, then atomically swap the ``_LATEST``
     pointer file — the minimal time-travel contract the lakehouse
     table formats provide, re-expressed with plain parquet + POSIX
-    rename. Crash-safety: a failure BEFORE the pointer swap leaves
-    readers on the old version with the orphan data dir invisible (a
-    later write reuses the next free N); the swap itself is one
-    os.replace. Old versions beyond ``keep`` are pruned AFTER the
-    pointer moves, so no live reader's version disappears under it.
-    Returns the new version number.
+    rename. Crash-safety: a failure DURING the data write leaves a
+    ``.staging-*`` dir that list_table_versions never reports and a
+    later write ignores (a partial directory can never become a
+    listed snapshot); a failure between the rename and the pointer
+    swap leaves a COMPLETE unpointed snapshot — readers stay on the
+    old version and the next write simply claims N+1. Old versions
+    beyond ``keep`` are pruned AFTER the pointer moves, so no live
+    reader's version disappears under it. Returns the new version.
 
     At 100 TB the same layout holds per partition directory, and
     ``keep`` is the retention the vacuum job enforces — this is the
@@ -262,7 +265,9 @@ def overwrite_table_versioned(spark: SparkSession, df: DataFrame,
     os.makedirs(path, exist_ok=True)
     versions = list_table_versions(path)
     new_v = (versions[-1] + 1) if versions else 1
-    df.write.mode("overwrite").parquet(os.path.join(path, f"v={new_v}"))
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(staging)
+    os.rename(staging, os.path.join(path, f"v={new_v}"))
     tmp = os.path.join(path, f".{_LATEST}.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         fh.write(str(new_v))

@@ -254,6 +254,37 @@ def test_revenue_trend_recovers_planted_line(spark, tmp_path):
     assert out.next_7d_cents == 7 * 10000 + 700 * 231
 
 
+def test_revenue_trend_projection_respects_gap_days(spark, tmp_path):
+    """Sparse series: orders only on day indices 0 and 10 -> the
+    forecast window starts at index 11 (after the LAST observed
+    day), not at index 2 (the populated-day count)."""
+    from pyspark.sql import Row
+
+    from data_warehouse_project_spark.plans.timeseries import (
+        orders_revenue_trend)
+    rows = [Row(o_orderkey=1, o_custkey=1, o_orderstatus="F",
+                o_totalprice=100.0,
+                o_orderdate="2024-01-01 00:00:00",
+                o_orderpriority="1-URGENT"),
+            Row(o_orderkey=2, o_custkey=1, o_orderstatus="F",
+                o_totalprice=200.0,
+                o_orderdate="2024-01-11 00:00:00",
+                o_orderpriority="1-URGENT")]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate string, "
+              "o_orderpriority string")
+    df = df.withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    out = orders_revenue_trend(spark, str(tmp_path)).collect()[0]
+    # exact line through (0, 10000), (10, 20000): slope 1000, a 10000
+    assert out.n_days == 2
+    assert out.slope_cents_per_day == 1000.0
+    assert out.intercept_cents == 10000.0
+    # days 11..17: sum(10000 + 1000 d) = 7*10000 + 1000*98
+    assert out.next_7d_cents == 7 * 10000 + 1000 * 98
+
+
 # --------------------------------------------------------------------------
 # Property tests: Spark plans vs pure-Python reference models
 # --------------------------------------------------------------------------
@@ -409,3 +440,11 @@ def test_reach_hops_path_graph(spark):
     got1 = [(r.hop, r.n_first_reached)
             for r in reach_hops(li, hops=1).collect()]
     assert got1 == [(0, 1), (1, 1)]
+
+
+def test_reach_hops_edgeless_graph_is_empty(spark):
+    """No co-purchases at all -> zero rows, not a phantom NULL seed
+    counted at hop 0."""
+    from data_warehouse_project_spark.plans.graph import reach_hops
+    li = _lineitem(spark, [(1, [1]), (2, [2])])
+    assert reach_hops(li, hops=2).count() == 0

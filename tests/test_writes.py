@@ -363,9 +363,16 @@ def test_versioned_write_retention_and_pointer(spark, tmp_path):
         assert False, "pruned version must raise"
     except ValueError:
         pass
-    # crash window: data dir exists but pointer never swapped ->
-    # default reader stays on the old version; next write skips past
-    dfs[3].write.parquet(os.path.join(p, "v=4"))
+    # crash window A (mid data write): a leftover staging dir is
+    # never listed as a version and doesn't disturb numbering
+    dfs[3].write.parquet(os.path.join(p, ".staging-deadbeef"))
+    assert list_table_versions(p) == [2, 3]
+    assert read_table_version(spark, p).count() == 3
+    # crash window B (rename done, pointer swap missed): a COMPLETE
+    # unpointed snapshot — reader stays on the pointer; next write
+    # claims the following number
+    dfs[3].write.parquet(os.path.join(p, ".staging-cafe"))
+    os.rename(os.path.join(p, ".staging-cafe"), os.path.join(p, "v=4"))
     assert read_table_version(spark, p).count() == 3
     assert overwrite_table_versioned(spark, dfs[3], p, keep=2) == 5
     assert read_table_version(spark, p).count() == 4
