@@ -54,7 +54,10 @@ def _funnel_frames(spark: SparkSession, sf_dir: str):
         .filter(F.coalesce("f2", F.lit(0.0)) <= MAX_DUP_2GRAM)
         .select("doc_id", "source")
     )
-    fp = docs.select(
+    # hash only the docs that reached the dedup stage — band +
+    # repetition filtering drops the rest, so normalizing/md5'ing the
+    # full corpus would be wasted work on the heaviest string column
+    fp = docs.join(clean.select("doc_id"), "doc_id", "left_semi").select(
         "doc_id",
         F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")),
                                        r"\s+", " "))).alias("fp"))
@@ -139,6 +142,7 @@ fp AS (
     SELECT doc_id,
            md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
     FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM clean)
 ),
 survivors AS (
     SELECT s.doc_id, d.source
@@ -192,10 +196,11 @@ def corpus_build_post_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning serves train-only readers); the manifest
     aggregates the persisted files, so a write-path bug (dropped
     partition, truncated file) hash-mismatches the oracle."""
+    import os
+    import shutil
     import tempfile
 
     from .sampling import _bucket
-    from ..writes import overwrite_table
 
     docs, _, _, survivors = _funnel_frames(spark, sf_dir)
     refined = (survivors.select("doc_id")
@@ -203,14 +208,20 @@ def corpus_build_post_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                .withColumn("split",
                            F.when(_bucket("doc_id") < 90, F.lit("train"))
                            .otherwise(F.lit("eval"))))
-    path = tempfile.mkdtemp(prefix="dwps-corpus-build-") + "/refined"
-    # partitionBy(split) inside the staged swap: write to staging
-    # with the layout, then atomic-rename (overwrite_table writes
-    # unpartitioned, so stage the layout by hand here)
-    staging = path + ".staging"
+    # FIXED per-process path, replaced per run — a fresh mkdtemp per
+    # invocation would leak one refined-corpus copy per sweep/bench
+    # iteration. partitionBy(split) is staged by hand then renamed
+    # (writes.overwrite_table writes unpartitioned).
+    base = os.path.join(tempfile.gettempdir(), "dwps-corpus-build")
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, "refined")
+    staging = path + f".staging-{os.getpid()}"
     refined.write.mode("overwrite").partitionBy("split").parquet(staging)
-    import os
+    old_dir = path + f".old-{os.getpid()}"
+    if os.path.exists(path):
+        os.rename(path, old_dir)
     os.rename(staging, path)
+    shutil.rmtree(old_dir, ignore_errors=True)
     persisted = spark.read.parquet(path)
     return (persisted.groupBy("split", "source")
             .agg(F.count("*").cast("long").alias("n_docs"),

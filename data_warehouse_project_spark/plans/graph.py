@@ -174,7 +174,7 @@ r{i} AS (
 
 def _pagerank_sql() -> str:
     base = int(0.15 * PR_SCALE)
-    iters = ",".join(_iter_sql("r0" if i == 1 else f"r{i - 1}", i, base)
+    iters = ",".join(_iter_sql(f"r{i - 1}", i, base)
                      for i in range(1, PR_ITERS + 1))
     return f"""
 WITH {_KEPT_SQL},
@@ -363,7 +363,6 @@ def reach_hops(lineitem: DataFrame, hops: int = REACH_HOPS) -> DataFrame:
             .filter(F.col("node").isNotNull()))
     visited = seed.select("node", F.lit(0).alias("hop"))
     frontier = visited.select("node")
-    outs = [visited]
     for h in range(1, hops + 1):
         nxt = (edges.join(F.broadcast(frontier),
                           edges.src == frontier.node)
@@ -373,7 +372,6 @@ def reach_hops(lineitem: DataFrame, hops: int = REACH_HOPS) -> DataFrame:
         nxt_h = nxt.select("node", F.lit(h).alias("hop"))
         visited = visited.unionByName(nxt_h)
         frontier = nxt
-        outs.append(nxt_h)
     return (visited.groupBy("hop")
             .agg(F.count("*").cast("long").alias("n_first_reached"))
             .select(F.col("hop").cast("long").alias("hop"),

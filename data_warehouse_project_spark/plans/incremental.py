@@ -86,53 +86,26 @@ _BATCH_COL = "last_batch_id"
 
 def fold_batch_into_state(batch_df: DataFrame, batch_id: int,
                           state_path: str) -> bool:
-    """Idempotently fold one micro-batch into the persisted state.
-
-    Returns False (no-op) when ``batch_id`` was already applied — the
-    at-least-once replay after a crash in the swap→checkpoint window.
-    Exposed module-level so the crash window itself is unit-testable
-    (tests/test_streaming.py replays a batch deliberately)."""
-    import os as _os
-
-    from ..writes import overwrite_table
-
-    spark = batch_df.sparkSession
-    if _os.path.exists(state_path):
-        prev = spark.read.parquet(state_path)
-        applied = prev.agg(F.max(_BATCH_COL).alias("m")).collect()[0]["m"]
-        if applied is not None and batch_id <= applied:
-            return False  # replayed batch: state already reflects it
-        new_state = merge_hourly_state(prev.drop(_BATCH_COL), batch_df)
-    else:
-        new_state = hourly_rollup_state(batch_df)
-    overwrite_table(
-        spark, new_state.withColumn(_BATCH_COL, F.lit(batch_id)), state_path)
-    return True
+    """Shared idempotent-fold template bound to the rollup state pair
+    (streaming/state_fold.py). Exposed module-level so the crash
+    window itself stays unit-testable (tests/test_streaming.py
+    replays a batch deliberately)."""
+    from ..streaming.state_fold import fold_batch
+    return fold_batch(batch_df, batch_id, state_path,
+                      hourly_rollup_state, merge_hourly_state)
 
 
 def run_rollup_maintainer(events_stream: DataFrame, state_path: str,
                           checkpoint: str):
-    """Streaming materialized-view maintenance: a foreachBatch sink
-    that folds each micro-batch into the persisted mergeable state
-    (read previous state → merge_hourly_state → staged-swap
-    overwrite). Restart-safe AND replay-safe: the checkpoint replays
-    unprocessed batches, the swap never exposes a partial state table,
-    and `fold_batch_into_state` skips batch ids already folded in —
-    so the at-least-once foreachBatch contract cannot double-count
-    the additive stats. The dashboard reads state_to_report(state) at
-    any time instead of rescanning events.
-    """
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        fold_batch_into_state(batch_df, batch_id, state_path)
-
-    q = (
-        events_stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    """Streaming materialized-view maintenance via the shared
+    foreachBatch template (streaming/state_fold.py): restart-safe
+    (checkpoint replays unprocessed batches), replay-safe (batch-id
+    sentinel), atomic staged-swap state. The dashboard reads
+    state_to_report(state) at any time instead of rescanning
+    events."""
+    from ..streaming.state_fold import run_maintainer
+    return run_maintainer(events_stream, state_path, checkpoint,
+                          hourly_rollup_state, merge_hourly_state)
 
 
 def _two_batch_state(spark: SparkSession, sf_dir: str) -> DataFrame:

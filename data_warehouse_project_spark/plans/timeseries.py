@@ -307,8 +307,12 @@ def orders_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum(F.col("x") * F.col("cents")).cast("long").alias("sxy"),
               F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx")))
     d = lambda c: F.col(c).cast("double")  # noqa: E731
-    slope = ((d("n") * d("sxy") - d("sx") * d("sy"))
-             / (d("n") * d("sxx") - d("sx") * d("sx")))
+    denom = d("n") * d("sxx") - d("sx") * d("sx")
+    # single-populated-day guard: the OLS denominator is 0 when only
+    # one distinct day exists — fall back to slope 0 / intercept =
+    # mean instead of an all-NaN forecast
+    slope = F.when(denom == 0, F.lit(0.0)).otherwise(
+        (d("n") * d("sxy") - d("sx") * d("sy")) / denom)
     intercept = (d("sy") - slope * d("sx")) / d("n")
     # 7-day projection over the days AFTER the last observed index mx
     # (NOT after the populated-day count n — gap days keep their x
@@ -349,9 +353,11 @@ SELECT n AS n_days,
        {proj} AS next_7d_cents
 FROM (
     SELECT n, sx, mx, sy, sxy, sxx,
-           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-               AS b
+           CASE WHEN CAST(n AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx = 0 THEN 0.0
+                ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx) END AS b
     FROM m
 )
 """.format(
@@ -446,13 +452,18 @@ def events_disorder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_DISORDER_SQL = f"""
 WITH late AS (
+    -- FLOOR(epoch()) before any arithmetic: DuckDB's epoch() is a
+    -- fractional-second DOUBLE while Spark's unix_timestamp()
+    -- truncates, and CAST(double AS BIGINT) rounds-to-nearest — on
+    -- sub-second disorder the engines would otherwise disagree by 1 s
     SELECT event_type,
-           CAST(GREATEST(COALESCE(
-               MAX(epoch(ts)) OVER (PARTITION BY event_id % {DISORDER_SHARDS}
-                                    ORDER BY event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING) - epoch(ts), 0), 0)
-               AS BIGINT) AS late_s
+           GREATEST(COALESCE(
+               MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY event_id % {DISORDER_SHARDS}
+                         ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)
+               - CAST(FLOOR(epoch(ts)) AS BIGINT), 0), 0) AS late_s
     FROM events
 ),
 hist AS (

@@ -35,15 +35,11 @@ drift or estimator regression both hash-mismatch.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
 from ..sources.catalog import Catalog
-from ..writes import overwrite_table
-
-_BATCH_COL = "last_batch_id"
+from .state_fold import fold_batch, run_maintainer
 
 #: max relative error the per-key gate tolerates, percent. Default
 #: lgConfigK=12 gives ~1.6% rsd; 5% ≈ 3 sigma, and per-(type, day)
@@ -87,38 +83,18 @@ def state_to_estimates(state: DataFrame) -> DataFrame:
 
 def fold_batch_into_state(batch_df: DataFrame, batch_id: int,
                           state_path: str) -> bool:
-    """Idempotently fold one micro-batch into the persisted state;
-    False = replayed batch already applied (at-least-once guard,
-    same contract as transitions.fold_batch_into_state)."""
-    spark = batch_df.sparkSession
-    if os.path.exists(state_path):
-        prev = spark.read.parquet(state_path)
-        applied = prev.agg(F.max(_BATCH_COL).alias("m")).collect()[0]["m"]
-        if applied is not None and batch_id <= applied:
-            return False
-        new_state = merge_distinct_state(prev.drop(_BATCH_COL), batch_df)
-    else:
-        new_state = distinct_state(batch_df)
-    overwrite_table(
-        spark, new_state.withColumn(_BATCH_COL, F.lit(batch_id)), state_path)
-    return True
+    """Shared idempotent-fold template bound to the HLL state pair
+    (streaming/state_fold.py)."""
+    return fold_batch(batch_df, batch_id, state_path,
+                      distinct_state, merge_distinct_state)
 
 
 def run_distinct_users_maintainer(events_stream: DataFrame,
                                   state_path: str, checkpoint: str):
-    """foreachBatch maintainer: restart-safe (checkpoint replays
-    unprocessed batches), replay-safe (batch-id sentinel)."""
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        fold_batch_into_state(batch_df, batch_id, state_path)
-
-    q = (
-        events_stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    """foreachBatch maintainer (shared template; restart-safe,
+    replay-safe)."""
+    return run_maintainer(events_stream, state_path, checkpoint,
+                          distinct_state, merge_distinct_state)
 
 
 def events_distinct_users_incremental(spark: SparkSession,

@@ -23,17 +23,13 @@ plans/incremental.py:77-84) makes crash replay idempotent.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.analytics import (FUNNEL_SQL, funnel_per_user,
                                funnel_report_from_per_user)
 from ..registry import register
 from ..sources.catalog import Catalog
-from ..writes import overwrite_table
-
-_BATCH_COL = "last_batch_id"
+from .state_fold import fold_batch, run_maintainer
 
 
 def _events_cols(events: DataFrame) -> DataFrame:
@@ -78,39 +74,18 @@ def state_to_report(state: DataFrame) -> DataFrame:
 
 def fold_batch_into_state(batch_df: DataFrame, batch_id: int,
                           state_path: str) -> bool:
-    """Idempotently fold one micro-batch into the persisted state;
-    False = replayed batch already applied (same at-least-once crash
-    contract as the rollup/transition maintainers)."""
-    spark = batch_df.sparkSession
-    if os.path.exists(state_path):
-        prev = spark.read.parquet(state_path)
-        applied = prev.agg(F.max(_BATCH_COL).alias("m")).collect()[0]["m"]
-        if applied is not None and batch_id <= applied:
-            return False
-        new_state = merge_funnel_state(prev.drop(_BATCH_COL), batch_df)
-    else:
-        new_state = funnel_state(batch_df)
-    overwrite_table(
-        spark, new_state.withColumn(_BATCH_COL, F.lit(batch_id)), state_path)
-    return True
+    """Shared idempotent-fold template bound to the funnel state pair
+    (streaming/state_fold.py)."""
+    return fold_batch(batch_df, batch_id, state_path,
+                      funnel_state, merge_funnel_state)
 
 
 def run_funnel_maintainer(events_stream: DataFrame, state_path: str,
                           checkpoint: str):
-    """foreachBatch maintainer: restart-safe (checkpoint replays
-    unprocessed batches), replay-safe (batch-id sentinel), atomic
-    staged-swap state table."""
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        fold_batch_into_state(batch_df, batch_id, state_path)
-
-    q = (
-        events_stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    """foreachBatch maintainer (shared template; restart-safe,
+    replay-safe, atomic staged-swap state table)."""
+    return run_maintainer(events_stream, state_path, checkpoint,
+                          funnel_state, merge_funnel_state)
 
 
 def events_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,72 @@
+"""Shared incremental-maintainer machinery — ONE implementation of
+the idempotent fold + foreachBatch runner template that the four
+stateful maintainers (hourly rollup, transition miner, windowed
+funnel, HLL distinct-users) previously each carried verbatim.
+
+The template (identical semantics in every consumer):
+- state lives in one parquet table, replaced by writes.overwrite_table
+  (atomic staged swap — readers never observe a partial state);
+- every state row carries the ``last_batch_id`` sentinel: foreachBatch
+  is AT-LEAST-ONCE, and a crash between the state swap and the
+  checkpoint offset commit replays the batch — additive statistics
+  would double-count, so a replayed id is skipped (one atomic swap
+  keeps state and progress marker from ever disagreeing);
+- ``init_fn(batch)`` builds state from the first batch ever seen,
+  ``merge_fn(prev, batch)`` folds a later batch into prior state.
+
+Each maintainer module keeps its public ``fold_batch_into_state`` /
+``run_*_maintainer`` names (tests and callers unchanged) as thin
+bindings of this helper to its own (init, merge) pair.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..writes import overwrite_table
+
+#: sentinel column carried on every state row (see module docstring)
+BATCH_COL = "last_batch_id"
+
+InitFn = Callable[[DataFrame], DataFrame]
+MergeFn = Callable[[DataFrame, DataFrame], DataFrame]
+
+
+def fold_batch(batch_df: DataFrame, batch_id: int, state_path: str,
+               init_fn: InitFn, merge_fn: MergeFn) -> bool:
+    """Idempotently fold one micro-batch into the persisted state;
+    False = replayed batch already applied (the at-least-once crash
+    window)."""
+    spark = batch_df.sparkSession
+    if os.path.exists(state_path):
+        prev = spark.read.parquet(state_path)
+        applied = prev.agg(F.max(BATCH_COL).alias("m")).collect()[0]["m"]
+        if applied is not None and batch_id <= applied:
+            return False
+        new_state = merge_fn(prev.drop(BATCH_COL), batch_df)
+    else:
+        new_state = init_fn(batch_df)
+    overwrite_table(
+        spark, new_state.withColumn(BATCH_COL, F.lit(batch_id)), state_path)
+    return True
+
+
+def run_maintainer(events_stream: DataFrame, state_path: str,
+                   checkpoint: str, init_fn: InitFn, merge_fn: MergeFn):
+    """foreachBatch maintainer loop: restart-safe (checkpoint replays
+    unprocessed batches), replay-safe (batch-id sentinel), and the
+    swap never exposes a partial state table."""
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        fold_batch(batch_df, batch_id, state_path, init_fn, merge_fn)
+
+    q = (
+        events_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -36,17 +36,13 @@ O(users + event_type²).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.compat import fround
 from ..registry import register
 from ..sources.catalog import Catalog
-from ..writes import overwrite_table
 from .batch_parity import TRANSITION_TOP_K, EVENTS_TRANSITIONS_SQL
-
-_BATCH_COL = "last_batch_id"
+from .state_fold import fold_batch, run_maintainer
 
 #: unified state schema (kind 'c' = count row, 'l' = last-event row)
 _STATE_COLS = ["kind", "prev_type", "next_type", "n",
@@ -168,40 +164,18 @@ def state_to_report(state: DataFrame) -> DataFrame:
 
 def fold_batch_into_state(batch_df: DataFrame, batch_id: int,
                           state_path: str) -> bool:
-    """Idempotently fold one micro-batch into the persisted state;
-    False = replayed batch already applied (the at-least-once crash
-    window, same contract as plans/incremental.fold_batch_into_state).
-    """
-    spark = batch_df.sparkSession
-    if os.path.exists(state_path):
-        prev = spark.read.parquet(state_path)
-        applied = prev.agg(F.max(_BATCH_COL).alias("m")).collect()[0]["m"]
-        if applied is not None and batch_id <= applied:
-            return False
-        new_state = merge_transitions_state(prev.drop(_BATCH_COL), batch_df)
-    else:
-        new_state = transitions_state(batch_df)
-    overwrite_table(
-        spark, new_state.withColumn(_BATCH_COL, F.lit(batch_id)), state_path)
-    return True
+    """Shared idempotent-fold template bound to the transition state
+    pair (streaming/state_fold.py)."""
+    return fold_batch(batch_df, batch_id, state_path,
+                      transitions_state, merge_transitions_state)
 
 
 def run_transitions_maintainer(events_stream: DataFrame, state_path: str,
                                checkpoint: str):
-    """foreachBatch maintainer: restart-safe (checkpoint replays
-    unprocessed batches), replay-safe (batch-id sentinel), and the
-    swap never exposes a partial state table."""
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        fold_batch_into_state(batch_df, batch_id, state_path)
-
-    q = (
-        events_stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    """foreachBatch maintainer (shared template; restart-safe,
+    replay-safe, atomic staged-swap state)."""
+    return run_maintainer(events_stream, state_path, checkpoint,
+                          transitions_state, merge_transitions_state)
 
 
 def events_transitions_incremental(spark: SparkSession,
