@@ -54,7 +54,12 @@ def embedding_int8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("x").cast("double") * F.lit(_Q)
                         + F.lit(0.5)).cast("long").alias("q"))
     )
-    bounds = (
+    from ..cache import pin
+    # pin the dims-sized bounds frame: the coded broadcast AND the
+    # final join both consume it — unpinned, each recomputation was a
+    # full posexplode corpus pass (review finding: 3 scans where the
+    # docstring promises two)
+    bounds = pin(
         ex.groupBy("dim")
         .agg(F.count("*").cast("long").alias("n_vecs"),
              F.min("q").alias("qmin"), F.max("q").alias("qmax"))

@@ -57,9 +57,13 @@ def dsir_scores(docs: DataFrame, is_target: Column) -> DataFrame:
     )
     doc_words = (words.groupBy("doc_id", "w")
                  .agg(F.count("*").alias("m")))
-    raw = (words.groupBy("w")
-           .agg(F.count("*").alias("c_raw"),
-                F.sum(F.col("is_target").cast("long")).alias("c_tgt")))
+    from ..cache import pin
+    # pin the vocab-sized LM count frame: lam AND totals both consume
+    # it — unpinned, each branch re-explodes the corpus (review
+    # finding: 3 parquet scans of documents in the executed plan)
+    raw = pin(words.groupBy("w")
+              .agg(F.count("*").alias("c_raw"),
+                   F.sum(F.col("is_target").cast("long")).alias("c_tgt")))
     totals = raw.agg(
         F.sum("c_raw").alias("n_raw"),
         F.sum("c_tgt").alias("n_tgt"),

@@ -55,7 +55,11 @@ def source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     One groupBy(lang) over the corpus; everything after runs on the
     #langs-row aggregate with a broadcast one-row total."""
     cat = Catalog(spark, sf_dir)
-    per_lang = _lang_tokens(cat)
+    from ..cache import pin
+    # pin the #langs-row aggregate: the temperature chain consumes it
+    # four times (itself, tot, wtot, final) — unpinned, each branch
+    # re-tokenized the corpus (review finding: 4 scans)
+    per_lang = pin(_lang_tokens(cat))
     tot = per_lang.agg(F.sum("n_tokens").alias("t_tokens"))
     with_p = (
         per_lang.join(F.broadcast(tot))
@@ -296,7 +300,11 @@ def source_length_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcendental ulp risk (compat.py policy note).
     """
     cat = Catalog(spark, sf_dir)
-    banded = (
+    from ..cache import pin
+    # pin the bounded (source × band) matrix: per_source, per_band,
+    # and the total each consume it — unpinned, each recomputation
+    # re-tokenized the corpus (review finding: 4 scans)
+    banded = pin(
         cat.documents
         .select("source",
                 (F.floor(F.size(F.split(F.trim(F.col("text")), r"\s+"))
@@ -304,6 +312,7 @@ def source_length_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "band")
         .agg(F.count("*").cast("long").alias("n_sb"))
     )
+
     per_source = banded.groupBy("source").agg(
         F.sum("n_sb").cast("long").alias("n_s"))
     per_band = banded.groupBy("band").agg(

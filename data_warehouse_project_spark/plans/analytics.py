@@ -159,6 +159,12 @@ def funnel_per_user(events: DataFrame) -> DataFrame:
     bound = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
     ev = (
         events
+        # NULL user_ids would collapse all anonymous traffic into ONE
+        # pseudo-user partition that near-certainly completes every
+        # stage (+1 to each count) — excluded like the other
+        # user-keyed analytics (review finding; latent, driver data
+        # has no NULL users)
+        .filter(F.col("user_id").isNotNull())
         .filter(F.col("event_type").isin(*FUNNEL_STAGES))
         .select("user_id", "event_type", "ts")
         .withColumn("t_view", F.min(F.when(F.col("event_type") == "view",
@@ -248,7 +254,8 @@ WITH ev AS (
     SELECT user_id, event_type, ts,
            MIN(CASE WHEN event_type = 'view' THEN ts END)
                OVER (PARTITION BY user_id) AS t_view
-    FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    FROM events WHERE user_id IS NOT NULL
+      AND event_type IN ('view', 'click', 'purchase')
 ),
 ev2 AS (
     SELECT *,
@@ -312,6 +319,9 @@ def events_stickiness_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     users over monthly active users (the classic DAU/MAU ratio) plus
     the raw actives — the one-number health metric next to
     session_stats (depth) and customer_new_vs_returning (acquisition).
+    n_days is CALENDAR days in the month, so silent days pull the
+    average down (an active-days denominator would score a
+    one-day-a-month product as perfectly sticky).
 
     Exactness at scale: DAU and MAU are EXACT distincts, computed as
     two distinct-shuffles over (day, user) and (month, user) key
@@ -329,8 +339,12 @@ def events_stickiness_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     dau = (ev.select("month", "day", "user_id").distinct()
            .groupBy("month", "day")
            .agg(F.count("*").cast("long").alias("dau")))
+    # n_days = CALENDAR days in the month (review finding: dividing
+    # by active days only would report a sparse month — one active
+    # day — as near-perfect stickiness)
     daily = (dau.groupBy("month")
-             .agg(F.count("*").cast("long").alias("n_days"),
+             .agg(F.dayofmonth(F.last_day(F.min("month")))
+                  .cast("long").alias("n_days"),
                   F.sum("dau").cast("long").alias("sum_dau")))
     mau = (ev.select("month", "user_id").distinct()
            .groupBy("month")
@@ -356,7 +370,9 @@ dau AS (
     FROM ev GROUP BY 1, 2
 ),
 daily AS (
-    SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days,
+    SELECT month,
+           CAST(date_part('day', last_day(CAST(month AS DATE)))
+                AS BIGINT) AS n_days,
            CAST(SUM(dau) AS BIGINT) AS sum_dau
     FROM dau GROUP BY 1
 ),

@@ -41,14 +41,14 @@ from ..sources.catalog import Catalog
 #: deterministic next-snapshot simulation (the poststate idiom,
 #: plans/poststate.py merge_upsert_post_state): keys %89==0 deleted,
 #: %13==0 updated (status→'F', price +10.00), %101==0 re-inserted
-#: under a +50M key offset (collision-free at any TPC-H scale the
-#: testdata uses). Delete wins over update (the kept-filter runs
-#: first), mirroring a real load where the delete feed is applied
-#: before the update feed.
+#: under key + MAX(o_orderkey) — new keys land in (max, 2·max],
+#: disjoint from every original key at ANY scale (a fixed additive
+#: offset would collide once keys exceed it — review finding).
+#: Delete wins over update (the kept-filter runs first), mirroring a
+#: real load where the delete feed is applied before the update feed.
 _CDC_DEL_MOD = 89
 _CDC_UPD_MOD = 13
 _CDC_INS_MOD = 101
-_CDC_INS_OFFSET = 50_000_000
 
 
 def _cents(col: Column) -> Column:
@@ -85,7 +85,9 @@ def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("o_totalprice")).alias("o_totalprice"))
         .unionByName(
             orders.filter(k % _CDC_INS_MOD == 0)
-            .select((k + _CDC_INS_OFFSET).alias("o_orderkey"),
+            .join(F.broadcast(orders.agg(
+                F.max("o_orderkey").alias("__maxk"))))
+            .select((k + F.col("__maxk")).alias("o_orderkey"),
                     F.lit("O").alias("o_orderstatus"),
                     F.col("o_totalprice").alias("o_totalprice")))
     )
@@ -134,7 +136,7 @@ new_snap AS (
                * 100.0 + 0.5) AS BIGINT) AS new_price_cents
     FROM orders WHERE o_orderkey % {_CDC_DEL_MOD} <> 0
     UNION ALL
-    SELECT o_orderkey + {_CDC_INS_OFFSET}, 'O',
+    SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders), 'O',
            CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
     FROM orders WHERE o_orderkey % {_CDC_INS_MOD} = 0
 ),

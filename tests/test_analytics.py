@@ -596,7 +596,10 @@ def test_stickiness_hand_computed(spark, tmp_path):
     out = {r.month.month: r for r in
            events_stickiness_monthly(spark, d).collect()}
     jan, feb = out[1], out[2]
-    assert (jan.n_days, jan.mau, jan.avg_dau, jan.stickiness) == \
-        (2, 2, 1.5, 0.75)
-    assert (feb.n_days, feb.mau, feb.avg_dau, feb.stickiness) == \
-        (1, 1, 1.0, 1.0)
+    # calendar-days denominator: 31 for January, 29 for Feb 2024
+    assert (jan.n_days, jan.mau) == (31, 2)
+    assert jan.avg_dau == round(3 / 31, 4)
+    assert jan.stickiness == round(3 / 62 * 1e6) / 1e6
+    assert (feb.n_days, feb.mau) == (29, 1)
+    assert feb.avg_dau == round(1 / 29, 4)
+    assert feb.stickiness == round(1 / 29 * 1e6) / 1e6

@@ -11,7 +11,7 @@ from collections import Counter
 from pyspark.sql import functions as F
 
 from data_warehouse_project_spark.plans.cdc import (
-    _CDC_DEL_MOD, _CDC_INS_MOD, _CDC_INS_OFFSET, _CDC_UPD_MOD,
+    _CDC_DEL_MOD, _CDC_INS_MOD, _CDC_UPD_MOD,
     cdc_changelog, customer_new_vs_returning, join_skew_report)
 from data_warehouse_project_spark.sources.catalog import Catalog
 
@@ -28,9 +28,10 @@ def _python_changelog(rows):
             new[k] = ("F", c + 1000)
         else:
             new[k] = (s, c)
+    max_key = max(k for k, _, _ in rows)
     for k, s, c in rows:
         if k % _CDC_INS_MOD == 0:
-            new[k + _CDC_INS_OFFSET] = ("O", c)
+            new[k + max_key] = ("O", c)
     log = {}
     for k in old.keys() | new.keys():
         if k not in new:
@@ -74,9 +75,11 @@ def test_cdc_changelog_drops_unchanged_rows(spark, sf_dir):
     # which have offset keys, so no overlap)
     assert out.filter((F.col("op") == "D")
                       & (k % _CDC_DEL_MOD != 0)).count() == 0
-    # I keys all carry the insert offset
+    # I keys all sit past the original key space (max-key shift)
+    max_key = Catalog(spark, sf_dir).orders.agg(
+        F.max("o_orderkey")).collect()[0][0]
     assert out.filter((F.col("op") == "I")
-                      & (k < _CDC_INS_OFFSET)).count() == 0
+                      & (k <= max_key)).count() == 0
 
 
 def test_join_skew_report_invariants(spark, sf_dir):
