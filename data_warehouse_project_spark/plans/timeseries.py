@@ -502,3 +502,67 @@ ORDER BY a.event_type
 
 register("events_disorder_report", events_disorder_report,
          EVENTS_DISORDER_SQL)
+
+
+# --------------------------------------------------------------------------
+# Event-type mix drift (month-over-month share deltas)
+# --------------------------------------------------------------------------
+
+def events_type_mix_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month event-type mix: each type's share of the
+    month's volume and its delta vs the previous month — the
+    composition-drift monitor (a rising error share or collapsing
+    purchase share moves the MIX before it moves any single-type
+    anomaly detector; the categorical complement of
+    source_length_kl's numeric-distribution drift).
+
+    Exactness: shares are single IEEE divides of exact month/type
+    counts, fround-quantized BEFORE the LAG so the delta subtracts
+    two already-quantized doubles — identical in both engines. The
+    LAG window runs over the (months × types) aggregate only.
+    """
+    cat = Catalog(spark, sf_dir)
+    per = (cat.events
+           .groupBy(F.date_trunc("month", F.col("ts")).alias("month"),
+                    "event_type")
+           .agg(F.count("*").cast("long").alias("n_events")))
+    tot = per.groupBy("month").agg(F.sum("n_events").alias("n_month"))
+    shared = (per.join(tot, "month")
+              .select("month", "event_type", "n_events",
+                      fround(F.col("n_events") / F.col("n_month"), 6)
+                      .alias("share")))
+    w = Window.partitionBy("event_type").orderBy("month")
+    return (shared
+            .withColumn("prev_share", F.lag("share").over(w))
+            .select("month", "event_type", "n_events", "share",
+                    fround(F.col("share")
+                           - F.coalesce("prev_share", F.col("share")), 6)
+                    .alias("share_delta"))
+            .orderBy("month", "event_type"))
+
+
+EVENTS_TYPE_MIX_SQL = """
+WITH per AS (
+    SELECT date_trunc('month', ts) AS month, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+tot AS (
+    SELECT month, SUM(n_events) AS n_month FROM per GROUP BY 1
+),
+shared AS (
+    SELECT p.month, p.event_type, p.n_events,
+           (FLOOR((p.n_events / CAST(t.n_month AS DOUBLE)) * 1000000.0
+                  + 0.5) / 1000000.0) AS share
+    FROM per p JOIN tot t ON p.month = t.month
+)
+SELECT month, event_type, n_events, share,
+       (FLOOR((share - COALESCE(LAG(share) OVER w, share)) * 1000000.0
+              + 0.5) / 1000000.0) AS share_delta
+FROM shared
+WINDOW w AS (PARTITION BY event_type ORDER BY month)
+ORDER BY month, event_type
+"""
+
+register("events_type_mix_monthly", events_type_mix_monthly,
+         EVENTS_TYPE_MIX_SQL)

@@ -205,6 +205,7 @@ _PRIORITY: list[str] = [
     "events_seasonal_served",
     "multimodal_blob_dedup",
     "part_reach_hops",
+    "events_type_mix_monthly",
 ]
 
 

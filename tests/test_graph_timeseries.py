@@ -529,3 +529,34 @@ def test_hll_state_split_invariance(spark, users, split):
     for i, u in enumerate(users):
         exact.setdefault(1 + (i % 2), set()).add(u)
     assert got == {(d, ): len(s) for d, s in exact.items()}
+
+
+def test_type_mix_monthly_two_month_shift(spark, tmp_path):
+    """Planted mix shift: Jan is 75% view / 25% click, Feb flips to
+    25% / 75% — deltas are ±0.5 in Feb and 0 in the first month
+    (self-coalesced). Driver data spans one month, so this fixture
+    keeps the LAG path non-vacuous."""
+    from pyspark.sql import Row
+
+    from data_warehouse_project_spark.plans.timeseries import (
+        events_type_mix_monthly)
+    rows, i = [], 0
+    for month, views, clicks in ((1, 3, 1), (2, 1, 3)):
+        for t, n in (("view", views), ("click", clicks)):
+            for _ in range(n):
+                rows.append(Row(event_id=i, ts=f"2024-{month:02d}-05 "
+                                f"0{i % 10}:00:00", user_id=1,
+                                event_type=t, value=1.0, props="{}"))
+                i += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {(r.month.month, r.event_type): r for r in
+           events_type_mix_monthly(spark, str(tmp_path)).collect()}
+    assert out[(1, "view")].share == 0.75
+    assert out[(1, "view")].share_delta == 0.0
+    assert out[(2, "view")].share == 0.25
+    assert out[(2, "view")].share_delta == -0.5
+    assert out[(2, "click")].share_delta == 0.5
