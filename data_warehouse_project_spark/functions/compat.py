@@ -36,8 +36,14 @@ log/log2/exp/pow are correctly-rounded in NEITHER engine's libm
 contract, so a term like -log2(p) (llm/textstats.doc_lm_cross_entropy)
 may differ by 1 ulp between JVM and DuckDB; quantizing such a term via
 floor(x*1e6+0.5) flips the integer only when x sits within that ulp of
-a .5/1e6 boundary — never observed across five rounds of driver+local
-parity, but latent. If a driver mismatch ever appears on a
+a .5/1e6 boundary — never observed across six rounds of driver+local
+parity, and since round 7 actively evidenced:
+tests/test_quantization_margin.py recomputes every quantized log term
+in the registry (doc_lm_cross_entropy, dsir_importance_weights,
+doc_zipf_fit, source_length_kl) on the real fixture counts and
+asserts each clears its floor-flip boundary by >64 ulps — orders of
+magnitude beyond any cross-libm divergence. If that test ever fails
+after a testdata regeneration, or a driver mismatch appears on a
 transcendental-fed query, widen that query's quantization guard (drop
 to 1e4) or switch its oracle to a tolerance compare rather than
 touching this module's exact-integer policy.

@@ -160,3 +160,18 @@ def test_cache_release_frees_all_storage(spark, sf_dir):
         assert n_cached() > 0          # the tracked persist is live
         cache.release_all()
         assert n_cached() == 0         # and fully released
+
+
+def test_load_table_missing_ts_column_raises_clear_error(
+        spark, sf_dir, tmp_path):
+    """ADVICE r6 / VERDICT r6 #5: a parquet file that drops a
+    schema-declared timestamp column must fail with a clear
+    ValueError naming the column, not a KeyError deep in the
+    encoding-normalization loop (sources/catalog.py)."""
+    from data_warehouse_project_spark.sources.catalog import load_table
+    events = Catalog(spark, sf_dir).events
+    bad_dir = str(tmp_path / "bad_sf")
+    (events.drop("ts").write
+     .parquet(f"{bad_dir}/events.parquet"))
+    with pytest.raises(ValueError, match="missing expected.*'ts'"):
+        load_table(spark, bad_dir, "events")

@@ -1006,3 +1006,46 @@ def test_blob_dedup_planted_duplicate_payloads(spark):
     assert r.survivor_asset_id == 1
     assert r.n_bytes == len(payload)
     assert r.reclaimable_bytes == 2 * len(payload)
+
+
+def test_bridge_chains_exact_and_ngram_clusters(spark):
+    # planted chain: {1,2} exact copies, {2,3} near-dup only by
+    # shingles -> the bridge must merge all three into ONE cluster
+    # (per-signal survivor passes would keep 2 of the 3), while the
+    # pure-exact pair {4,5} stays its own cluster and doc 6 (no
+    # edges) stays out of the output entirely.
+    from data_warehouse_project_spark.llm.bridge import (
+        bridge_survivors_frame)
+
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, base),
+        (2, base + "  "),              # exact after normalization
+        (3, base + " eta"),            # jaccard 2/3 with 1 and 2
+        (4, "one two three four five six seven"),
+        (5, "one two three four five six seven"),
+        (6, "lone wolf document with no duplicate anywhere here"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in rows],
+        "doc_id long, text string, n_chars long")
+    out = {r["doc_id"]: r for r in bridge_survivors_frame(docs).collect()}
+
+    assert set(out) == {1, 2, 3, 4, 5}
+    chain = [out[i] for i in (1, 2, 3)]
+    assert {r["cluster"] for r in chain} == {1}
+    assert all(r["cluster_size"] == 3 for r in chain)
+    # provenance: one exact edge (1,2); ngram edges (1,2),(1,3),(2,3)
+    assert chain[0]["n_exact_edges"] == 1
+    assert chain[0]["n_ngram_edges"] == 3
+    # survivor: doc 3 is longest (n_chars major)
+    assert [r["is_kept"] for r in chain] == [0, 0, 1]
+
+    pair = [out[i] for i in (4, 5)]
+    assert {r["cluster"] for r in pair} == {4}
+    assert all(r["cluster_size"] == 2 for r in pair)
+    # exact copies also share all shingles -> both signals edge once
+    assert pair[0]["n_exact_edges"] == 1
+    assert pair[0]["n_ngram_edges"] == 1
+    # equal n_chars -> tie to smallest doc_id
+    assert [r["is_kept"] for r in pair] == [1, 0]

@@ -11,7 +11,11 @@ from tests.oracle_utils import compare, duckdb_con
 
 
 def _names():
-    return sorted(registry.REGISTRY)
+    # queries() (not raw REGISTRY) — it retries registration to a
+    # FULL pass, so collection can't silently parametrize over a
+    # partial registry if a conftest import aborted the load-time
+    # attempt mid-import (registry.py _REGISTERED note)
+    return sorted(registry.queries())
 
 
 @pytest.fixture(scope="module")

@@ -850,3 +850,100 @@ def test_distinct_users_incremental_all_within_gate(spark, sf_dir):
     rows = events_distinct_users_incremental(spark, sf_dir).collect()
     assert len(rows) > 0
     assert all(r["within_gate"] for r in rows)
+
+
+def test_ttl_window_maintainer_restart_evicts_and_matches_batch(
+        spark, tmp_path):
+    """TTL'd windowed-aggregate maintainer (round 7): across a
+    restart, surviving windows must exactly match the full recompute,
+    and windows older than TTL_HOURS relative to the event-time
+    high-watermark must be GONE from the state table itself (bounded
+    state, not just a filtered view)."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import ttl_window
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    base = dt.datetime(2024, 1, 1, 0, 0)
+
+    def feed(rows):
+        spark.createDataFrame(
+            [(e, base + dt.timedelta(hours=h), u, et, v)
+             for e, h, u, et, v in rows], schema,
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        ttl_window.run_ttl_window_maintainer(stream, state, ck)
+
+    # chunk 1: two early windows (hour 0 and hour 1)
+    feed([(1, 0, 10, "click", 1.0), (2, 0, 11, "click", 2.5),
+          (3, 1, 10, "view", 0.25)])
+    run()
+    got1 = spark.read.parquet(state)
+    assert got1.count() == 2  # (h0, click), (h1, view)
+    # chunk 2 (restart): watermark jumps past TTL for hour 0 and 1;
+    # hour 0 also gets a LATE event that lands then is evicted
+    far = ttl_window.TTL_HOURS + 1
+    feed([(4, far, 12, "click", 4.0), (5, 0, 13, "click", 8.0),
+          (6, far, 10, "purchase", 1.25)])
+    run()
+    rows = {(r["window_hour"], r["event_type"]): r
+            for r in ttl_window.state_to_report(
+                spark.read.parquet(state)).collect()}
+    h_far = far + base.hour  # base is midnight: window == hour offset
+    hwm_rel = {(h - 0, t) for h, t in rows}
+    assert all(h >= ttl_window.TTL_HOURS + 1 - ttl_window.TTL_HOURS + 0
+               for h, _ in hwm_rel)
+    # only the two far windows survive; hours 0/1 evicted from STATE
+    got_hours = {h for h, _ in rows}
+    stored_hours = {r["window_hour"] for r in
+                    spark.read.parquet(state).collect()}
+    assert got_hours == stored_hours
+    assert all(r["hours_behind_hwm"] < ttl_window.TTL_HOURS
+               for r in rows.values())
+    assert len(rows) == 2
+    assert rows[(min(got_hours), "click")]["n_events"] == 1
+    assert rows[(min(got_hours), "click")]["sum_value"] == 4.0
+    assert rows[(min(got_hours), "purchase")]["n_events"] == 1
+    # full-recompute parity over the same landing data
+    full = {(r["window_hour"], r["event_type"]): (r["n_events"],
+                                                  r["sum_value"])
+            for r in ttl_window.state_to_report(
+                ttl_window.window_state(
+                    spark.read.parquet(landing))).collect()}
+    assert full == {(h, t): (r["n_events"], r["sum_value"])
+                    for (h, t), r in rows.items()}
+    # restart with no new data: unchanged
+    run()
+    again = {(r["window_hour"], r["event_type"])
+             for r in spark.read.parquet(state).collect()}
+    assert again == set(rows)
+
+
+def test_ttl_window_fold_replay_is_idempotent(spark, tmp_path):
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import ttl_window
+
+    state = str(tmp_path / "state")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(e, dt.datetime(2024, 1, 1, h), u, et, v)
+         for e, h, u, et, v in rows], schema)
+    b0 = mk([(1, 0, 10, "click", 1.0)])
+    b1 = mk([(2, 1, 11, "view", 2.0)])
+    assert ttl_window.fold_batch_into_state(b0, 0, state) is True
+    assert ttl_window.fold_batch_into_state(b1, 1, state) is True
+    # replayed and out-of-order batch ids are both skipped
+    assert ttl_window.fold_batch_into_state(b1, 1, state) is False
+    assert ttl_window.fold_batch_into_state(b0, 0, state) is False
+    rep = {(r["window_hour"], r["event_type"]): r["n_events"]
+           for r in ttl_window.state_to_report(
+               spark.read.parquet(state)).collect()}
+    assert list(rep.values()) == [1, 1]
