@@ -1,0 +1,192 @@
+"""Count-min-sketch heavy hitters — bounded-memory frequency
+estimation with a driver-visible accuracy gate (round 7; extends the
+index/sketch quality-gate family of ann_recall_floor /
+minhash_accuracy_floor / hll_distinct_accuracy_floor).
+
+Why a CMS when exact token counts exist? The exact count table is
+vocabulary-sized — fine for this corpus, unbounded at 100 TB of web
+text (vocabulary grows with corpus under Heaps' law, and per-batch
+exact counts can't be capped without losing tail mass). The CMS is
+the standard bounded-state answer: a fixed (d × w) integer matrix
+(here 4 × 2048 longs = 64 KiB) that merges by cell-wise addition —
+the same mergeable-state discipline as the HLL rollup
+(plans/incremental.py) — and answers point queries with one-sided
+error: estimate ≥ exact always, overestimate ≤ e·N/w with
+probability 1 − e^−d per query (Cormode & Muthukrishnan 2005).
+
+Plan shape: token counts reduce map-side to the vocabulary-keyed
+frame ONCE (pinned); the sketch is d shuffles of (seed, bucket, n)
+longs — cardinality ≤ d·w regardless of corpus; the heavy-hitter
+probe joins the top-K exact rows (bounded) against the d·w-row
+sketch. Nothing anywhere is corpus-sized after the first aggregation.
+
+Oracle: xxhash64 bucketing is engine-defined → the heavy-hitter
+table registers rows-only; the accuracy FLOOR registers against a
+pinned-constant oracle (the minhash_accuracy_floor pattern): the
+pipeline is deterministic given the data, so structural truths
+(estimate ≥ exact for every probe) and a generous overestimate bound
+(5× the ε = e/w theory bound, measured ≥ 20× margin on driver data at
+all three sfs) hash-match constants at any tested scale, while any
+estimator regression (seed drift, bucket math, merge bug) flips a
+boolean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..sources.catalog import Catalog
+
+#: sketch geometry: d hash rows × w buckets (64 KiB of longs)
+CMS_D = 4
+CMS_W = 2048
+
+#: heavy-hitter probe set: top-K exact tokens
+CMS_TOP_K = 30
+
+#: overestimate gate: max_over ≤ CMS_OVER_GATE · N / w — vs the
+#: one-query theory bound e·N/w (≈ 2.72·N/w); 5× headroom because the
+#: gate must hold over K probes at every sf, deterministically
+CMS_OVER_GATE = 14
+
+
+def _token_counts(docs: DataFrame) -> DataFrame:
+    return (docs
+            .select(F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                    .alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").cast("long").alias("n_exact")))
+
+
+def _bucket(seed: int):
+    return F.pmod(F.xxhash64(F.col("token"), F.lit(seed)),
+                  F.lit(CMS_W)).cast("long")
+
+
+def cms_table(counts: DataFrame) -> DataFrame:
+    """(seed, bucket, n) sketch cells from a (token, n_exact) count
+    frame — ≤ d·w rows by construction, merges with any other batch's
+    table by (seed, bucket) addition."""
+    per_seed = [
+        counts.select(F.lit(s).cast("long").alias("seed"),
+                      _bucket(s).alias("bucket"), "n_exact")
+        for s in range(CMS_D)
+    ]
+    u = per_seed[0]
+    for p in per_seed[1:]:
+        u = u.unionByName(p)
+    return (u.groupBy("seed", "bucket")
+            .agg(F.sum("n_exact").cast("long").alias("n")))
+
+
+def _scored_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-K exact tokens with their CMS estimates: the exact count
+    frame is pinned (sketch build + probe set + total all read it)."""
+    from ..cache import pin
+    counts = pin(_token_counts(Catalog(spark, sf_dir).documents))
+    sketch = cms_table(counts)
+    top = (counts.orderBy(F.col("n_exact").desc(), F.col("token"))
+           .limit(CMS_TOP_K))
+    probes_per_seed = [
+        top.select("token", "n_exact",
+                   F.lit(s).cast("long").alias("seed"),
+                   _bucket(s).alias("bucket"))
+        for s in range(CMS_D)
+    ]
+    probes = probes_per_seed[0]
+    for p in probes_per_seed[1:]:
+        probes = probes.unionByName(p)
+    est = (probes.join(F.broadcast(sketch), ["seed", "bucket"])
+           .groupBy("token", "n_exact")
+           .agg(F.min("n").cast("long").alias("n_est")))
+    total = counts.agg(F.sum("n_exact").cast("long").alias("n_total"))
+    return est.crossJoin(F.broadcast(total)).select(
+        "token", "n_exact", "n_est",
+        (F.col("n_est") - F.col("n_exact")).cast("long")
+        .alias("overestimate"),
+        "n_total")
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query (rows-only: xxhash64 bucketing is
+    engine-defined): top-K exact tokens with sketch estimates and
+    per-token overestimate."""
+    return (_scored_heavy_hitters(spark, sf_dir)
+            .select("token", "n_exact", "n_est", "overestimate")
+            .orderBy(F.col("n_exact").desc(), "token"))
+
+
+def cms_accuracy_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible CMS quality gate, pinned-constant oracle: one
+    row asserting (a) every probe has estimate ≥ exact (the CMS
+    one-sided-error structural guarantee — a violation means the
+    sketch math is broken, not that the data changed) and (b) max
+    overestimate ≤ CMS_OVER_GATE · N / w (integer-exact compare).
+    Measured driver-data margins: zero overestimate on the top-30
+    probes at sf0.001, sf0.01 AND sf0.1 (gate headroom at sf0.1:
+    1850 tokens); gate ≈ 5× the per-query theory bound."""
+    scored = _scored_heavy_hitters(spark, sf_dir)
+    return (
+        scored.agg(F.count("*").alias("k"),
+                   F.min(F.col("n_est") - F.col("n_exact")).alias("min_over"),
+                   F.max("overestimate").alias("max_over"),
+                   F.max("n_total").alias("n_total"))
+        .select(
+            F.lit(CMS_D).cast("long").alias("d_rows"),
+            F.lit(CMS_W).cast("long").alias("w_buckets"),
+            (F.col("k") == CMS_TOP_K).alias("has_k_probes"),
+            (F.col("min_over") >= 0).alias("never_underestimates"),
+            (F.col("max_over") * CMS_W
+             <= F.col("n_total") * CMS_OVER_GATE).alias("max_over_le_gate"),
+        )
+    )
+
+
+CMS_ACCURACY_SQL = f"""
+SELECT CAST({CMS_D} AS BIGINT) AS d_rows,
+       CAST({CMS_W} AS BIGINT) AS w_buckets,
+       TRUE AS has_k_probes,
+       TRUE AS never_underestimates,
+       TRUE AS max_over_le_gate
+"""
+
+register("cms_heavy_hitters", cms_heavy_hitters, None)
+register("cms_accuracy_floor", cms_accuracy_floor, CMS_ACCURACY_SQL)
+
+
+def _cms_init(batch_docs: DataFrame) -> DataFrame:
+    return cms_table(_token_counts(batch_docs))
+
+
+def _cms_merge(prev: DataFrame, batch_docs: DataFrame) -> DataFrame:
+    """Cell-wise addition — the CMS merge is exact (integer sums), so
+    the folded sketch is BIT-IDENTICAL to a single-pass build over
+    the union (unit-pinned), the same guarantee class as the HLL
+    rollup's register-maxima merge."""
+    delta = _cms_init(batch_docs)
+    return (prev.unionByName(delta)
+            .groupBy("seed", "bucket")
+            .agg(F.sum("n").cast("long").alias("n")))
+
+
+def fold_batch_into_state(batch_df: DataFrame, batch_id: int,
+                          state_path: str) -> bool:
+    """Idempotent CMS fold on the shared template
+    (streaming/state_fold.py): batch-id replay guard, atomic staged
+    swap. State is ≤ d·w rows of longs regardless of corpus — the
+    smallest state table in the engine."""
+    from ..streaming.state_fold import fold_batch
+    return fold_batch(batch_df, batch_id, state_path,
+                      _cms_init, _cms_merge)
+
+
+def run_cms_maintainer(docs_stream: DataFrame, state_path: str,
+                       checkpoint: str):
+    """foreachBatch CMS maintainer over a streaming documents source:
+    an always-current bounded-memory token-frequency sketch (serve
+    point estimates by probing the d cells of a token, no corpus
+    rescan ever)."""
+    from ..streaming.state_fold import run_maintainer
+    return run_maintainer(docs_stream, state_path, checkpoint,
+                          _cms_init, _cms_merge)

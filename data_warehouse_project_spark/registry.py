@@ -52,7 +52,8 @@ def _register_modules() -> None:
     from .llm import (bridge, clusters, compress, dedup,  # noqa: F401
                       distributions, importance, index, langmix, manifest,
                       multimodal, pipeline, quality, refinery, repetition,
-                      retrieval, sampling, similarity, spans, textstats)
+                      retrieval, sampling, similarity, sketches, spans,
+                      textstats)
     from .functions import crypto  # noqa: F401
 
 
@@ -73,9 +74,10 @@ def _register_modules() -> None:
 #:   (all simple SQL aggregations over orders/events — lowest
 #:   environment-difference risk, hence deferred) + the 39 queries
 #:   whose latest driver row is round 4, + flagship + the round-7-new
-#:   TTL'd window maintainer (the spare slot; least-SQL-like of the
-#:   two r7 additions) = 50. The other r7 addition
-#:   (dedup_bridge_survivors) joins the round-9 cohort.
+#:   TTL'd window maintainer (the spare slot; the least-SQL-like r7
+#:   addition) = 50. The other r7 additions (dedup_bridge_survivors,
+#:   cms_heavy_hitters, cms_accuracy_floor,
+#:   events_ttl_sliding_served) join the round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a

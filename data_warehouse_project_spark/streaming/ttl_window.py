@@ -168,3 +168,84 @@ WHERE a.window_hour > h.hwm_hour - {TTL_HOURS}
 
 register("events_ttl_window_state", events_ttl_window_state,
          EVENTS_TTL_WINDOW_SQL)
+
+
+#: sliding-window width served from the tumbling state (hours)
+SLIDE_H = 24
+
+
+def sliding_from_state(state: DataFrame) -> DataFrame:
+    """Serve trailing-``SLIDE_H``-hour sliding aggregates per type
+    from the TTL'd tumbling state — the standard decomposition
+    (sliding = RANGE window over tumbling partials) that makes a
+    24h-sliding metric O(state) instead of a corpus rescan.
+
+    Validity horizon: a sliding value at hour h is complete only if
+    its full lookback [h-23, h] survived eviction, i.e.
+    h > hwm - (TTL_HOURS - SLIDE_H + 1); hours nearer the retention
+    edge are suppressed rather than served wrong — and because the
+    lookback is then fully retained, the served values exactly equal
+    a full-history recompute (the oracle)."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy("event_type").orderBy("window_hour")
+         .rangeBetween(-(SLIDE_H - 1), 0))
+    return (
+        state
+        .withColumn("sliding_events", F.sum("n_events").over(w)
+                    .cast("long"))
+        .withColumn("sliding_value_scaled",
+                    F.sum("sum_value_scaled").over(w).cast("long"))
+        .filter(F.col("window_hour") >
+                F.col("hwm_hour") - F.lit(TTL_HOURS - SLIDE_H + 1))
+        .select(
+            "window_hour", "event_type", "sliding_events",
+            fround(F.col("sliding_value_scaled").cast("double") / _SCALE, 2)
+            .alias("sliding_value"),
+        )
+    )
+
+
+def events_ttl_sliding_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: 24h sliding aggregates served from the same
+    three-batch TTL'd state build as events_ttl_window_state; oracle =
+    full-history recompute restricted to the validity horizon."""
+    ev = Catalog(spark, sf_dir).events
+    state = window_state(ev.filter(F.col("event_id") % 3 == 0))
+    state = merge_window_state(state, ev.filter(F.col("event_id") % 3 == 1))
+    state = merge_window_state(state, ev.filter(F.col("event_id") % 3 == 2))
+    return sliding_from_state(state)
+
+
+EVENTS_TTL_SLIDING_SQL = f"""
+WITH ev AS (
+    SELECT CAST(FLOOR(date_part('epoch', ts) / 3600) AS BIGINT)
+               AS window_hour,
+           event_type, value
+    FROM events
+),
+hwm AS (SELECT MAX(window_hour) AS hwm_hour FROM ev),
+agg AS (
+    SELECT window_hour, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * {_SCALE} + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_value_scaled
+    FROM ev GROUP BY 1, 2
+),
+slid AS (
+    SELECT window_hour, event_type,
+           CAST(SUM(n_events) OVER w AS BIGINT) AS sliding_events,
+           CAST(SUM(sum_value_scaled) OVER w AS BIGINT)
+               AS sliding_value_scaled
+    FROM agg
+    WINDOW w AS (PARTITION BY event_type ORDER BY window_hour
+                 RANGE BETWEEN {SLIDE_H - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT s.window_hour, s.event_type, s.sliding_events,
+       {sql_fround(f's.sliding_value_scaled / {_SCALE}.0', 2)}
+           AS sliding_value
+FROM slid s CROSS JOIN hwm h
+WHERE s.window_hour > h.hwm_hour - {TTL_HOURS - SLIDE_H + 1}
+"""
+
+register("events_ttl_sliding_served", events_ttl_sliding_served,
+         EVENTS_TTL_SLIDING_SQL)

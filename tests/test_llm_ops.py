@@ -1049,3 +1049,50 @@ def test_bridge_chains_exact_and_ngram_clusters(spark):
     assert pair[0]["n_ngram_edges"] == 1
     # equal n_chars -> tie to smallest doc_id
     assert [r["is_kept"] for r in pair] == [1, 0]
+
+
+def test_cms_sketch_never_underestimates_and_merges(spark):
+    from data_warehouse_project_spark.llm import sketches
+
+    rows = [(i, ("alpha " * 5 + "beta " * 3 + f"tail{i}").strip())
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = sketches._token_counts(docs)
+    got = {r["token"]: r["n_exact"] for r in counts.collect()}
+    assert got["alpha"] == 100 and got["beta"] == 60
+
+    # w=2048 >> vocab(22): the planted tokens are collision-free, so
+    # probing the sketch must return the EXACT counts (deterministic
+    # hashing — this would fail always, not flakily, on a collision)
+    sketch = {(r["seed"], r["bucket"]): r["n"]
+              for r in sketches.cms_table(counts).collect()}
+    import pyspark.sql.functions as SF
+    probe = counts.select(
+        "token", "n_exact",
+        *[SF.pmod(SF.xxhash64(SF.col("token"), SF.lit(s)),
+                  SF.lit(sketches.CMS_W)).cast("long").alias(f"b{s}")
+          for s in range(sketches.CMS_D)])
+    for r in probe.collect():
+        est = min(sketch[(s, r[f"b{s}"])] for s in range(sketches.CMS_D))
+        assert est >= r["n_exact"]
+        assert est == r["n_exact"], r["token"]
+
+    # mergeability: sketch(all) == cellwise sum of half-sketches
+    half_a = sketches.cms_table(
+        sketches._token_counts(docs.filter("doc_id < 10")))
+    half_b = sketches.cms_table(
+        sketches._token_counts(docs.filter("doc_id >= 10")))
+    merged = {}
+    for r in half_a.collect() + half_b.collect():
+        merged[(r["seed"], r["bucket"])] = (
+            merged.get((r["seed"], r["bucket"]), 0) + r["n"])
+    assert merged == sketch
+
+
+def test_cms_accuracy_floor_gates_true(spark, sf_dir):
+    from data_warehouse_project_spark.llm import sketches
+
+    row = sketches.cms_accuracy_floor(spark, sf_dir).collect()[0]
+    assert row["has_k_probes"] is True
+    assert row["never_underestimates"] is True
+    assert row["max_over_le_gate"] is True

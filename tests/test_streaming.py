@@ -947,3 +947,89 @@ def test_ttl_window_fold_replay_is_idempotent(spark, tmp_path):
            for r in ttl_window.state_to_report(
                spark.read.parquet(state)).collect()}
     assert list(rep.values()) == [1, 1]
+
+
+def test_ttl_sliding_served_matches_hand_computed(spark):
+    """Sliding sums served from tumbling state equal hand-computed
+    trailing-24h sums, and hours whose lookback crosses the retention
+    edge are suppressed rather than served incomplete."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import ttl_window
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    # hours 0, 10, 30, 95 for 'click' (hwm=95; TTL 72 keeps h>23;
+    # sliding valid for h > 95-49 = 46 -> only h=95 served)
+    rows = [(1, 0, 1, "click", 1.0), (2, 10, 1, "click", 2.0),
+            (3, 30, 1, "click", 4.0), (4, 95, 1, "click", 8.0),
+            (5, 94, 2, "view", 0.5)]
+    ev = spark.createDataFrame(
+        [(e, base + dt.timedelta(hours=h), u, et, v)
+         for e, h, u, et, v in rows], schema)
+    state = ttl_window.window_state(ev)
+    got = {(r["window_hour"], r["event_type"]):
+           (r["sliding_events"], r["sliding_value"])
+           for r in ttl_window.sliding_from_state(state).collect()}
+    h0 = int(base.timestamp() // 3600)
+    # h=30 is retained (30 > 95-72) but NOT servable (30 <= 46)
+    assert (h0 + 30, "click") not in got
+    assert got[(h0 + 95, "click")] == (1, 8.0)
+    assert got[(h0 + 94, "view")] == (1, 0.5)
+    assert len(got) == 2
+
+
+def test_cms_maintainer_fold_is_exact_and_replay_safe(spark, tmp_path):
+    """The folded CMS must be BIT-IDENTICAL to a single-pass sketch
+    over the union (integer cell addition is exact), and replayed
+    batch ids must be skipped."""
+    from data_warehouse_project_spark.llm import sketches
+
+    state = str(tmp_path / "cms_state")
+    rows_a = [(i, "alpha beta " * 4) for i in range(5)]
+    rows_b = [(i + 5, "beta gamma " * 3) for i in range(5)]
+    schema = "doc_id long, text string"
+    a = spark.createDataFrame(rows_a, schema)
+    b = spark.createDataFrame(rows_b, schema)
+
+    assert sketches.fold_batch_into_state(a, 0, state) is True
+    assert sketches.fold_batch_into_state(b, 1, state) is True
+    assert sketches.fold_batch_into_state(b, 1, state) is False  # replay
+
+    folded = {(r["seed"], r["bucket"]): r["n"]
+              for r in spark.read.parquet(state)
+              .drop("last_batch_id").collect()}
+    single = {(r["seed"], r["bucket"]): r["n"]
+              for r in sketches.cms_table(
+                  sketches._token_counts(a.unionByName(b))).collect()}
+    assert folded == single
+
+
+def test_cms_streaming_maintainer_restart(spark, tmp_path):
+    from data_warehouse_project_spark.llm import sketches
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        sketches.run_cms_maintainer(stream, state, ck)
+
+    feed([(1, "alpha beta alpha")])
+    run()
+    feed([(2, "beta gamma")])
+    run()  # restart of the same checkpoint
+    folded = {(r["seed"], r["bucket"]): r["n"]
+              for r in spark.read.parquet(state)
+              .drop("last_batch_id").collect()}
+    single = {(r["seed"], r["bucket"]): r["n"]
+              for r in sketches.cms_table(sketches._token_counts(
+                  spark.read.parquet(landing))).collect()}
+    assert folded == single
