@@ -44,9 +44,9 @@ register("flagship_my_registrations", _flagship.flagship, _flagship.FLAGSHIP_ORA
 def _register_modules() -> None:
     """Import every module that self-registers queries."""
     from .operators import extended, quarantine, relational, skew  # noqa: F401
-    from .plans import (analytics, audits, cdc, dashboard, graph,  # noqa: F401
-                        incremental, poststate, timeseries, tpch,
-                        tpch_deep, warehouse)
+    from .plans import (analytics, attribution, audits, cdc,  # noqa: F401
+                        dashboard, graph, incremental, poststate,
+                        timeseries, tpch, tpch_deep, warehouse)
     from .streaming import (batch_parity, distinct_users,  # noqa: F401
                             funnel_state, transitions, ttl_window)
     from .llm import (bridge, clusters, compress, dedup,  # noqa: F401
@@ -76,8 +76,8 @@ def _register_modules() -> None:
 #:   whose latest driver row is round 4, + flagship + the round-7-new
 #:   TTL'd window maintainer (the spare slot; the least-SQL-like r7
 #:   addition) = 50. The other r7 additions (dedup_bridge_survivors,
-#:   cms_heavy_hitters, cms_accuracy_floor,
-#:   events_ttl_sliding_served) join the round-9 cohort.
+#:   cms_heavy_hitters, cms_accuracy_floor, events_ttl_sliding_served,
+#:   events_attribution) join the round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a

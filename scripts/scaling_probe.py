@@ -43,6 +43,9 @@ PROBE = [
     "chunk_dedup_report",           # chunk hash window
     "user_rfm_segments",            # histogram quartiles
     "cdc_changelog",                # full-outer snapshot diff
+    "dedup_bridge_survivors",       # multi-signal CC bridge (r7)
+    "events_ttl_window_state",      # TTL'd bounded-state fold (r7)
+    "cms_accuracy_floor",           # count-min sketch build+probe (r7)
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

@@ -1033,3 +1033,43 @@ def test_cms_streaming_maintainer_restart(spark, tmp_path):
               for r in sketches.cms_table(sketches._token_counts(
                   spark.read.parquet(landing))).collect()}
     assert folded == single
+
+
+def test_attribution_hand_computed(spark):
+    """Planted scenario with hand-computed credits for all three
+    models, incl. the empty-lookback '(none)' bucket and NULL-user
+    exclusion."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.plans.attribution import (
+        attribution_frame)
+
+    base = dt.datetime(2024, 3, 1, 0, 0)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    rows = [
+        # user 1: view -> click -> purchase(10.00) inside 72h
+        (10, 0.0, 1, "view", 1.0), (11, 1.0, 1, "click", 1.0),
+        (12, 2.0, 1, "purchase", 10.0),
+        # user 1: purchase(20.00) at h100 - every touch out of range
+        (13, 100.0, 1, "purchase", 20.0),
+        # user 2: click then purchase(7.00) 30 min later
+        (20, 0.0, 2, "click", 1.0), (21, 0.5, 2, "purchase", 7.0),
+        # NULL user purchase: excluded entirely
+        (30, 1.0, None, "purchase", 99.0),
+    ]
+    ev = spark.createDataFrame(
+        [(e, base + dt.timedelta(hours=h), u, et, v, None)
+         for e, h, u, et, v in rows], schema)
+    got = {r["touch_type"]: r for r in attribution_frame(ev).collect()}
+    assert set(got) == {"view", "click", "(none)"}
+    v, c, n = got["view"], got["click"], got["(none)"]
+    assert (v["n_first"], v["first_revenue"]) == (1, 10.0)
+    assert (v["n_last"], v["last_revenue"]) == (0, 0.0)
+    assert v["linear_revenue"] == 5.0
+    assert (c["n_first"], c["first_revenue"]) == (1, 7.0)
+    assert (c["n_last"], c["last_revenue"]) == (2, 17.0)
+    assert c["linear_revenue"] == 12.0
+    assert (n["n_first"], n["first_revenue"]) == (1, 20.0)
+    assert (n["n_last"], n["last_revenue"]) == (1, 20.0)
+    assert n["linear_revenue"] == 20.0
