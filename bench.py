@@ -81,6 +81,8 @@ HEADLINE = [
     "chunk_dedup_report",          # sequence-level dedup accounting (new r6)
     "dedup_bridge_survivors",      # multi-signal CC dedup bridge (new r7)
     "events_ttl_window_state",     # TTL'd bounded-state window maintainer (new r7)
+    "events_attribution",          # multi-touch window attribution (new r7)
+    "bpe_merge_rules",             # iterative BPE tokenizer training (new r7)
 ]
 # doc_zipf_fit is deliberately NOT in the headline: its corpus-scale
 # work is the same explode→term-count shuffle vocab_top_terms already

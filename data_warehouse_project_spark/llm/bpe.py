@@ -1,0 +1,129 @@
+"""BPE merge-rule induction — distributed tokenizer training over
+the corpus word-frequency table (round 7; the fourth iterative
+workload beside PageRank / affinity / BFS, and the LLM-pipeline step
+none of the counting ops cover: LEARNING the subword vocabulary).
+
+Algorithm (Sennrich et al. 2016, the standard BPE trainer): words
+split into character symbols + an end-of-word marker; each round
+counts adjacent symbol pairs weighted by word frequency, merges the
+most frequent pair (ties broken lexicographically) everywhere, and
+records the rule. N_MERGES rounds yield the merge table a tokenizer
+replays at encode time.
+
+Scale design: training runs on the WORD-COUNT table, not the corpus
+— the corpus is touched exactly once (one explode → word groupBy,
+map-side combinable); every round after that is vocabulary-keyed:
+one pair-explode over the vocab frame (≤ avg-word-len × vocab rows),
+one pair aggregation, a 1-row argmax, and a pure-JVM array fold
+applying the merge (higher-order ``aggregate``, no Python in the
+loop). State is the (word, symbols, n) frame, localCheckpoint-ed per
+round so round k's plan doesn't embed rounds 1..k-1 (the CC/PageRank
+lineage discipline, llm/clusters.py). The per-round driver action
+collects ONE row (the winning pair) — bounded O(1) coordination per
+iteration, the same class as CC's convergence probe.
+
+Determinism: pair counts are exact integer sums; the winner is
+(count DESC, left, right) — total order, no hash involvement.
+Oracle: the whole loop is not SQL-expressible (rows-only registry
+entry); correctness is pinned by a planted hand-computable corpus
+AND a full differential test against a plain-Python reference BPE
+on the real sf0.001 word counts (tests/test_llm_ops.py), the same
+evidence pattern as the integer-PageRank unrolled recurrence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..sources.catalog import Catalog
+
+#: number of merge rules to learn
+N_MERGES = 8
+
+#: end-of-word marker symbol (never a corpus character)
+EOW = "</w>"
+
+
+def word_symbol_state(docs: DataFrame) -> DataFrame:
+    """(word, symbols, n): corpus word counts with each word split
+    into single-character symbols + the EOW marker."""
+    return (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                    .alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn(
+            "symbols",
+            F.concat(
+                F.filter(F.split(F.col("word"), ""),
+                         lambda s: s != F.lit("")),
+                F.array(F.lit(EOW))))
+        .select("word", "symbols", "n")
+    )
+
+
+def pair_counts(state: DataFrame) -> DataFrame:
+    """(left, right, c): adjacent-symbol pair frequencies weighted by
+    word count — the per-round aggregation."""
+    return (
+        state.filter(F.size("symbols") >= 2)
+        .select("n", F.explode(F.expr(
+            "transform(sequence(0, size(symbols) - 2), "
+            "i -> struct(symbols[i] AS l, symbols[i + 1] AS r))"))
+            .alias("p"))
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("n").cast("long").alias("c"))
+    )
+
+
+def apply_merge(state: DataFrame, left: str, right: str) -> DataFrame:
+    """Merge every non-overlapping (left, right) occurrence
+    left-to-right via a pure-JVM array fold. The greedy fold is
+    exactly reference BPE: a just-merged token can't re-merge with
+    the next symbol unless it independently matches the rule. The
+    rule attaches as a broadcast one-row frame (never spliced into a
+    SQL literal — corpus symbols may contain quotes/backslashes)."""
+    spark = state.sparkSession
+    rule = spark.createDataFrame(
+        [(left, right, left + right)], "mlft string, mrgt string, mcat string")
+    merged = F.expr(
+        "aggregate(symbols, cast(array() as array<string>), "
+        "(acc, s) -> IF(size(acc) > 0 AND element_at(acc, -1) = mlft "
+        "AND s = mrgt, "
+        "concat(slice(acc, 1, size(acc) - 1), array(mcat)), "
+        "concat(acc, array(s))))")
+    return (state.crossJoin(F.broadcast(rule))
+            .withColumn("symbols", merged)
+            .drop("mlft", "mrgt", "mcat"))
+
+
+def learn_merges(docs: DataFrame, n_merges: int = N_MERGES) -> list[dict]:
+    """Run the trainer; returns [{step, left, right, pair_count}]."""
+    state = word_symbol_state(docs).localCheckpoint()
+    rules: list[dict] = []
+    for step in range(1, n_merges + 1):
+        top = (pair_counts(state)
+               .orderBy(F.col("c").desc(), "left", "right")
+               .limit(1).collect())
+        if not top:
+            break
+        row = top[0]
+        rules.append({"step": step, "left": row["left"],
+                      "right": row["right"], "pair_count": row["c"]})
+        state = apply_merge(state, row["left"], row["right"]) \
+            .localCheckpoint()
+    return rules
+
+
+def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query (rows-only): the learned merge table."""
+    rules = learn_merges(Catalog(spark, sf_dir).documents)
+    return spark.createDataFrame(
+        [(r["step"], r["left"], r["right"], r["pair_count"])
+         for r in rules],
+        "step long, left string, right string, pair_count long")
+
+
+register("bpe_merge_rules", bpe_merge_rules, None)

@@ -49,7 +49,7 @@ def _register_modules() -> None:
                         timeseries, tpch, tpch_deep, warehouse)
     from .streaming import (batch_parity, distinct_users,  # noqa: F401
                             funnel_state, transitions, ttl_window)
-    from .llm import (bridge, clusters, compress, dedup,  # noqa: F401
+    from .llm import (bpe, bridge, clusters, compress, dedup,  # noqa: F401
                       distributions, importance, index, langmix, manifest,
                       multimodal, pipeline, quality, refinery, repetition,
                       retrieval, sampling, similarity, sketches, spans,
@@ -77,7 +77,7 @@ def _register_modules() -> None:
 #:   TTL'd window maintainer (the spare slot; the least-SQL-like r7
 #:   addition) = 50. The other r7 additions (dedup_bridge_survivors,
 #:   cms_heavy_hitters, cms_accuracy_floor, events_ttl_sliding_served,
-#:   events_attribution) join the round-9 cohort.
+#:   events_attribution, bpe_merge_rules) join the round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a

@@ -1096,3 +1096,77 @@ def test_cms_accuracy_floor_gates_true(spark, sf_dir):
     assert row["has_k_probes"] is True
     assert row["never_underestimates"] is True
     assert row["max_over_le_gate"] is True
+
+
+def _ref_bpe(word_counts, n_merges, eow="</w>"):
+    """Plain-Python reference BPE trainer (Sennrich 2016 semantics:
+    frequency-weighted pair counts, lexicographic tie-break, greedy
+    left-to-right non-overlapping merge)."""
+    vocab = {w: (tuple(w) + (eow,), n) for w, n in word_counts.items()}
+    rules = []
+    for step in range(1, n_merges + 1):
+        pc: dict = {}
+        for syms, n in vocab.values():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + n
+        if not pc:
+            break
+        (left, right), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((step, left, right, c))
+        new = {}
+        for w, (syms, n) in vocab.items():
+            out: list = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            new[w] = (tuple(out), n)
+        vocab = new
+    return rules
+
+
+def test_bpe_planted_merges_hand_computed(spark):
+    # corpus: 'aaab' x3, 'aab' x2 -> pair counts r1:
+    # (a,a): 2*3+1*2=8, (a,b): 3+2=5, (b,</w>): 5 -> merge (a,a)
+    # r2: 'aa,a,b' x3 + 'aa,b' x2: (aa,a)=3, (a,b)=3, (aa,b)=2,
+    #     (b,</w>)=5 -> merge (b,</w>)
+    # r3: (aa,a)=3, (a,b</w>)=3, (aa,b</w>)=2 -> tie (a,b</w>) vs
+    #     (aa,a): lexicographic 'a' < 'aa' -> merge (a, b</w>)
+    from data_warehouse_project_spark.llm import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "aaab aab"), (3, "aab")],
+        "doc_id long, text string")
+    rules = bpe.learn_merges(docs, n_merges=3)
+    got = [(r["step"], r["left"], r["right"], r["pair_count"])
+           for r in rules]
+    assert got == [(1, "a", "a", 8), (2, "b", "</w>", 5),
+                   (3, "a", "b</w>", 3)]
+    # and the reference trainer agrees on the same corpus
+    assert got == _ref_bpe({"aaab": 3, "aab": 2}, 3)
+
+
+def test_bpe_matches_reference_on_real_corpus(spark, sf_dir):
+    """Differential test: the distributed trainer's full merge table
+    must equal the plain-Python reference run on the same word
+    counts (the PageRank-style reference-model pattern)."""
+    import duckdb
+
+    from data_warehouse_project_spark.llm import bpe
+
+    con = duckdb.connect()
+    wc = dict(con.execute(f"""
+        SELECT w, COUNT(*) FROM (
+            SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS w
+            FROM read_parquet('{sf_dir}/documents.parquet'))
+        WHERE len(w) > 0 GROUP BY 1
+    """).fetchall())
+    con.close()
+    want = _ref_bpe(wc, bpe.N_MERGES)
+    rules = bpe.learn_merges(
+        __import__("data_warehouse_project_spark.sources.catalog",
+                   fromlist=["Catalog"]).Catalog(spark, sf_dir).documents)
+    got = [(r["step"], r["left"], r["right"], r["pair_count"])
+           for r in rules]
+    assert got == want
