@@ -69,11 +69,27 @@ def _aggregate(events: DataFrame) -> DataFrame:
 
 def _evict(merged: DataFrame) -> DataFrame:
     """Attach the (new) high-watermark to every row and drop windows
-    beyond TTL. The hwm is a broadcast one-row aggregate — each state
-    row carries it so a restart recovers the watermark from the state
-    table alone."""
-    hwm = merged.agg(F.max("window_hour").alias("hwm_hour"))
-    return (merged.crossJoin(F.broadcast(hwm))
+    beyond TTL; each state row carries the hwm so a restart recovers
+    the watermark from the state table alone.
+
+    The hwm is a GLOBAL-window max over the state frame, not a
+    separate aggregate crossJoined back: the agg+crossJoin form
+    embeds the merged subtree twice per eviction, which doubled the
+    whole upstream lineage at every fold — the registered 3-fold
+    query re-scanned events 2^3 times before this was caught
+    (plan-pinned in tests/test_plan_quality.py; local wall moved
+    0.55 → 0.88 s at sf0.1 because page-cached re-scans were nearly
+    free while the window adds a small exchange — the scan count is
+    what survives 1000×, the round-6 pin-fix adjudication pattern).
+    A per-fold pin() variant was measured too (1.14 s: three eager
+    materializations) and rejected. The single-partition window is
+    safe here and only here because the state frame is bounded at
+    keys × TTL rows by construction — the same bounded-cardinality
+    window policy as the spine detectors (bench.py log note)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy()
+    return (merged.withColumn("hwm_hour",
+                              F.max("window_hour").over(w))
             .filter(F.col("window_hour") >
                     F.col("hwm_hour") - F.lit(TTL_HOURS)))
 

@@ -556,3 +556,58 @@ def test_r6c_trend_and_stickiness_are_aggregate_first(r6c_plans):
     st = r6c_plans["events_stickiness_monthly"]
     assert "Window" not in st
     assert "CartesianProduct" not in st
+
+
+@pytest.fixture(scope="module")
+def r7_plans(spark, sf_dir):
+    qs = registry.queries()
+    names = ["events_attribution", "events_ttl_window_state",
+             "events_ttl_sliding_served", "cms_accuracy_floor",
+             "dedup_bridge_survivors"]
+    out = {}
+    for name in names:
+        out[name] = _plan(qs[name](spark, sf_dir))
+        release_all()
+    return out
+
+
+def test_attribution_single_window_exchange(r7_plans):
+    """All three models ride ONE user-keyed window exchange over the
+    events scan; the model aggregations run on the pinned
+    purchases-sized frame (InMemoryTableScan per branch) and the
+    stitching joins never go cartesian."""
+    plan = r7_plans["events_attribution"]
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ttl_fold_scans_each_batch_once(r7_plans):
+    """The 3-fold TTL simulation must scan events exactly three
+    times (one per simulated batch) — the lazy agg+crossJoin hwm
+    attach used to DOUBLE the lineage per fold (2^3 scans; caught in
+    round 7, fixed with the bounded-state window-max)."""
+    for name in ("events_ttl_window_state", "events_ttl_sliding_served"):
+        plan = r7_plans[name]
+        # formatted explain prints each node twice -> 6 == 3 scans
+        assert plan.count("Scan parquet") == 6, name
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_probe_reads_pinned_counts(r7_plans):
+    """Sketch build, top-K probe set, and corpus total all consume
+    the ONE pinned token-count frame; the only nested-loop is the
+    one-row totals attach."""
+    plan = r7_plans["cms_accuracy_floor"]
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_bridge_consumes_pinned_edges(r7_plans):
+    """CC edges, the node set, and the provenance counts all read
+    the pinned edge union; nothing in the bridge goes cartesian."""
+    plan = r7_plans["dedup_bridge_survivors"]
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in plan
