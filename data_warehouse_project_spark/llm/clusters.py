@@ -64,19 +64,21 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
                 F.least(F.col("label"),
                         F.coalesce(F.col("nbr_label"), F.col("label")))
                 .alias("label"),
+                # carry the convergence flag ON the label row: the
+                # per-round changed-probe then reads the already
+                # checkpointed frame instead of re-joining old vs new
+                # labels (was one extra join + shuffle per round)
+                (F.coalesce(F.col("nbr_label"), F.col("label"))
+                 < F.col("label")).alias("chg"),
             )
             # localCheckpoint (eager): truncates the logical plan so
             # round k's plan doesn't embed rounds 1..k-1 (planning
             # time alone goes superlinear otherwise)
             .localCheckpoint()
         )
-        changed = (
-            labels.alias("old").join(new_labels.alias("new"), "n")
-            .filter(F.col("old.label") != F.col("new.label"))
-            .limit(1).count()
-        )
+        changed = new_labels.filter("chg").limit(1).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     sym.unpersist()
