@@ -99,8 +99,11 @@ def apply_merge(state: DataFrame, left: str, right: str) -> DataFrame:
             .drop("mlft", "mrgt", "mcat"))
 
 
-def learn_merges(docs: DataFrame, n_merges: int = N_MERGES) -> list[dict]:
-    """Run the trainer; returns [{step, left, right, pair_count}]."""
+def learn_merges(docs: DataFrame, n_merges: int = N_MERGES,
+                 return_state: bool = False):
+    """Run the trainer; returns [{step, left, right, pair_count}]
+    (and, with ``return_state``, the final (word, symbols, n) frame —
+    the trained segmentation of every corpus word)."""
     state = word_symbol_state(docs).localCheckpoint()
     rules: list[dict] = []
     for step in range(1, n_merges + 1):
@@ -114,7 +117,7 @@ def learn_merges(docs: DataFrame, n_merges: int = N_MERGES) -> list[dict]:
                       "right": row["right"], "pair_count": row["c"]})
         state = apply_merge(state, row["left"], row["right"]) \
             .localCheckpoint()
-    return rules
+    return (rules, state) if return_state else rules
 
 
 def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,3 +130,28 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("bpe_merge_rules", bpe_merge_rules, None)
+
+
+#: subword vocabulary report size
+VOCAB_TOP = 50
+
+
+def bpe_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query (rows-only): the learned subword vocabulary —
+    after replaying the N_MERGES rules, every corpus word is a
+    sequence of subword symbols; this reports the top-VOCAB_TOP
+    subwords by corpus frequency (count DESC, symbol ASC — total
+    order). The final training state IS the segmentation, so encode
+    is a vocabulary-keyed explode, never a corpus rescan."""
+    _, state = learn_merges(Catalog(spark, sf_dir).documents,
+                            return_state=True)
+    return (
+        state.select(F.explode("symbols").alias("subword"), "n")
+        .groupBy("subword")
+        .agg(F.sum("n").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "subword")
+        .limit(VOCAB_TOP)
+    )
+
+
+register("bpe_subword_vocab", bpe_subword_vocab, None)

@@ -1170,3 +1170,41 @@ def test_bpe_matches_reference_on_real_corpus(spark, sf_dir):
     got = [(r["step"], r["left"], r["right"], r["pair_count"])
            for r in rules]
     assert got == want
+
+
+def test_bpe_subword_vocab_matches_reference(spark, sf_dir):
+    import duckdb
+
+    from data_warehouse_project_spark.llm import bpe
+    from data_warehouse_project_spark.llm.bpe import bpe_subword_vocab
+
+    con = duckdb.connect()
+    wc = dict(con.execute(f"""
+        SELECT w, COUNT(*) FROM (
+            SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS w
+            FROM read_parquet('{sf_dir}/documents.parquet'))
+        WHERE len(w) > 0 GROUP BY 1
+    """).fetchall())
+    con.close()
+    # python reference: replay _ref_bpe's merges, count final symbols
+    vocab = {w: (tuple(w) + ("</w>",), n) for w, n in wc.items()}
+    for _, left, right, _c in _ref_bpe(wc, bpe.N_MERGES):
+        new = {}
+        for w, (syms, n) in vocab.items():
+            out: list = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            new[w] = (tuple(out), n)
+        vocab = new
+    counts: dict = {}
+    for syms, n in vocab.values():
+        for s in syms:
+            counts[s] = counts.get(s, 0) + n
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = want[:bpe.VOCAB_TOP]
+    got = [(r["subword"], r["n_occurrences"])
+           for r in bpe_subword_vocab(spark, sf_dir).collect()]
+    assert got == want
