@@ -879,3 +879,91 @@ SELECT CAST(5 AS BIGINT) AS k,
 """
 
 register("ann_recall_floor", ann_recall_floor, ANN_RECALL_FLOOR_SQL)
+
+
+#: anchors for contrastive-pair mining (first N vec_ids)
+N_HN_ANCHORS = 20
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining (round 7): for each anchor
+    vector, the nearest SAME-label neighbor (positive) and the
+    nearest DIFFERENT-label neighbor (hard negative), plus the
+    pos−neg margin — the pair-construction step of contrastive /
+    triplet training for retrieval models, and a per-anchor view of
+    label-space separation (label_centroid_separation's aggregate
+    complement).
+
+    Plan: one broadcast of the bounded anchor set against one corpus
+    scan (the knn_batch shape — no N separate jobs, no corpus
+    self-join); the scored frame is pinned and both rank-1 picks
+    (positive / negative) consume it via per-anchor top-1 windows
+    over the anchors×corpus-bounded frame. Ties break on (cos_sim
+    DESC, vec_id ASC) in both engines."""
+    from ..cache import pin
+    from ..operators.windows import top_k_per_group
+    cat = Catalog(spark, sf_dir)
+    queries = (cat.embeddings.filter(F.col("vec_id") < N_HN_ANCHORS)
+               .select(F.col("vec_id").alias("anchor_id"),
+                       F.col("label").alias("anchor_label"),
+                       F.col("embedding").alias("b")))
+    scored = pin(
+        cat.embeddings
+        .withColumnRenamed("embedding", "a")
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("anchor_id"))
+        .select("anchor_id", "anchor_label", "vec_id", "label",
+                fround(F.expr(_COS_EXPR), 6).alias("cos_sim")))
+    pos = top_k_per_group(
+        scored.filter(F.col("label") == F.col("anchor_label")),
+        ["anchor_id"], [F.col("cos_sim"), -F.col("vec_id")],
+        k=1, descending=True, rank_col="rank",
+    ).select("anchor_id", "anchor_label",
+             F.col("vec_id").alias("pos_id"),
+             F.col("cos_sim").alias("pos_sim"))
+    neg = top_k_per_group(
+        scored.filter(F.col("label") != F.col("anchor_label")),
+        ["anchor_id"], [F.col("cos_sim"), -F.col("vec_id")],
+        k=1, descending=True, rank_col="rank",
+    ).select("anchor_id",
+             F.col("vec_id").alias("neg_id"),
+             F.col("cos_sim").alias("neg_sim"))
+    return (
+        pos.join(neg, "anchor_id", "full_outer")
+        .select(
+            "anchor_id", "anchor_label", "pos_id", "pos_sim",
+            "neg_id", "neg_sim",
+            fround(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"))
+    )
+
+
+HARD_NEGATIVE_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS anchor_id, label AS anchor_label,
+           embedding::DOUBLE[] AS b
+    FROM embeddings WHERE vec_id < {N_HN_ANCHORS}
+),
+scored AS (
+    SELECT q.anchor_id, q.anchor_label, e.vec_id, e.label,
+           {sql_fround(_DUCK_COS, 6)} AS cos_sim
+    FROM embeddings e JOIN q ON e.vec_id <> q.anchor_id
+),
+pos AS (
+    SELECT anchor_id, anchor_label, vec_id AS pos_id, cos_sim AS pos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+              ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM scored WHERE label = anchor_label)
+    WHERE rnk = 1
+),
+neg AS (
+    SELECT anchor_id, vec_id AS neg_id, cos_sim AS neg_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+              ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM scored WHERE label <> anchor_label)
+    WHERE rnk = 1
+)
+SELECT anchor_id, anchor_label, pos_id, pos_sim, neg_id, neg_sim,
+       {sql_fround('pos_sim - neg_sim', 6)} AS margin
+FROM pos FULL OUTER JOIN neg USING (anchor_id)
+"""
+
+register("hard_negative_mining", hard_negative_mining, HARD_NEGATIVE_SQL)

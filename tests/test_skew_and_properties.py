@@ -310,3 +310,59 @@ def test_disc_quartiles_match_rank_model(spark, vals):
     expect = {f"q{k}": s[-(-k * n // 4) - 1] for k in (1, 2, 3)}
     got = {k: row[k] for k in ("q1", "q2", "q3")}
     assert got == expect, (vals, got, expect)
+
+
+# ---------------------------------------------------------------------------
+# TTL'd window maintainer vs a plain-Python reference model
+# ---------------------------------------------------------------------------
+
+#: (event_id-disambiguated) random events: (id, hour-offset, type, cents)
+_ttl_events = st.lists(
+    st.tuples(st.integers(0, 200), st.integers(0, 120),
+              st.sampled_from(["x", "y"]), st.integers(0, 500)),
+    min_size=0, max_size=25,
+    unique_by=lambda r: r[0])
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=_ttl_events, split=st.integers(0, 200))
+def test_ttl_window_fold_matches_python_model(spark, events, split):
+    """Fold over ANY two-batch split (including time-disordered
+    splits, late data, and empty batches) must equal a Python model
+    computing per-(hour, type) aggregates over the union and keeping
+    windows within TTL of the global max hour — the eviction
+    monotonicity argument, exercised adversarially."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import ttl_window as W
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [(e, base + dt.timedelta(hours=h), 1, et, c / 100.0)
+            for e, h, et, c in events]
+    df = spark.createDataFrame(
+        rows or [(0, base, 1, "x", 0.0)], schema)
+    if not rows:
+        df = df.filter(F.lit(False))
+    first = df.filter(F.col("event_id") <= split)
+    second = df.filter(F.col("event_id") > split)
+    state = W.merge_window_state(W.window_state(first), second) \
+        if rows else W.window_state(df)
+    got = {(r["window_hour"], r["event_type"]):
+           (r["n_events"], r["sum_value"])
+           for r in W.state_to_report(state).collect()}
+
+    model: dict = {}
+    h0 = int(base.timestamp() // 3600)
+    for _e, h, et, c in events:
+        key = (h0 + h, et)
+        n, s = model.get(key, (0, 0))
+        model[key] = (n + 1, s + c)
+    if model:
+        hwm = max(h for h, _ in model)
+        model = {k: v for k, v in model.items()
+                 if k[0] > hwm - W.TTL_HOURS}
+    want = {k: (n, round(s / 100.0, 2)) for k, (n, s) in model.items()}
+    assert got == want, (events, split)
