@@ -447,3 +447,146 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("embedding_pca_variance", embedding_pca_variance, None)
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (round 7): apply the learned basis back to the
+# corpus — covariance → driver eig → distributed projection, closing
+# the loop embedding_pca_variance opens
+# ---------------------------------------------------------------------------
+
+#: components kept by the projection
+PCA_TOP_K = 8
+
+#: tolerance for the captured-variance identity gate (quantized
+#: covariance vs raw-vector projection diverge at the 1e-6 level;
+#: 0.01 is ~4 orders of magnitude of headroom)
+PCA_CAPTURE_TOL = 0.01
+
+
+def pca_basis(spark: SparkSession, sf_dir: str):
+    """(means, components): per-dim means and the top-PCA_TOP_K
+    eigenvectors of the covariance matrix, both driver-side (the
+    MLlib RowMatrix split — see embedding_pca_variance). Sign
+    convention: each eigenvector is flipped so its
+    largest-magnitude coordinate is positive (eigh's sign is
+    arbitrary; the convention makes the basis deterministic)."""
+    import numpy as np
+    cov_rows = [r.asDict() for r in
+                embedding_covariance_matrix(spark, sf_dir).collect()]
+    dims = 1 + max(max(r["dim_i"] for r in cov_rows),
+                   max(r["dim_j"] for r in cov_rows))
+    m = np.zeros((dims, dims))
+    for r in cov_rows:
+        m[r["dim_i"], r["dim_j"]] = r["covariance"]
+        m[r["dim_j"], r["dim_i"]] = r["covariance"]
+    evals, evecs = np.linalg.eigh(m)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    comps = []
+    for k in range(min(PCA_TOP_K, dims)):
+        v = evecs[:, k]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    cat = Catalog(spark, sf_dir)
+    mean_rows = (
+        cat.embeddings
+        .select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.sum(F.floor(F.col("x").cast("double") * F.lit(_Q)
+                           + F.lit(0.5)).cast("long")).alias("sq"),
+             F.count("*").alias("n"))
+        .collect())
+    means = [0.0] * dims
+    for r in mean_rows:
+        means[r["dim"]] = (r["sq"] / r["n"]) / _Q
+    eig_total = float(evals.sum())
+    eig_topk = float(evals[:min(PCA_TOP_K, dims)].sum())
+    return means, comps, (eig_topk / eig_total if eig_total else 0.0)
+
+
+def _score_expr(comp: list, mdot: float):
+    """dot(embedding, comp) − dot(mean, comp) as a JVM fold over the
+    broadcast literal component array."""
+    arr = F.array(*[F.lit(float(v)) for v in comp])
+    return (F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), arr,
+                   lambda x, v: x * v),
+        F.lit(0.0), lambda acc, t: acc + t) - F.lit(mdot))
+
+
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query (rows-only: eig basis is numpy-computed):
+    per-vector top-K principal-component scores + squared
+    reconstruction error — the whitening/truncation step applied at
+    corpus scale. The basis ships as broadcast literals; scoring is
+    one JVM-side fold pass per vector, no Python and no shuffle
+    beyond the scan."""
+    means, comps, _ = pca_basis(spark, sf_dir)
+    mdots = [sum(m * v for m, v in zip(means, c)) for c in comps]
+    marr = F.array(*[F.lit(float(m)) for m in means])
+    sq_norm = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), marr,
+                   lambda x, m: (x - m) * (x - m)),
+        F.lit(0.0), lambda acc, t: acc + t)
+    cat = Catalog(spark, sf_dir)
+    df = cat.embeddings.select(
+        "vec_id",
+        *[fround(_score_expr(comps[k], mdots[k]), 6).alias(f"pc{k + 1}")
+          for k in range(len(comps))],
+        sq_norm.alias("_sqn"))
+    score_sq = sum(F.col(f"pc{k + 1}") * F.col(f"pc{k + 1}")
+                   for k in range(len(comps)))
+    return (df
+            .withColumn("recon_err_sq", fround(F.col("_sqn") - score_sq, 6))
+            .drop("_sqn")
+            .orderBy("vec_id"))
+
+
+def pca_projection_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible end-to-end PCA gate (pinned-constant oracle,
+    the cms/minhash floor pattern): one row asserting (a) every
+    vector's reconstruction error is non-negative (Parseval — a
+    violation means the basis isn't orthonormal or the projection is
+    broken) and (b) the corpus-measured captured-variance ratio
+    matches the eigenvalue top-K share within PCA_CAPTURE_TOL — the
+    identity tying the DISTRIBUTED projection back to the
+    DISTRIBUTED covariance through the driver-side eig. Per-vector
+    terms are integer-quantized before the order-independent sums."""
+    means, comps, eig_share = pca_basis(spark, sf_dir)
+    mdots = [sum(m * v for m, v in zip(means, c)) for c in comps]
+    marr = F.array(*[F.lit(float(m)) for m in means])
+    sq_norm = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), marr,
+                   lambda x, m: (x - m) * (x - m)),
+        F.lit(0.0), lambda acc, t: acc + t)
+    score_sq = None
+    for k in range(len(comps)):
+        s = _score_expr(comps[k], mdots[k])
+        score_sq = s * s if score_sq is None else score_sq + s * s
+    cat = Catalog(spark, sf_dir)
+    q = lambda c: F.floor(c * F.lit(_Q) + F.lit(0.5)).cast("long")  # noqa: E731
+    agg = (cat.embeddings
+           .select(q(score_sq).alias("cap_q"), q(sq_norm).alias("tot_q"),
+                   (sq_norm - score_sq >= F.lit(-1e-6)).alias("nonneg"))
+           .agg(F.sum("cap_q").alias("cap"), F.sum("tot_q").alias("tot"),
+                F.min(F.col("nonneg").cast("int")).alias("all_nonneg")))
+    captured = F.col("cap").cast("double") / F.col("tot").cast("double")
+    return agg.select(
+        F.lit(PCA_TOP_K).cast("long").alias("top_k"),
+        (F.col("all_nonneg") == 1).alias("recon_nonneg"),
+        (F.abs(captured - F.lit(eig_share))
+         <= F.lit(PCA_CAPTURE_TOL)).alias("capture_matches_spectrum"),
+    )
+
+
+PCA_FLOOR_SQL = f"""
+SELECT CAST({PCA_TOP_K} AS BIGINT) AS top_k,
+       TRUE AS recon_nonneg,
+       TRUE AS capture_matches_spectrum
+"""
+
+register("embedding_pca_project", embedding_pca_project, None)
+register("pca_projection_floor", pca_projection_floor, PCA_FLOOR_SQL)

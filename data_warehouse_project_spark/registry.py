@@ -78,7 +78,8 @@ def _register_modules() -> None:
 #:   addition) = 50. The other r7 additions (dedup_bridge_survivors,
 #:   cms_heavy_hitters, cms_accuracy_floor, events_ttl_sliding_served,
 #:   events_attribution, bpe_merge_rules, bpe_subword_vocab,
-#:   hard_negative_mining) join the round-9 cohort.
+#:   hard_negative_mining, embedding_pca_project,
+#:   pca_projection_floor) join the round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a

@@ -1208,3 +1208,38 @@ def test_bpe_subword_vocab_matches_reference(spark, sf_dir):
     got = [(r["subword"], r["n_occurrences"])
            for r in bpe_subword_vocab(spark, sf_dir).collect()]
     assert got == want
+
+
+def test_pca_projection_matches_numpy(spark, sf_dir):
+    """Distributed projection vs numpy (X−mean)·V on the SAME basis:
+    scores agree to 1e-4, reconstruction errors are non-negative,
+    and the floor gates are all True."""
+    import duckdb
+    import numpy as np
+
+    from data_warehouse_project_spark.llm import distributions as D
+
+    means, comps, eig_share = D.pca_basis(spark, sf_dir)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    V = np.array(comps, dtype=np.float64).T          # dim × K
+    S = (X - np.array(means)) @ V                    # n × K
+    got = D.embedding_pca_project(spark, sf_dir).collect()
+    assert len(got) == len(rows)
+    for i, r in enumerate(got):
+        assert r["vec_id"] == rows[i][0]
+        for k in range(V.shape[1]):
+            assert abs(r[f"pc{k + 1}"] - S[i, k]) < 1e-4, (i, k)
+        assert r["recon_err_sq"] >= -1e-6
+    # captured-variance identity vs the eigenvalue share
+    cap = float((S ** 2).sum())
+    tot = float(((X - np.array(means)) ** 2).sum())
+    assert abs(cap / tot - eig_share) < D.PCA_CAPTURE_TOL
+    floor = D.pca_projection_floor(spark, sf_dir).collect()[0]
+    assert floor["recon_nonneg"] is True
+    assert floor["capture_matches_spectrum"] is True
