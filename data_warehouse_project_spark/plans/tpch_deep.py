@@ -278,7 +278,11 @@ def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(F.broadcast(cat.nation.filter(F.col("n_name") == "NATION_3")),
                    F.col("s_nationkey") == F.col("n_nationkey"))
              .select("s_suppkey"))
-    per_part = (
+    from ..cache import pin
+    # pin: the scalar-total branch otherwise re-runs the whole
+    # lineitem⋈supp3 aggregation (the TTL-eviction lineage-doubling
+    # pattern, round-7 audit)
+    per_part = pin(
         cat.lineitem
         .join(F.broadcast(supp3), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
@@ -376,6 +380,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("total_revenue"))
     )
+    from ..cache import pin
+    # pin: the max-revenue scalar branch otherwise re-runs the
+    # filtered revenue aggregation (round-7 lineage audit)
+    rev = pin(rev)
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (
         rev.crossJoin(F.broadcast(mx))
