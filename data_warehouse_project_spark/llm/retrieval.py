@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.compat import fround, sql_fround
 from ..registry import register
 from ..sources.catalog import Catalog
+from .similarity import KNN_BRUTE_SQL, knn_brute_cosine
 
 #: the registered query's keyword query (moderate-df corpus terms)
 BM25_QUERY_TERMS = ["hash", "merge", "vector"]
@@ -142,3 +143,97 @@ LIMIT {BM25_TOP_K}
 """
 
 register("bm25_top_docs", bm25_top_docs, BM25_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# dense (cosine kNN) rankers — the standard two-tower retrieval serving
+# pattern (Cormack et al.'s RRF, the public formula used by every
+# hybrid-search engine). The reference has no retrieval surface at all;
+# this is the §2.11 training-data/RAG mandate.
+# ---------------------------------------------------------------------------
+
+#: RRF smoothing constant (the public default from the RRF paper)
+RRF_K = 60
+RRF_TOP_K = 10
+
+
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuse the BM25 top-15 (lexical, `documents`) with the cosine
+    top-10 of the fixed query vector (dense, `embeddings`, vec_id as
+    doc_id) via Reciprocal Rank Fusion:
+
+        rrf(d) = Σ_ranker 1 / (RRF_K + rank_ranker(d))
+
+    Scale design: both inputs arrive ALREADY top-k-capped by their own
+    scale-correct plans (BM25's candidate-bounded scoring, kNN's
+    broadcast+TakeOrdered), so the fusion itself — rank windows, a
+    full-outer join, one arithmetic column — touches ≤ k+k rows no
+    matter the corpus size. That is the production shape: rankers
+    prune, fusion is O(k).
+
+    Determinism: ranks are integers; 1/(K+rank) is a single IEEE
+    division and the two-term sum a single addition — both exactly
+    rounded, so the fused score is bit-identical across engines (no
+    libm involvement; compat.py hazard classes don't apply).
+    """
+    from pyspark.sql.window import Window
+
+    bm = bm25_top_docs(spark, sf_dir).select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25_score").desc(), F.col("doc_id"))
+        ).cast("long").alias("bm25_rank"))
+    kn = knn_brute_cosine(spark, sf_dir).select(
+        F.col("vec_id"),
+        F.row_number().over(
+            Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        ).cast("long").alias("cos_rank"))
+    inv = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col(r).cast("double")),
+        F.lit(0.0))
+    fused = (
+        bm.join(kn, bm["doc_id"] == kn["vec_id"], "full_outer")
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+            "bm25_rank", "cos_rank",
+            (inv("bm25_rank") + inv("cos_rank")).alias("score"))
+    )
+    return (
+        fused.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(RRF_TOP_K)
+        .select("doc_id", "bm25_rank", "cos_rank",
+                fround(F.col("score"), 6).alias("rrf_score"))
+    )
+
+
+HYBRID_RRF_SQL = f"""
+WITH bm AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25_score DESC, doc_id)
+                AS BIGINT) AS bm25_rank
+    FROM ({BM25_SQL}) bm_top
+),
+kn AS (
+    SELECT vec_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id)
+                AS BIGINT) AS cos_rank
+    FROM ({KNN_BRUTE_SQL}) kn_top
+),
+fused AS (
+    SELECT COALESCE(bm.doc_id, kn.vec_id) AS doc_id,
+           bm.bm25_rank, kn.cos_rank,
+           COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + bm.bm25_rank),
+                    CAST(0.0 AS DOUBLE))
+           + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + kn.cos_rank),
+                      CAST(0.0 AS DOUBLE)) AS score
+    FROM bm FULL OUTER JOIN kn ON bm.doc_id = kn.vec_id
+)
+SELECT doc_id, bm25_rank, cos_rank,
+       {sql_fround('score', 6)} AS rrf_score
+FROM fused
+ORDER BY score DESC, doc_id
+LIMIT {RRF_TOP_K}
+"""
+
+register("hybrid_retrieval_rrf", hybrid_retrieval_rrf, HYBRID_RRF_SQL)

@@ -117,5 +117,71 @@ ORDER BY lang
 """
 
 
+#: weighted reservoir sample size
+RESERVOIR_K = 50
+
+
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass weighted reservoir sample (Efraimidis & Spassily's
+    A-ES, the public algorithm): each record gets key u^(1/w) for
+    u ~ U(0,1) and weight w; the sample is the top-k by key, which
+    selects records with probability proportional to weight — here
+    w = n_chars, the standard character-weighted corpus subsample
+    (long documents proportionally likelier, as token-budget-aware
+    pipelines want).
+
+    Determinism (the df.sample() objection above, applied to weighted
+    sampling): u derives from the same Knuth multiplicative mix of
+    doc_id both engines compute exactly in int64, so the sample is a
+    pure function of record identity — stable across reruns, layout,
+    parallelism, and engines. Keys are compared as ln(u)/w (monotone
+    in u^(1/w)), quantized to a 1e9 integer before ordering; ln
+    carries the documented transcendental-ulp residual
+    (functions/compat.py policy note), with a 1e9 grid making a
+    boundary flip correspondingly unlikely.
+
+    Scale design: a narrow scan computing one arithmetic key per row
+    feeding TakeOrderedAndProject(k) — no shuffle, no global sort, no
+    weight normalization pass (A-ES needs none), k rows to the
+    driver. The single cheapest shape a 100 TB weighted subsample can
+    have.
+    """
+    cat = Catalog(spark, sf_dir)
+    h = (F.col("doc_id") * F.lit(_MULT)) % F.lit(_PRIME)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_PRIME))
+    key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    return (
+        cat.documents
+        .select("doc_id", "source", "n_chars",
+                F.floor(key * F.lit(1e9) + F.lit(0.5)).cast("long")
+                .alias("qkey"))
+        .orderBy(F.col("qkey").desc(), F.col("doc_id"))
+        .limit(RESERVOIR_K)
+        .select("doc_id", "source", "n_chars",
+                fround(F.col("qkey").cast("double") / F.lit(1e9), 6)
+                .alias("sample_key"))
+    )
+
+
+WEIGHTED_RESERVOIR_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, source, n_chars,
+           CAST(FLOOR(
+               LN((CAST((doc_id * {_MULT}) % {_PRIME} AS DOUBLE) + 0.5)
+                  / {_PRIME})
+               / CAST(GREATEST(n_chars, 1) AS DOUBLE)
+               * 1000000000.0 + 0.5) AS BIGINT) AS qkey
+    FROM documents
+)
+SELECT doc_id, source, n_chars,
+       {sql_fround('CAST(qkey AS DOUBLE) / 1000000000.0', 6)} AS sample_key
+FROM keyed
+ORDER BY qkey DESC, doc_id
+LIMIT {RESERVOIR_K}
+"""
+
+
 register("train_test_split", train_test_split, TRAIN_TEST_SPLIT_SQL)
 register("stratified_sample", stratified_sample, STRATIFIED_SAMPLE_SQL)
+register("weighted_reservoir_sample", weighted_reservoir_sample,
+         WEIGHTED_RESERVOIR_SQL)

@@ -79,7 +79,8 @@ def _register_modules() -> None:
 #:   cms_heavy_hitters, cms_accuracy_floor, events_ttl_sliding_served,
 #:   events_attribution, bpe_merge_rules, bpe_subword_vocab,
 #:   hard_negative_mining, embedding_pca_project,
-#:   pca_projection_floor) join the round-9 cohort.
+#:   pca_projection_floor, hybrid_retrieval_rrf,
+#:   weighted_reservoir_sample) join the round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a
