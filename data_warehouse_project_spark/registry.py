@@ -48,7 +48,7 @@ def _register_modules() -> None:
                         dashboard, graph, incremental, poststate,
                         timeseries, tpch, tpch_deep, warehouse)
     from .streaming import (batch_parity, distinct_users,  # noqa: F401
-                            funnel_state, transitions, ttl_window)
+                            funnel_state, sessions, transitions, ttl_window)
     from .llm import (bpe, bridge, clusters, compress, dedup,  # noqa: F401
                       distributions, importance, index, langmix, manifest,
                       multimodal, pipeline, quality, refinery, repetition,
@@ -80,7 +80,8 @@ def _register_modules() -> None:
 #:   events_attribution, bpe_merge_rules, bpe_subword_vocab,
 #:   hard_negative_mining, embedding_pca_project,
 #:   pca_projection_floor, hybrid_retrieval_rrf,
-#:   weighted_reservoir_sample) join the round-9 cohort.
+#:   weighted_reservoir_sample, events_sessions_incremental) join the
+#:   round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a

@@ -366,3 +366,71 @@ def test_ttl_window_fold_matches_python_model(spark, events, split):
                  if k[0] > hwm - W.TTL_HOURS}
     want = {k: (n, round(s / 100.0, 2)) for k, (n, s) in model.items()}
     assert got == want, (events, split)
+
+
+# ---------------------------------------------------------------------------
+# incremental sessionizer vs a plain-Python gaps-and-islands model
+# ---------------------------------------------------------------------------
+
+#: random per-user event streams: (user, minute, cents) — minutes
+#: unique per user so (ts, event_id) ordering is unambiguous; minute
+#: range spans many 30-min gap boundaries
+_sess_events = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 600),
+              st.integers(0, 500)),
+    min_size=0, max_size=25,
+    unique_by=lambda r: (r[0], r[1]))
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=_sess_events, split=st.integers(0, 600))
+def test_sessions_incremental_matches_python_model(spark, events, split):
+    """State-build + merge over ANY ts-ordered two-batch split of ANY
+    event stream must equal a plain-Python gaps-and-islands walk
+    (session numbering, bounds, counts, and dsum-exact value sums),
+    including empty batches on either side."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import sessions as S
+    from data_warehouse_project_spark.streaming.batch_parity import (
+        SESSION_GAP_S)
+
+    schema = ("user_id long, event_id long, ts timestamp, "
+              "event_type string, value double")
+    rows = [(u, m, dt.datetime(2024, 1, 1, m // 60, m % 60), "e", c / 100.0)
+            for u, m, c in events]
+    df = spark.createDataFrame(
+        rows or [(0, 0, dt.datetime(2024, 1, 1), "e", 0.0)], schema)
+    if not rows:
+        df = df.filter(F.lit(False))
+    first = df.filter(F.col("event_id") <= split)
+    second = df.filter(F.col("event_id") > split)
+    got = {(r["user_id"], r["session_seq"]):
+           (r["session_start"], r["session_end"], r["n_events"],
+            r["session_value"])
+           for r in S.state_to_view(S.merge_sessions_state(
+               S.sessions_state(first), second)).collect()}
+
+    model = {}
+    by_user: dict[int, list] = {}
+    for u, m, c in sorted(events, key=lambda r: (r[0], r[1])):
+        by_user.setdefault(u, []).append((m, c))
+    for u, seq in by_user.items():
+        sid, start, vq, n = 0, None, 0, 0
+        prev_m = None
+        for i, (m, c) in enumerate(seq):
+            if prev_m is None or (m - prev_m) * 60 > SESSION_GAP_S:
+                if start is not None:
+                    model[(u, sid)] = (start, prev_m, n,
+                                       ((vq + 50) // 100) / 100.0)
+                sid, start, vq, n = sid + 1, m, 0, 0
+            # cents scale exactly to the GUARD=4 grid: c/100*1e4 = c*100
+            vq += c * 100
+            n += 1
+            prev_m = m
+        model[(u, sid)] = (start, prev_m, n, ((vq + 50) // 100) / 100.0)
+    t = lambda m: dt.datetime(2024, 1, 1, m // 60, m % 60)  # noqa: E731
+    expected = {(u, s): (t(a), t(b), n, v)
+                for (u, s), (a, b, n, v) in model.items()}
+    assert got == expected, (events, split)

@@ -1073,3 +1073,105 @@ def test_attribution_hand_computed(spark):
     assert (n["n_first"], n["first_revenue"]) == (1, 20.0)
     assert (n["n_last"], n["last_revenue"]) == (1, 20.0)
     assert n["linear_revenue"] == 20.0
+
+
+# ---------------------------------------------------------------------------
+# incremental sessionization maintainer (streaming/sessions.py)
+# ---------------------------------------------------------------------------
+
+def test_sessions_maintainer_restart_matches_batch(spark, tmp_path):
+    """Checkpoint-restart parity for the incremental sessionizer: the
+    foreachBatch maintainer fed ts-ordered chunks across TWO runs of
+    the same checkpoint (run 2 is a restart) must serve exactly the
+    batch twin's gaps-and-islands view — including the session that
+    EXTENDS across the restart boundary (user 1), the session that
+    CLOSES at the boundary because the next event is beyond the gap
+    (user 2), and a user untouched by chunk 2 (user 3, the
+    pseudo-event-alone island)."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import sessions as S
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    schema = ("user_id long, event_id long, ts timestamp, "
+              "event_type string, value double")
+
+    def feed(rows):
+        spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 1, h, m), "click", v)
+             for u, e, h, m, v in rows], schema,
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        S.run_sessions_maintainer(stream, state, ck)
+
+    # chunk 1: user 1 two events 10 min apart (one session); user 2
+    # one event; user 3 one event
+    feed([(1, 10, 9, 0, 1.25), (1, 11, 9, 10, 2.50),
+          (2, 12, 9, 20, 4.00), (3, 13, 9, 40, 0.75)])
+    run()
+    # chunk 2 (restart): user 1 event 20 min after their last (same
+    # session, extends across the boundary); user 2 event 65 min
+    # after (new session); user 3 absent
+    feed([(1, 20, 9, 30, 3.00), (2, 21, 10, 25, 1.00)])
+    run()
+
+    got = {(r["user_id"], r["session_seq"]):
+           (r["session_start"], r["session_end"], r["n_events"],
+            r["session_value"])
+           for r in S.state_to_view(spark.read.parquet(state)).collect()}
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    assert got == {
+        (1, 1): (t(9, 0), t(9, 30), 3, 6.75),
+        (2, 1): (t(9, 20), t(9, 20), 1, 4.00),
+        (2, 2): (t(10, 25), t(10, 25), 1, 1.00),
+        (3, 1): (t(9, 40), t(9, 40), 1, 0.75),
+    }
+    # full-recompute parity on the same landing data
+    full = {(r["user_id"], r["session_seq"]):
+            (r["session_start"], r["session_end"], r["n_events"],
+             r["session_value"])
+            for r in S.state_to_view(S.sessions_state(
+                spark.read.parquet(landing))).collect()}
+    assert got == full
+    # restart with no new data: nothing changes (exactly-once)
+    run()
+    again = {(r["user_id"], r["session_seq"]):
+             (r["session_start"], r["session_end"], r["n_events"],
+              r["session_value"])
+             for r in S.state_to_view(spark.read.parquet(state)).collect()}
+    assert again == got
+
+
+def test_sessions_fold_replay_is_idempotent(spark, tmp_path):
+    """The at-least-once crash window for the session maintainer: a
+    replayed batch id must be skipped — an extended session can
+    neither double-extend nor double-count its value sum."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import sessions as S
+
+    state = str(tmp_path / "state")
+    schema = ("user_id long, event_id long, ts timestamp, "
+              "event_type string, value double")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 1, h, m), "click", v)
+             for u, e, h, m, v in rows], schema)
+
+    b0 = batch([(1, 10, 9, 0, 1.00), (1, 11, 9, 10, 2.00)])
+    b1 = batch([(1, 20, 9, 30, 4.00)])
+
+    assert S.fold_batch_into_state(b0, 0, state) is True
+    assert S.fold_batch_into_state(b1, 1, state) is True
+    assert S.fold_batch_into_state(b1, 1, state) is False
+    assert S.fold_batch_into_state(b0, 0, state) is False
+
+    got = {(r["user_id"], r["session_seq"]):
+           (r["n_events"], r["session_value"])
+           for r in S.state_to_view(spark.read.parquet(state)).collect()}
+    assert got == {(1, 1): (3, 7.00)}
