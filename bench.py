@@ -83,6 +83,7 @@ HEADLINE = [
     "events_ttl_window_state",     # TTL'd bounded-state window maintainer (new r7)
     "events_attribution",          # multi-touch window attribution (new r7)
     "bpe_merge_rules",             # iterative BPE tokenizer training (new r7)
+    "events_sessions_incremental",  # open-session carry-state sessionizer (new r7)
 ]
 # doc_zipf_fit is deliberately NOT in the headline: its corpus-scale
 # work is the same explode→term-count shuffle vocab_top_terms already
@@ -91,7 +92,11 @@ HEADLINE = [
 # hourly aggregate / part dim — events_seasonal_baseline stands in
 # for the spine+window family) and embedding_pca_variance (its
 # distributed work IS embedding_covariance_matrix; the eig tail is a
-# 64x64 driver solve).
+# 64x64 driver solve). hybrid_retrieval_rrf's corpus work is exactly
+# bm25_top_docs + knn_brute_cosine (both measured) plus an O(k)
+# fusion; weighted_reservoir_sample is a single narrow scan into
+# TakeOrdered(50) — sub-second by construction at any sf that fits
+# one host.
 
 # Log note (VERDICT r5 #8): repeated `WindowExec: No Partition
 # Defined` warnings in this bench's stderr come from the documented

@@ -1243,3 +1243,72 @@ def test_pca_projection_matches_numpy(spark, sf_dir):
     floor = D.pca_projection_floor(spark, sf_dir).collect()[0]
     assert floor["recon_nonneg"] is True
     assert floor["capture_matches_spectrum"] is True
+
+
+def test_weighted_reservoir_planted_heavy_weights(spark, tmp_path):
+    """A-ES semantics, non-vacuous: documents with ~10^6x the weight
+    of the rest must all be selected, and the full selection (ids,
+    order keys) must equal an exact Python recompute of the key
+    formula — proving the sample is weight-sensitive, not just a
+    deterministic top-k of anything."""
+    import math
+
+    from data_warehouse_project_spark.llm import sampling as S
+
+    rows = [(i, "t", "en", "web", 10) for i in range(1, 61)]
+    heavy = [(100, "t", "en", "web", 10_000_000),
+             (101, "t", "en", "web", 10_000_000),
+             (102, "t", "en", "web", 10_000_000)]
+    spark.createDataFrame(
+        rows + heavy,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = S.weighted_reservoir_sample(spark, str(tmp_path)).collect()
+    got_ids = [r["doc_id"] for r in got]
+    assert set(got_ids) >= {100, 101, 102}          # heavy always sampled
+
+    def key(doc_id, n_chars):
+        h = (doc_id * S._MULT) % S._PRIME
+        u = (h + 0.5) / S._PRIME
+        return math.floor(math.log(u) / max(n_chars, 1) * 1e9 + 0.5)
+
+    model = sorted(((key(d, n), d) for d, *_rest, n in
+                    (r for r in rows + heavy)),
+                   key=lambda t: (-t[0], t[1]))[:S.RESERVOIR_K]
+    assert got_ids == [d for _, d in model]
+    for r in got:
+        qk = key(r["doc_id"], r["n_chars"])
+        expect = math.floor(qk / 1e9 * 1e6 + 0.5) / 1e6
+        assert r["sample_key"] == expect, r
+
+
+def test_hybrid_rrf_matches_python_fusion(spark, sf_dir):
+    """The RRF query must equal a Python re-fusion of its two
+    component rankers' own outputs — rank assignment, the full-outer
+    stitch, and the 1/(K+r) arithmetic all checked independently of
+    the SQL oracle."""
+    from data_warehouse_project_spark.llm import retrieval as R
+    from data_warehouse_project_spark.llm.similarity import knn_brute_cosine
+
+    bm = R.bm25_top_docs(spark, sf_dir).collect()
+    kn = knn_brute_cosine(spark, sf_dir).collect()
+    bm_rank = {r["doc_id"]: i + 1 for i, r in enumerate(
+        sorted(bm, key=lambda r: (-r["bm25_score"], r["doc_id"])))}
+    kn_rank = {r["vec_id"]: i + 1 for i, r in enumerate(
+        sorted(kn, key=lambda r: (-r["cos_sim"], r["vec_id"])))}
+    fused = {}
+    for d in set(bm_rank) | set(kn_rank):
+        s = ((1.0 / (R.RRF_K + bm_rank[d]) if d in bm_rank else 0.0)
+             + (1.0 / (R.RRF_K + kn_rank[d]) if d in kn_rank else 0.0))
+        fused[d] = s
+    top = sorted(fused.items(), key=lambda t: (-t[1], t[0]))[:R.RRF_TOP_K]
+
+    got = R.hybrid_retrieval_rrf(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in top]
+    import math
+    for r in got:
+        assert r["bm25_rank"] == bm_rank.get(r["doc_id"])
+        assert r["cos_rank"] == kn_rank.get(r["doc_id"])
+        assert r["rrf_score"] == math.floor(
+            fused[r["doc_id"]] * 1e6 + 0.5) / 1e6
