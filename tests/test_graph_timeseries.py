@@ -560,3 +560,26 @@ def test_type_mix_monthly_two_month_shift(spark, tmp_path):
     assert out[(2, "view")].share == 0.25
     assert out[(2, "view")].share_delta == -0.5
     assert out[(2, "click")].share_delta == 0.5
+
+
+def test_triangle_participation_hand_computed(spark):
+    """Planted 4-node fixture: baskets {1,2,3}, {2,3,4}, {1,4} give
+    exactly four triangles ({123},{234},{124},{134} — the last two
+    close through the 1-4 edge), so every node participates in 3.
+    A 31-part mega-order must be dropped by the basket guard and
+    contribute nothing."""
+    from data_warehouse_project_spark.plans.graph import (
+        MAX_BASKET, triangle_participation)
+
+    rows = ([(1, p) for p in (1, 2, 3)]
+            + [(2, p) for p in (2, 3, 4)]
+            + [(3, p) for p in (1, 4)]
+            + [(9, 100 + i) for i in range(MAX_BASKET + 1)])
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    part = spark.createDataFrame(
+        [(p, f"part {p}") for p in range(1, 5)]
+        + [(100 + i, f"mega {i}") for i in range(MAX_BASKET + 1)],
+        "p_partkey long, p_name string")
+    got = {(r["p_partkey"], r["n_triangles"])
+           for r in triangle_participation(li, part).collect()}
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
