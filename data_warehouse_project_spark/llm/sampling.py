@@ -122,7 +122,7 @@ RESERVOIR_K = 50
 
 
 def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass weighted reservoir sample (Efraimidis & Spassily's
+    """One-pass weighted reservoir sample (Efraimidis & Spirakis's
     A-ES, the public algorithm): each record gets key u^(1/w) for
     u ~ U(0,1) and weight w; the sample is the top-k by key, which
     selects records with probability proportional to weight — here

@@ -77,18 +77,16 @@ FROM (
 """
 
 
-def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization with a 30-min inactivity gap, batch form
-    (streaming: `session_window(ts, '30 minutes')`).
-
-    Classic gaps-and-islands: flag rows whose gap from the previous
-    event exceeds the threshold, running-sum the flags into session
-    ids, then aggregate per session.
-    """
-    cat = Catalog(spark, sf_dir)
+def session_islands(rows: DataFrame, seq_col: str = "session_seq") -> DataFrame:
+    """THE gaps-and-islands session segmentation — flag rows whose gap
+    from the previous event exceeds SESSION_GAP_S, running-sum the
+    flags into a per-user 1-based island id (``seq_col``). Shared by
+    the batch sessionizer below AND the incremental maintainer
+    (streaming/sessions.py), so their "identical window logic" parity
+    claim is true by construction, not by parallel maintenance."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = (
-        cat.events
+    return (
+        rows
         .withColumn("prev_ts", F.lag("ts").over(w))
         .withColumn(
             "new_session",
@@ -99,9 +97,21 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0),
         )
-        .withColumn("session_seq", F.sum("new_session").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn(seq_col, F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
     )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-min inactivity gap, batch form
+    (streaming: `session_window(ts, '30 minutes')`).
+
+    Classic gaps-and-islands (session_islands above), then aggregate
+    per island.
+    """
+    cat = Catalog(spark, sf_dir)
+    flagged = session_islands(cat.events)
     return (
         flagged.groupBy("user_id", "session_seq")
         .agg(
@@ -796,18 +806,8 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     order the oracle's ORDER BY inside string_agg uses.
     """
     cat = Catalog(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = (
-        cat.events
-        .withColumn("prev_ts", F.lag("ts").over(w))
-        .withColumn(
-            "new_session",
-            F.when(
-                F.col("prev_ts").isNull()
-                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
-                   > SESSION_GAP_S), 1).otherwise(0))
-        .withColumn("session_seq", F.sum("new_session").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        session_islands(cat.events)
         .withColumn("rn", F.row_number().over(
             Window.partitionBy("user_id", "session_seq")
             .orderBy("ts", "event_id")))

@@ -54,10 +54,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.compat import GUARD
+from ..functions.compat import GUARD, _scaled
 from ..registry import register
 from ..sources.catalog import Catalog
-from .batch_parity import EVENTS_SESSIONIZE_SQL, SESSION_GAP_S
+from .batch_parity import EVENTS_SESSIONIZE_SQL, session_islands
 from .state_fold import fold_batch, run_maintainer
 
 #: dsum(scale=2, guard=GUARD) final-shift constants (compat.dsum)
@@ -67,37 +67,21 @@ _HALF = _DOWN // 2
 
 def _scaled_events(events: DataFrame) -> DataFrame:
     """Project the fold's working columns; value pre-scaled to the
-    exact GUARD-digit long so sums stay integer across batches."""
+    exact GUARD-digit long (compat._scaled — the same quantization
+    dsum is built on) so sums stay integer across batches."""
     return events.select(
         "user_id", "event_id", "ts",
-        F.floor(F.col("value") * F.lit(float(10 ** GUARD)) + F.lit(0.5))
-        .cast("long").alias("vq"),
+        _scaled(F.col("value"), GUARD).alias("vq"),
         F.lit(True).alias("from_batch"))
 
 
-def _islands(rows: DataFrame) -> DataFrame:
-    """Gaps-and-islands over (pseudo ∪ batch) rows: per-user local
-    island id (1-based) by the 30-min inactivity rule — the identical
-    window logic as the batch twin."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        rows.withColumn("prev_ts", F.lag("ts").over(w))
-        .withColumn(
-            "new_session",
-            F.when(F.col("prev_ts").isNull()
-                   | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
-                      > SESSION_GAP_S), 1).otherwise(0))
-        .withColumn("local_seq", F.sum("new_session").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("long"))
-    )
-
-
 def _island_sessions(rows: DataFrame) -> DataFrame:
-    """Aggregate islands to raw session rows (still carrying the
-    pseudo-row markers for the merge arithmetic)."""
+    """Aggregate gaps-and-islands segments (the batch twin's OWN
+    session_islands helper — parity by construction) to raw session
+    rows, still carrying the pseudo-row markers for the merge
+    arithmetic."""
     return (
-        _islands(rows)
+        session_islands(rows, seq_col="local_seq")
         .groupBy("user_id", "local_seq")
         .agg(F.min("ts").alias("session_start"),
              F.max("ts").alias("session_end"),
@@ -127,9 +111,20 @@ def merge_sessions_state(prev: DataFrame, batch_events: DataFrame) -> DataFrame:
     window as the batch, then stitch island 1 onto the carry."""
     mx = Window.partitionBy("user_id")
     marked = prev.withColumn("mx_seq", F.max("session_seq").over(mx))
+    batch_users = batch_events.select("user_id").distinct()
+    # only batch users' open sessions can change: replay exactly those
+    # (a pseudo-event alone would reproduce an untouched open session
+    # unchanged, but at the cost of O(total users) per fold — the
+    # anti-join routes every untouched user through the same immutable
+    # passthrough as their closed sessions, keeping the fold O(batch))
     closed = (marked.filter(F.col("session_seq") < F.col("mx_seq"))
-              .drop("mx_seq"))
-    open_ = marked.filter(F.col("session_seq") == F.col("mx_seq"))
+              .drop("mx_seq")
+              .unionByName(
+                  marked.filter(F.col("session_seq") == F.col("mx_seq"))
+                  .drop("mx_seq")
+                  .join(batch_users, "user_id", "left_anti")))
+    open_ = (marked.filter(F.col("session_seq") == F.col("mx_seq"))
+             .join(batch_users, "user_id", "left_semi"))
 
     pseudo = open_.select(
         "user_id", F.col("last_event_id").alias("event_id"),
@@ -203,12 +198,19 @@ def events_sessions_incremental(spark: SparkSession,
     be indistinguishable from rescanning history, session numbering
     and exact value sums included (the only collect is a one-row
     min/max metadata read to pick the split point)."""
+    from ..cache import pin
     cat = Catalog(spark, sf_dir)
     ev = cat.events
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
     mid = lo + (hi - lo) / 2
+    # pin the first-half state: the merge consumes prev three times
+    # (closed filter, untouched anti-join, open semi-join), which
+    # would re-run the half-corpus sessionize per consumer (8 events
+    # scans in the unpinned executed plan, 5 after — the round-7
+    # lineage audit). The real maintainer reads prev from the state
+    # parquet, where the re-reads are already cheap.
     state = merge_sessions_state(
-        sessions_state(ev.filter(F.col("ts") <= F.lit(mid))),
+        pin(sessions_state(ev.filter(F.col("ts") <= F.lit(mid)))),
         ev.filter(F.col("ts") > F.lit(mid)))
     return state_to_view(state)
 
