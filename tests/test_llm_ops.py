@@ -1312,3 +1312,28 @@ def test_hybrid_rrf_matches_python_fusion(spark, sf_dir):
         assert r["cos_rank"] == kn_rank.get(r["doc_id"])
         assert r["rrf_score"] == math.floor(
             fused[r["doc_id"]] * 1e6 + 0.5) / 1e6
+
+
+def test_join_size_estimate_planted_and_floor(spark, sf_dir):
+    """CMS inner-product join-size estimation: on a planted 10-key
+    count vector (counts 1..10, no bucket collisions at w=2048) every
+    seed's Σ cell² must equal the exact Σ c² = 385 — the estimator is
+    exact below the collision regime, deterministic forever for fixed
+    keys. The registered floor must gate True on driver data, where
+    sf0.1's 15k keys over 2048 buckets DO collide and the slack must
+    sit under GATE·N²/w."""
+    from data_warehouse_project_spark.llm import sketches as S
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(str(i), i) for i in range(1, 11)],
+                               "token string, n_exact long")
+    per_seed = (S.cms_table(df).groupBy("seed")
+                .agg(F.sum(F.col("n") * F.col("n")).alias("ip")))
+    assert {r["ip"] for r in per_seed.collect()} == {385}
+
+    row = S.join_size_estimate_floor(spark, sf_dir).collect()[0]
+    assert row["never_underestimates"] is True
+    assert row["slack_le_gate"] is True
+    rep = S.join_size_estimate(spark, sf_dir).collect()[0]
+    assert rep["est_join_size"] >= rep["exact_join_size"]
+    assert rep["exact_join_size"] > 0
