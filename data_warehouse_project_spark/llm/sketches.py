@@ -279,3 +279,75 @@ SELECT CAST({CMS_D} AS BIGINT) AS d_rows,
 register("join_size_estimate", join_size_estimate, None)
 register("join_size_estimate_floor", join_size_estimate_floor,
          JOIN_SIZE_FLOOR_SQL)
+
+
+def _key_counts(df: DataFrame, key: str) -> DataFrame:
+    """Per-key row counts shaped for cms_table reuse."""
+    return (df.groupBy(F.col(key).cast("string").alias("token"))
+            .agg(F.count("*").cast("long").alias("n_exact")))
+
+
+def _equijoin_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: exact vs CMS-estimated size of orders ⋈ events on
+    o_custkey = user_id — the TWO-relation form of the estimator (the
+    self-join variant above prices amplification; this prices a real
+    cross-fact equi-join from two independently built 64 KiB sketches
+    that never see each other's rows until the d·w-cell cell-product
+    — exactly how a planner with per-table sketch statistics prices a
+    join it has never executed)."""
+    from ..cache import pin
+    cat = Catalog(spark, sf_dir)
+    oc = pin(_key_counts(cat.orders, "o_custkey"))
+    ec = pin(_key_counts(cat.events, "user_id"))
+    per_seed = (
+        cms_table(oc).withColumnRenamed("n", "na")
+        .join(cms_table(ec).withColumnRenamed("n", "nb"),
+              ["seed", "bucket"])
+        .groupBy("seed")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("ip")))
+    est = per_seed.agg(F.min("ip").cast("long").alias("est_join_size"))
+    exact = (
+        oc.withColumnRenamed("n_exact", "na")
+        .join(ec.withColumnRenamed("n_exact", "nb"), "token")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long")
+             .alias("exact_join_size")))
+    totals = oc.agg(F.sum("n_exact").cast("long").alias("n_orders")) \
+        .crossJoin(F.broadcast(
+            ec.agg(F.sum("n_exact").cast("long").alias("n_events"))))
+    return (totals.crossJoin(F.broadcast(exact))
+            .crossJoin(F.broadcast(est)))
+
+
+def equijoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query (rows-only: xxhash64 bucketing is
+    engine-defined): exact orders⋈events join size vs the two-sketch
+    estimate and the collision slack."""
+    return _equijoin_scored(spark, sf_dir).select(
+        "n_orders", "n_events", "exact_join_size", "est_join_size",
+        (F.col("est_join_size") - F.col("exact_join_size")).cast("long")
+        .alias("overestimate"))
+
+
+def equijoin_size_estimate_floor(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Driver-visible gate, pinned-constant oracle: the CMS inner
+    product of two non-negative key-frequency vectors never
+    underestimates the true join size (Σ_b(Σ_{k∈b}a_k)(Σ_{k∈b}b_k) ≥
+    Σ_k a_k·b_k), and collision slack ≤ JOIN_EST_GATE · Na·Nb / w
+    (integer-exact cross-multiplied compare; theory bound e·Na·Nb/w)."""
+    return (_equijoin_scored(spark, sf_dir)
+            .select(
+                F.lit(CMS_D).cast("long").alias("d_rows"),
+                F.lit(CMS_W).cast("long").alias("w_buckets"),
+                (F.col("est_join_size") >= F.col("exact_join_size"))
+                .alias("never_underestimates"),
+                ((F.col("est_join_size") - F.col("exact_join_size"))
+                 * F.lit(CMS_W)
+                 <= F.col("n_orders") * F.col("n_events")
+                 * F.lit(JOIN_EST_GATE)).alias("slack_le_gate"),
+            ))
+
+
+register("equijoin_size_estimate", equijoin_size_estimate, None)
+register("equijoin_size_estimate_floor", equijoin_size_estimate_floor,
+         JOIN_SIZE_FLOOR_SQL)

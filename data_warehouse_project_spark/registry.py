@@ -81,8 +81,8 @@ def _register_modules() -> None:
 #:   hard_negative_mining, embedding_pca_project,
 #:   pca_projection_floor, hybrid_retrieval_rrf,
 #:   weighted_reservoir_sample, events_sessions_incremental,
-#:   part_triangle_participation, join_size_estimate(+_floor)) join
-#:   the round-9 cohort.
+#:   part_triangle_participation, join_size_estimate(+_floor),
+#:   equijoin_size_estimate(+_floor)) join the round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a

@@ -1337,3 +1337,32 @@ def test_join_size_estimate_planted_and_floor(spark, sf_dir):
     rep = S.join_size_estimate(spark, sf_dir).collect()[0]
     assert rep["est_join_size"] >= rep["exact_join_size"]
     assert rep["exact_join_size"] > 0
+
+
+def test_equijoin_size_estimate_planted_and_floor(spark, sf_dir):
+    """Two-relation CMS join-size estimate: planted disjoint-support
+    vectors (a on keys 1..10, b on keys 6..15) must price the join at
+    exactly sum(a_k*b_k) over the 5 shared keys in EVERY seed (no
+    collisions at 20 keys / 2048 buckets — deterministic forever),
+    and the registered floor must gate True on driver data."""
+    from data_warehouse_project_spark.llm import sketches as S
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(str(i), i) for i in range(1, 11)],
+                              "token string, n_exact long")
+    b = spark.createDataFrame([(str(i), 2 * i) for i in range(6, 16)],
+                              "token string, n_exact long")
+    per_seed = (S.cms_table(a).withColumnRenamed("n", "na")
+                .join(S.cms_table(b).withColumnRenamed("n", "nb"),
+                      ["seed", "bucket"])
+                .groupBy("seed")
+                .agg(F.sum(F.col("na") * F.col("nb")).alias("ip")))
+    exact = sum(i * 2 * i for i in range(6, 11))
+    assert {r["ip"] for r in per_seed.collect()} == {exact}
+
+    row = S.equijoin_size_estimate_floor(spark, sf_dir).collect()[0]
+    assert row["never_underestimates"] is True
+    assert row["slack_le_gate"] is True
+    rep = S.equijoin_size_estimate(spark, sf_dir).collect()[0]
+    assert rep["exact_join_size"] > 0
+    assert rep["est_join_size"] >= rep["exact_join_size"]
