@@ -299,6 +299,12 @@ def _equijoin_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     oc = pin(_key_counts(cat.orders, "o_custkey"))
     ec = pin(_key_counts(cat.events, "user_id"))
+    # inner join on (seed, bucket): a seed with ZERO overlapping cells
+    # drops out rather than contributing ip=0 — one-sidedness is
+    # unaffected (a zero-overlap seed can only exist when the true
+    # join is empty, and every ip ≥ 0 = exact then; the hypothesis
+    # test exercises this corner), and when exact > 0 every seed
+    # shares at least the common keys' buckets, so all d rows appear
     per_seed = (
         cms_table(oc).withColumnRenamed("n", "na")
         .join(cms_table(ec).withColumnRenamed("n", "nb"),

@@ -434,3 +434,98 @@ def test_sessions_incremental_matches_python_model(spark, events, split):
     expected = {(u, s): (t(a), t(b), n, v)
                 for (u, s), (a, b, n, v) in model.items()}
     assert got == expected, (events, split)
+
+
+# ---------------------------------------------------------------------------
+# degree-oriented triangle counting vs a brute-force Python model
+# ---------------------------------------------------------------------------
+
+#: random small order baskets: (order, part) pairs
+_basket_rows = st.lists(
+    st.tuples(st.integers(1, 8), st.integers(1, 12)),
+    min_size=0, max_size=40,
+    unique_by=lambda r: (r[0], r[1]))
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_basket_rows)
+def test_triangles_match_bruteforce_model(spark, rows):
+    """Degree-oriented wedge enumeration over ANY random basket set
+    must count each triangle exactly once per corner — checked
+    against a brute-force Python iteration over all id-ordered node
+    triples of the co-purchase graph (the orientation/apex argument
+    verified by exhaustion, not trusted)."""
+    from data_warehouse_project_spark.plans.graph import (
+        triangle_participation)
+
+    li = spark.createDataFrame(
+        rows or [(0, 0)], "l_orderkey long, l_partkey long")
+    if not rows:
+        li = li.filter(F.lit(False))
+    parts = sorted({p for _, p in rows})
+    part = spark.createDataFrame(
+        [(p, f"p{p}") for p in parts] or [(0, "x")],
+        "p_partkey long, p_name string")
+
+    got = {(r["p_partkey"], r["n_triangles"])
+           for r in triangle_participation(li, part).collect()}
+
+    # brute force: undirected co-purchase edges, then all triples
+    edges = set()
+    by_order: dict[int, set] = {}
+    for o, p in rows:
+        by_order.setdefault(o, set()).add(p)
+    for basket in by_order.values():
+        for a in basket:
+            for b in basket:
+                if a < b:
+                    edges.add((a, b))
+    count: dict[int, int] = {}
+    ps = sorted({x for e in edges for x in e})
+    for i, a in enumerate(ps):
+        for b in ps[i + 1:]:
+            if (a, b) not in edges:
+                continue
+            for c in ps:
+                if c > b and (a, c) in edges and (b, c) in edges:
+                    for n in (a, b, c):
+                        count[n] = count.get(n, 0) + 1
+    expected = set(sorted(count.items(),
+                          key=lambda t: (-t[1], t[0]))[:15])
+    assert got == expected, (rows,)
+
+
+# ---------------------------------------------------------------------------
+# CMS inner-product never-underestimates under forced collisions
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=st.lists(st.tuples(st.integers(1, 3000), st.integers(1, 50)),
+                  min_size=1, max_size=60, unique_by=lambda t: t[0]),
+       b=st.lists(st.tuples(st.integers(1, 3000), st.integers(1, 50)),
+                  min_size=1, max_size=60, unique_by=lambda t: t[0]))
+def test_cms_inner_product_never_underestimates(spark, a, b):
+    """For ANY pair of non-negative key-count vectors (keys drawn
+    from a range wider than the bucket count, so collisions DO
+    occur), every seed's Σ cell_a·cell_b must be ≥ the exact
+    Σ_k a_k·b_k — the structural one-sided-error guarantee both join
+    estimators' floors gate on, exercised here beyond the planted
+    collision-free fixture."""
+    from data_warehouse_project_spark.llm.sketches import cms_table
+
+    da = spark.createDataFrame([(str(k), v) for k, v in a],
+                               "token string, n_exact long")
+    db = spark.createDataFrame([(str(k), v) for k, v in b],
+                               "token string, n_exact long")
+    per_seed = (cms_table(da).withColumnRenamed("n", "na")
+                .join(cms_table(db).withColumnRenamed("n", "nb"),
+                      ["seed", "bucket"])
+                .groupBy("seed")
+                .agg(F.sum(F.col("na") * F.col("nb")).alias("ip")))
+    ips = [r["ip"] for r in per_seed.collect()]
+    bd = dict(b)
+    exact = sum(v * bd[k] for k, v in a if k in bd)
+    assert len(ips) == 4 or exact == 0
+    assert all(ip >= exact for ip in ips), (a, b, ips, exact)
