@@ -211,10 +211,9 @@ JOIN_EST_GATE = 14
 
 
 def _custkey_counts(orders: DataFrame) -> DataFrame:
-    """Per-customer order counts shaped for cms_table reuse (key
-    stringified into the 'token' slot, count into 'n_exact')."""
-    return (orders.groupBy(F.col("o_custkey").cast("string").alias("token"))
-            .agg(F.count("*").cast("long").alias("n_exact")))
+    """Per-customer order counts shaped for cms_table reuse
+    (delegates to the generic _key_counts below)."""
+    return _key_counts(orders, "o_custkey")
 
 
 def _join_size_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,11 +228,16 @@ def _join_size_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_seed = (cms_table(counts)
                 .groupBy("seed")
                 .agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("ip")))
-    est = per_seed.agg(F.min("ip").cast("long").alias("est_join_size"))
+    # coalesce the empty-input corner (SUM/MIN over zero rows is
+    # NULL, which would NULL-poison the floor booleans): an empty
+    # orders table prices an empty join as exactly 0
+    est = per_seed.agg(F.coalesce(F.min("ip"), F.lit(0)).cast("long")
+                       .alias("est_join_size"))
     exact = counts.agg(
-        F.sum(F.col("n_exact") * F.col("n_exact")).cast("long")
-        .alias("exact_join_size"),
-        F.sum("n_exact").cast("long").alias("n_rows"),
+        F.coalesce(F.sum(F.col("n_exact") * F.col("n_exact")), F.lit(0))
+        .cast("long").alias("exact_join_size"),
+        F.coalesce(F.sum("n_exact"), F.lit(0)).cast("long")
+        .alias("n_rows"),
         F.count("*").cast("long").alias("n_keys"))
     return exact.crossJoin(F.broadcast(est))
 
@@ -300,23 +304,27 @@ def _equijoin_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     oc = pin(_key_counts(cat.orders, "o_custkey"))
     ec = pin(_key_counts(cat.events, "user_id"))
     # inner join on (seed, bucket): a seed with ZERO overlapping cells
-    # drops out rather than contributing ip=0 — one-sidedness is
-    # unaffected (a zero-overlap seed can only exist when the true
-    # join is empty, and every ip ≥ 0 = exact then; the hypothesis
-    # test exercises this corner), and when exact > 0 every seed
-    # shares at least the common keys' buckets, so all d rows appear
+    # drops out rather than contributing ip=0. One-sidedness is
+    # unaffected — a zero-overlap seed can only exist when the true
+    # join is empty, and the COALESCEd est/exact price that corner as
+    # 0 ≥ 0 (review round 2: SUM/MIN over empty frames are NULL, which
+    # would otherwise NULL-poison the floor booleans on disjoint key
+    # spaces — unit-tested below with a disjoint planted pair). When
+    # exact > 0 every seed shares at least the common keys' buckets,
+    # so all d rows appear and est = min over all d inner products.
     per_seed = (
         cms_table(oc).withColumnRenamed("n", "na")
         .join(cms_table(ec).withColumnRenamed("n", "nb"),
               ["seed", "bucket"])
         .groupBy("seed")
         .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("ip")))
-    est = per_seed.agg(F.min("ip").cast("long").alias("est_join_size"))
+    est = per_seed.agg(F.coalesce(F.min("ip"), F.lit(0)).cast("long")
+                       .alias("est_join_size"))
     exact = (
         oc.withColumnRenamed("n_exact", "na")
         .join(ec.withColumnRenamed("n_exact", "nb"), "token")
-        .agg(F.sum(F.col("na") * F.col("nb")).cast("long")
-             .alias("exact_join_size")))
+        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+             .cast("long").alias("exact_join_size")))
     totals = oc.agg(F.sum("n_exact").cast("long").alias("n_orders")) \
         .crossJoin(F.broadcast(
             ec.agg(F.sum("n_exact").cast("long").alias("n_events"))))

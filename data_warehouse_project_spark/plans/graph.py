@@ -468,10 +468,13 @@ def triangle_participation(lineitem: DataFrame, part: DataFrame,
               .filter(F.col("a") < F.col("b"))
               .select("a", "b")
               .distinct())
-    deg = (und.select(F.col("a").alias("n"))
-           .unionByName(und.select(F.col("b").alias("n")))
-           .groupBy("n")
-           .agg(F.count("*").cast("long").alias("deg")))
+    # deg is consumed twice in the orientation join (da, db) — pin,
+    # or the edge-sized degree shuffle runs twice (pagerank's deg pin
+    # discipline; round-7 review #2)
+    deg = pin(und.select(F.col("a").alias("n"))
+              .unionByName(und.select(F.col("b").alias("n")))
+              .groupBy("n")
+              .agg(F.count("*").cast("long").alias("deg")))
     da, db = deg.alias("da"), deg.alias("db")
     lower_first = ((F.col("da.deg") < F.col("db.deg"))
                    | ((F.col("da.deg") == F.col("db.deg"))

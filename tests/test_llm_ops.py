@@ -1366,3 +1366,32 @@ def test_equijoin_size_estimate_planted_and_floor(spark, sf_dir):
     rep = S.equijoin_size_estimate(spark, sf_dir).collect()[0]
     assert rep["exact_join_size"] > 0
     assert rep["est_join_size"] >= rep["exact_join_size"]
+
+
+def test_equijoin_estimate_disjoint_keys_prices_zero(spark, tmp_path):
+    """Zero-overlap corner (round-7 review #1): two relations with
+    DISJOINT key spaces must price the join as 0/0 with both floor
+    booleans TRUE — not NULL-poisoned by SUM/MIN over empty frames."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.llm import sketches as S
+
+    spark.createDataFrame(
+        [(i, i, "O", dt.date(2024, 1, 1), 1.0) for i in range(1, 6)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_orderdate date, o_totalprice double",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(i, 100 + i, dt.datetime(2024, 1, 1, 9, i), "click", 1.0, "{}")
+         for i in range(1, 6)],
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    rep = S.equijoin_size_estimate(spark, str(tmp_path)).collect()[0]
+    assert rep["exact_join_size"] == 0
+    assert rep["est_join_size"] >= 0
+    assert rep["overestimate"] == rep["est_join_size"]
+    row = S.equijoin_size_estimate_floor(spark, str(tmp_path)).collect()[0]
+    assert row["never_underestimates"] is True
+    assert row["slack_le_gate"] is True
