@@ -529,3 +529,47 @@ def test_cms_inner_product_never_underestimates(spark, a, b):
     exact = sum(v * bd[k] for k, v in a if k in bd)
     assert len(ips) == 4 or exact == 0
     assert all(ip >= exact for ip in ips), (a, b, ips, exact)
+
+
+# ---------------------------------------------------------------------------
+# allowed-lateness transition maintainer vs the Python model, under
+# ARBITRARY disorder (no ordering contract at all when span < LATENESS)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=_trans_events, mask=st.integers(0, 2**25 - 1))
+def test_late_transitions_any_split_matches_model(spark, events, mask):
+    """With every event inside the lateness window (2 h span < 6 h
+    LATENESS), ANY two-batch partition — selected by an arbitrary
+    bitmask, so batch 2 freely interleaves below batch 1 — must serve
+    exactly the Python full-recompute transition counts. This is the
+    property the strict maintainer provably lacks (its contract
+    requires per-user ts-ordered arrival)."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import late_transitions as L
+
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+    rows = [(u, m, dt.datetime(2024, 1, 1, m // 60, m % 60), et)
+            for u, m, et in events]
+    df = spark.createDataFrame(rows or [(0, 0, dt.datetime(2024, 1, 1), "a")],
+                               schema)
+    if not rows:
+        df = df.filter(F.lit(False))
+    pick = F.pmod(F.col("event_id") * 2654435761 + mask, 3) == 0
+    first, second = df.filter(pick), df.filter(~pick)
+    state = L.merge_late_transitions_state(
+        L.late_transitions_state(first), second)
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in L.state_to_report(state).collect()}
+
+    model: dict[tuple[str, str], int] = {}
+    by_user: dict[int, list] = {}
+    for u, m, et in sorted(events, key=lambda r: (r[0], r[1])):
+        by_user.setdefault(u, []).append(et)
+    for seq in by_user.values():
+        for a, b in zip(seq, seq[1:]):
+            model[(a, b)] = model.get((a, b), 0) + 1
+    assert got == model, (events, mask)
+    assert L.dropped_late_count(state) == 0

@@ -1175,3 +1175,124 @@ def test_sessions_fold_replay_is_idempotent(spark, tmp_path):
            (r["n_events"], r["session_value"])
            for r in S.state_to_view(spark.read.parquet(state)).collect()}
     assert got == {(1, 1): (3, 7.00)}
+
+
+# ---------------------------------------------------------------------------
+# allowed-lateness transition maintainer (streaming/late_transitions.py)
+# ---------------------------------------------------------------------------
+
+def test_late_transitions_fix_disorder_strict_miscounts(spark, tmp_path):
+    """The capability is non-vacuous: an event arriving one batch late
+    BETWEEN two already-seen events (5 h disorder < 6 h LATENESS) is
+    handled correctly by the watermark maintainer — and demonstrably
+    MIScounted by the strict-ordered maintainer on the same feed,
+    which is exactly the documented contract gap this module closes."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import (late_transitions as L,
+                                                        transitions as T)
+
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 1, h), et) for u, e, h, et in rows],
+            schema)
+
+    b0 = batch([(1, 10, 0, "a"), (1, 11, 10, "c")])
+    b1 = batch([(1, 20, 5, "b")])          # lands BETWEEN a and c
+
+    late_state = L.merge_late_transitions_state(
+        L.late_transitions_state(b0), b1)
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in L.state_to_report(late_state).collect()}
+    assert got == {("a", "b"): 1, ("b", "c"): 1}
+    assert L.dropped_late_count(late_state) == 0
+
+    strict = {(r["prev_type"], r["next_type"]): r["n"]
+              for r in T.state_to_report(T.merge_transitions_state(
+                  T.transitions_state(b0), b1)).collect()}
+    assert strict == {("a", "c"): 1}       # the documented miscount
+
+
+def test_late_transitions_drops_and_counts_beyond_horizon(spark, tmp_path):
+    """An event more disordered than LATENESS is dropped loudly (the
+    watermark contract): it must not appear in any transition AND the
+    dropped metric must count it."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import late_transitions as L
+
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 2, h), et) for u, e, h, et in rows],
+            schema)
+
+    b0 = batch([(1, 10, 0, "a"), (1, 11, 10, "c")])   # wm=10h, horizon=4h
+    b1 = batch([(1, 20, 3, "x")])                      # 3h ≤ horizon: late
+    state = L.merge_late_transitions_state(L.late_transitions_state(b0), b1)
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in L.state_to_report(state).collect()}
+    assert got == {("a", "c"): 1}
+    assert L.dropped_late_count(state) == 1
+
+
+def test_late_transitions_fold_replay_is_idempotent(spark, tmp_path):
+    """Batch-id replay guard on the shared fold template."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import late_transitions as L
+
+    state = str(tmp_path / "state")
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 1, h, m), et)
+             for u, e, h, m, et in rows], schema)
+
+    b0 = batch([(1, 10, 9, 0, "a"), (1, 11, 9, 30, "b")])
+    b1 = batch([(1, 20, 10, 0, "c")])
+    assert L.fold_batch_into_state(b0, 0, state) is True
+    assert L.fold_batch_into_state(b1, 1, state) is True
+    assert L.fold_batch_into_state(b1, 1, state) is False
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in L.state_to_report(spark.read.parquet(state)).collect()}
+    assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_late_transitions_maintainer_restart_with_disorder(spark, tmp_path):
+    """foreachBatch + checkpoint restart across a disordered feed:
+    the served report converges to the batch twin's full recompute on
+    everything the watermark admitted."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import late_transitions as L
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+
+    def feed(rows):
+        spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 1, h), et) for u, e, h, et in rows],
+            schema).coalesce(1).write.mode("append").parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        L.run_late_transitions_maintainer(stream, state, ck)
+
+    feed([(1, 10, 0, "a"), (1, 11, 10, "c"), (2, 12, 8, "a")])
+    run()
+    feed([(1, 20, 5, "b"), (2, 21, 9, "b")])    # both within lateness
+    run()
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in L.state_to_report(spark.read.parquet(state)).collect()}
+    assert got == {("a", "b"): 2, ("b", "c"): 1}
+    run()                                        # no new data: unchanged
+    again = {(r["prev_type"], r["next_type"]): r["n"]
+             for r in L.state_to_report(spark.read.parquet(state)).collect()}
+    assert again == got
