@@ -86,6 +86,7 @@ HEADLINE = [
     "events_sessions_incremental",  # open-session carry-state sessionizer (new r7)
     "part_triangle_participation",  # degree-oriented triangle counting (new r7)
     "events_transitions_late_tolerant",  # watermark/out-of-order miner (new r7)
+    "events_sessions_late_tolerant",  # watermark sessionizer, bridging (new r7)
 ]
 # doc_zipf_fit is deliberately NOT in the headline: its corpus-scale
 # work is the same explode→term-count shuffle vocab_top_terms already

@@ -48,8 +48,8 @@ def _register_modules() -> None:
                         dashboard, graph, incremental, poststate,
                         timeseries, tpch, tpch_deep, warehouse)
     from .streaming import (batch_parity, distinct_users,  # noqa: F401
-                            funnel_state, late_transitions, sessions,
-                            transitions, ttl_window)
+                            funnel_state, late_sessions, late_transitions,
+                            sessions, transitions, ttl_window)
     from .llm import (bpe, bridge, clusters, compress, dedup,  # noqa: F401
                       distributions, importance, index, langmix, manifest,
                       multimodal, pipeline, quality, refinery, repetition,
@@ -83,8 +83,8 @@ def _register_modules() -> None:
 #:   pca_projection_floor, hybrid_retrieval_rrf,
 #:   weighted_reservoir_sample, events_sessions_incremental,
 #:   part_triangle_participation, join_size_estimate(+_floor),
-#:   equijoin_size_estimate(+_floor),
-#:   events_transitions_late_tolerant) join the round-9 cohort.
+#:   equijoin_size_estimate(+_floor), events_transitions_late_tolerant,
+#:   events_sessions_late_tolerant) join the round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a

@@ -23,9 +23,10 @@ Ordering contract: batches must arrive ts-ordered PER USER (every
 event in batch N+1 is at or after the user's carried last event) —
 the watermark-finalized arrival order a production feed provides.
 Within a batch, order is free (the LAG window sorts). Out-of-order
-cross-batch arrivals would need a retraction path; that is the same
-finalization assumption the tumbling/sessionize jobs make via
-watermarks (streaming/jobs.py).
+cross-batch arrivals are handled by streaming/late_transitions.py
+(allowed-lateness buffer + finalize-below-horizon — watermark
+discipline, no retractions); this strict form stays the cheaper
+O(users) state for feeds that really are ordered.
 
 Scale: per batch, one user_id-keyed window over (batch ∪ carries for
 users in the batch — bounded by batch size + active users), a tiny

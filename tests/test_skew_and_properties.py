@@ -573,3 +573,70 @@ def test_late_transitions_any_split_matches_model(spark, events, mask):
             model[(a, b)] = model.get((a, b), 0) + 1
     assert got == model, (events, mask)
     assert L.dropped_late_count(state) == 0
+
+
+# ---------------------------------------------------------------------------
+# allowed-lateness sessionizer vs the Python model under ARBITRARY disorder
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=_sess_events, mask=st.integers(0, 2**25 - 1))
+def test_late_sessions_any_split_matches_model(spark, events, mask):
+    """With every event inside the lateness window (minutes capped
+    at 340 < LATENESS's 6 h, so no draw can be dropped as too-late),
+    ANY bitmask split must serve exactly the Python gaps-and-islands
+    model: numbering, bounds, counts, dsum-exact sums. Spans several
+    30-min gap boundaries, so splits routinely deliver bridging and
+    back-extending events out of order."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import late_sessions as L
+    from data_warehouse_project_spark.streaming.batch_parity import (
+        SESSION_GAP_S)
+
+    # cap disorder inside LATENESS: minutes 0..340 (< 6 h)
+    events = [(u, m % 341, c) for u, m, c in events]
+    seen = set(); dedup = []
+    for u, m, c in events:
+        if (u, m) not in seen:
+            seen.add((u, m)); dedup.append((u, m, c))
+    events = dedup
+
+    schema = ("user_id long, event_id long, ts timestamp, "
+              "event_type string, value double")
+    rows = [(u, m, dt.datetime(2024, 1, 1, m // 60, m % 60), "e", c / 100.0)
+            for u, m, c in events]
+    df = spark.createDataFrame(
+        rows or [(0, 0, dt.datetime(2024, 1, 1), "e", 0.0)], schema)
+    if not rows:
+        df = df.filter(F.lit(False))
+    pick = F.pmod(F.col("event_id") * 2654435761 + mask, 3) == 0
+    first, second = df.filter(pick), df.filter(~pick)
+    state = L.merge_late_sessions_state(L.late_sessions_state(first), second)
+    got = {(r["user_id"], r["session_seq"]):
+           (r["session_start"], r["session_end"], r["n_events"],
+            r["session_value"])
+           for r in L.state_to_view(state).collect()}
+
+    model = {}
+    by_user: dict[int, list] = {}
+    for u, m, c in sorted(events, key=lambda r: (r[0], r[1])):
+        by_user.setdefault(u, []).append((m, c))
+    for u, seq in by_user.items():
+        sid, start, vq, n, prev_m = 0, None, 0, 0, None
+        for m, c in seq:
+            if prev_m is None or (m - prev_m) * 60 > SESSION_GAP_S:
+                if start is not None:
+                    model[(u, sid)] = (start, prev_m, n,
+                                       ((vq + 50) // 100) / 100.0)
+                sid, start, vq, n = sid + 1, m, 0, 0
+            vq += c * 100
+            n += 1
+            prev_m = m
+        model[(u, sid)] = (start, prev_m, n, ((vq + 50) // 100) / 100.0)
+    t = lambda m: dt.datetime(2024, 1, 1, m // 60, m % 60)  # noqa: E731
+    expected = {(u, s): (t(a), t(b), n, v)
+                for (u, s), (a, b, n, v) in model.items()}
+    assert got == expected, (events, mask)
+    assert L.dropped_late_count(state) == 0

@@ -1296,3 +1296,143 @@ def test_late_transitions_maintainer_restart_with_disorder(spark, tmp_path):
     again = {(r["prev_type"], r["next_type"]): r["n"]
              for r in L.state_to_report(spark.read.parquet(state)).collect()}
     assert again == got
+
+
+# ---------------------------------------------------------------------------
+# allowed-lateness sessionizer (streaming/late_sessions.py)
+# ---------------------------------------------------------------------------
+
+def test_late_sessions_fix_disorder_strict_miscounts(spark, tmp_path):
+    """Non-vacuity: a late event at 0:40 (inside LATENESS) must EXTEND
+    the session that starts at 1:00 backwards — truth is sessions
+    {0:00} and {0:40, 1:00}. The watermark sessionizer gets it right;
+    the strict-ordered sessionizer on the same feed demonstrably does
+    not (its carry stitches forward only)."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import (late_sessions as L,
+                                                        sessions as S)
+
+    schema = ("user_id long, event_id long, ts timestamp, "
+              "event_type string, value double")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 1, h, m), "e", v)
+             for u, e, h, m, v in rows], schema)
+
+    b0 = batch([(1, 10, 0, 0, 1.00), (1, 11, 1, 0, 4.00)])
+    b1 = batch([(1, 20, 0, 40, 2.00)])      # bridges backwards
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    late_state = L.merge_late_sessions_state(L.late_sessions_state(b0), b1)
+    got = {(r["user_id"], r["session_seq"]):
+           (r["session_start"], r["session_end"], r["n_events"],
+            r["session_value"])
+           for r in L.state_to_view(late_state).collect()}
+    assert got == {
+        (1, 1): (t(0, 0), t(0, 0), 1, 1.00),
+        (1, 2): (t(0, 40), t(1, 0), 2, 6.00),
+    }
+    assert L.dropped_late_count(late_state) == 0
+
+    strict = {(r["user_id"], r["session_seq"]):
+              (r["session_start"], r["session_end"], r["n_events"],
+               r["session_value"])
+              for r in S.state_to_view(S.merge_sessions_state(
+                  S.sessions_state(b0), b1)).collect()}
+    assert strict != got                    # the documented miscount
+
+
+def test_late_sessions_drops_and_counts_beyond_horizon(spark, tmp_path):
+    """An event more disordered than LATENESS is dropped loudly."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import late_sessions as L
+
+    schema = ("user_id long, event_id long, ts timestamp, "
+              "event_type string, value double")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 2, h), "e", v)
+             for u, e, h, v in rows], schema)
+
+    b0 = batch([(1, 10, 0, 1.0), (1, 11, 10, 1.0)])   # wm=10h, horizon=4h
+    b1 = batch([(1, 20, 3, 9.0)])                      # 3h ≤ horizon: late
+    state = L.merge_late_sessions_state(L.late_sessions_state(b0), b1)
+    view = {(r["user_id"], r["session_seq"]): r["n_events"]
+            for r in L.state_to_view(state).collect()}
+    assert view == {(1, 1): 1, (1, 2): 1}              # late event absent
+    assert L.dropped_late_count(state) == 1
+
+
+def test_late_sessions_fold_replay_is_idempotent(spark, tmp_path):
+    """Batch-id replay guard on the shared fold template."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import late_sessions as L
+
+    state = str(tmp_path / "state")
+    schema = ("user_id long, event_id long, ts timestamp, "
+              "event_type string, value double")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 1, h, m), "e", v)
+             for u, e, h, m, v in rows], schema)
+
+    b0 = batch([(1, 10, 9, 0, 1.00), (1, 11, 9, 10, 2.00)])
+    b1 = batch([(1, 20, 9, 30, 4.00)])
+    assert L.fold_batch_into_state(b0, 0, state) is True
+    assert L.fold_batch_into_state(b1, 1, state) is True
+    assert L.fold_batch_into_state(b1, 1, state) is False
+    got = {(r["user_id"], r["session_seq"]):
+           (r["n_events"], r["session_value"])
+           for r in L.state_to_view(spark.read.parquet(state)).collect()}
+    assert got == {(1, 1): (3, 7.00)}
+
+
+def test_late_sessions_maintainer_restart_with_disorder(spark, tmp_path):
+    """foreachBatch + checkpoint restart across a disordered feed
+    must serve the batch twin's full recompute (the bridged session
+    crosses the restart boundary backwards)."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import (late_sessions as L,
+                                                        sessions as S)
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    schema = ("user_id long, event_id long, ts timestamp, "
+              "event_type string, value double")
+
+    def feed(rows):
+        spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 1, h, m), "e", v)
+             for u, e, h, m, v in rows], schema,
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        L.run_late_sessions_maintainer(stream, state, ck)
+
+    feed([(1, 10, 0, 0, 1.0), (1, 11, 1, 0, 2.0), (2, 12, 0, 30, 3.0)])
+    run()
+    feed([(1, 20, 0, 40, 4.0), (2, 21, 0, 45, 5.0)])   # disorder for u1
+    run()
+
+    def view(df):
+        return {(r["user_id"], r["session_seq"]):
+                (r["session_start"], r["session_end"], r["n_events"],
+                 r["session_value"])
+                for r in df.collect()}
+
+    got = view(L.state_to_view(spark.read.parquet(state)))
+    # full recompute on everything landed (all inside lateness)
+    full = view(S.state_to_view(S.sessions_state(
+        spark.read.parquet(landing))))
+    assert got == full
+    run()
+    assert view(L.state_to_view(spark.read.parquet(state))) == got
