@@ -3,7 +3,11 @@ form of plans/analytics.events_funnel_conversion.
 
 State = the funnel's sufficient statistic: one row per user with the
 stage entry timestamps (t_view, t_click, t_purchase). Under the same
-ts-ordered-arrival contract as the transition miner
+ts-ordered-arrival contract as the transition miner (for feeds that
+violate it, late_transitions.py / late_sessions.py show the
+allowed-lateness watermark pattern this funnel would adopt: buffer
+the in-window tail, finalize stage minima only below horizon − 24h
+window reach)
 (streaming/transitions.py module docstring) the state is replay-exact:
 every new event sorts at-or-after everything the user has already
 produced, so (1) t_view — the FIRST view — can never move once set,
