@@ -139,12 +139,18 @@ def _assemble(final: DataFrame, buffer: DataFrame, wm_ts, dropped: int,
     return s.unionByName(b).unionByName(w)
 
 
-def _number_finals(final: DataFrame, base: DataFrame) -> DataFrame:
+def _number_finals(final: DataFrame, base: DataFrame | None) -> DataFrame:
     """Assign per-user session_seq to newly finalized sessions:
-    prior max finalized seq (0 if none) + rank by start order."""
+    prior max finalized seq (0 if none) + rank by start order. A None
+    base (the bootstrap fold — nothing finalized before) skips the
+    join and numbers from 1."""
     w = Window.partitionBy("user_id").orderBy("session_start",
                                               "session_end")
-    return (final.join(base, "user_id", "left")
+    if base is None:
+        joined = final.withColumn("max_seq", F.lit(None).cast("long"))
+    else:
+        joined = final.join(base, "user_id", "left")
+    return (joined
             .select("user_id",
                     (F.coalesce(F.col("max_seq"), F.lit(0))
                      + F.row_number().over(w)).cast("long")
@@ -164,38 +170,22 @@ def late_sessions_state(events: DataFrame) -> DataFrame:
     horizon = (dt.datetime(1970, 1, 2) if wm is None
                else wm - dt.timedelta(seconds=LATENESS_S))
     final, buffer = _split_final(ev, horizon)
-    no_base = (final.select("user_id").distinct()
-               .withColumn("max_seq", F.lit(None).cast("long")))
-    return _assemble(_number_finals(final, no_base), buffer,
-                     wm, 0, spark)
+    return _assemble(_number_finals(final, None), buffer, wm, 0, spark)
 
 
 def merge_late_sessions_state(prev: DataFrame,
                               batch_events: DataFrame) -> DataFrame:
-    """Fold one arbitrarily-ordered batch (see module docstring)."""
-    import datetime as dt
-
+    """Fold one arbitrarily-ordered batch (see module docstring;
+    admission is strictly above the previous horizon — the shared
+    state_fold.watermark_prologue holds the one copy of that
+    correctness argument)."""
+    from .state_fold import watermark_prologue
     spark = prev.sparkSession
     ev = _event_rows(batch_events)
-    wrow = prev.filter(F.col("kind") == "w").select("wm", "dropped") \
-        .collect()[0]
-    wm_old, dropped = wrow["wm"], wrow["dropped"]
-    horizon_old = (None if wm_old is None
-                   else wm_old - dt.timedelta(seconds=LATENESS_S))
-    late_flag = (F.lit(0) if horizon_old is None
-                 else (F.col("ts") <= F.lit(horizon_old)).cast("int"))
-    brow = ev.agg(F.max("ts").alias("m"),
-                  F.coalesce(F.sum(late_flag), F.lit(0)).alias("nl")) \
-        .collect()[0]
-    batch_max, n_late = brow["m"], int(brow["nl"])
-    wm_new = (wm_old if batch_max is None
-              else batch_max if wm_old is None
-              else max(wm_old, batch_max))
+    _, dropped, wm_new, horizon_new, admitted, n_late = \
+        watermark_prologue(prev, ev, LATENESS_S)
     if wm_new is None:
         return prev
-    horizon_new = wm_new - dt.timedelta(seconds=LATENESS_S)
-    admitted = (ev if horizon_old is None
-                else ev.filter(F.col("ts") > F.lit(horizon_old)))
 
     buffer_prev = (prev.filter(F.col("kind") == "b")
                    .select("user_id", "event_id", "ts", "vq"))

@@ -18,8 +18,10 @@ Instead of retracting, this maintainer refuses to finalize early:
   unfinalized tail) plus ONE anchor — the user's latest event at or
   below the horizon, the predecessor of the first unfinalized
   transition;
-- each fold admits batch events at or above the PREVIOUS horizon
-  (older ones are dropped and counted — the watermark contract),
+- each fold admits batch events STRICTLY above the PREVIOUS horizon
+  (ties at the horizon and older are dropped and counted — the
+  watermark contract; strictness is what makes finalized counts
+  permanent, see state_fold.watermark_prologue),
   sorts (buffer ∪ admitted) per user, and finalizes exactly the
   consecutive pairs whose LATER endpoint is at or below the NEW
   horizon: no future event can ever insert below the horizon, so a
@@ -109,9 +111,7 @@ def _tail_split(events: DataFrame, horizon) -> tuple[DataFrame, DataFrame]:
     everything above the horizon plus one anchor per user (the latest
     event ≤ horizon)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = (events
-           .withColumn("prev_type2", F.lag("event_type").over(w))
-           .withColumn("prev_ts", F.lag("ts").over(w)))
+    seq = events.withColumn("prev_type2", F.lag("event_type").over(w))
     delta = (seq.filter(F.col("prev_type2").isNotNull()
                         & (F.col("ts") <= F.lit(horizon)))
              .groupBy(F.col("prev_type2").alias("prev_type"),
@@ -152,41 +152,16 @@ def late_transitions_state(events: DataFrame) -> DataFrame:
 
 def merge_late_transitions_state(prev: DataFrame,
                                  batch_events: DataFrame) -> DataFrame:
-    """Fold one arbitrarily-ordered batch: admit events at or above
-    the PREVIOUS horizon (drop-and-count older), advance the
+    """Fold one arbitrarily-ordered batch: admit events strictly
+    above the PREVIOUS horizon (drop-and-count the rest), advance the
     watermark, finalize newly-below-horizon pairs, re-buffer."""
-    import datetime as dt
-
+    from .state_fold import watermark_prologue
     spark = prev.sparkSession
     ev = _events_cols(batch_events)
-    wrow = prev.filter(F.col("kind") == "w").select("wm", "dropped") \
-        .collect()[0]
-    wm_old, dropped = wrow["wm"], wrow["dropped"]
-    horizon_old = (None if wm_old is None
-                   else wm_old - dt.timedelta(seconds=LATENESS_S))
-    # ONE batch-metadata action: max ts + late count together (two
-    # separate collects doubled the per-fold batch scans)
-    late_flag = (F.lit(0) if horizon_old is None
-                 else (F.col("ts") <= F.lit(horizon_old)).cast("int"))
-    brow = ev.agg(F.max("ts").alias("m"),
-                  F.coalesce(F.sum(late_flag), F.lit(0)).alias("nl")) \
-        .collect()[0]
-    batch_max, n_late = brow["m"], int(brow["nl"])
-    wm_new = (wm_old if batch_max is None
-              else batch_max if wm_old is None
-              else max(wm_old, batch_max))
+    _, dropped, wm_new, horizon_new, admitted, n_late = \
+        watermark_prologue(prev, ev, LATENESS_S)
     if wm_new is None:           # still no events anywhere
         return prev
-    horizon_new = wm_new - dt.timedelta(seconds=LATENESS_S)
-
-    if horizon_old is not None:
-        # STRICTLY above: finalized pairs end at ts ≤ horizon, so a
-        # strictly-greater admitted event can never insert below one —
-        # the ≥ form would let a tie exactly AT the horizon slip under
-        # an already-finalized anchor pair (id-order interleave)
-        admitted = ev.filter(F.col("ts") > F.lit(horizon_old))
-    else:
-        admitted = ev
 
     buffer_prev = (prev.filter(F.col("kind") == "b")
                    .select("user_id", "ts", "event_id", "event_type"))

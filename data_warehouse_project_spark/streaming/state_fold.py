@@ -70,3 +70,43 @@ def run_maintainer(events_stream: DataFrame, state_path: str,
     )
     q.awaitTermination()
     return q
+
+
+def watermark_prologue(prev: DataFrame, ev: DataFrame, lateness_s: int):
+    """Shared watermark-fold prologue for the allowed-lateness
+    maintainers (late_transitions.py, late_sessions.py) — ONE copy of
+    the subtle part: read the 'w' row, merge the batch's max-ts and
+    late-count into a single action, advance the watermark, and admit
+    events STRICTLY above the previous horizon.
+
+    Strictness is correctness-critical, not style: finalized work ends
+    at ts ≤ horizon, so a strictly-greater admitted event can never
+    insert below it — the ≥ form would let a tie exactly AT the
+    horizon slip under an already-finalized boundary (id-order
+    interleave). An event exactly LATENESS late is therefore DROPPED
+    and counted, which both modules' docstrings state as the contract.
+
+    Returns (wm_old, dropped_old, wm_new, horizon_new, admitted,
+    n_late), with wm_new None iff no event has ever been seen.
+    """
+    import datetime as dt
+
+    wrow = prev.filter(F.col("kind") == "w").select("wm", "dropped") \
+        .collect()[0]
+    wm_old, dropped = wrow["wm"], wrow["dropped"]
+    horizon_old = (None if wm_old is None
+                   else wm_old - dt.timedelta(seconds=lateness_s))
+    late_flag = (F.lit(0) if horizon_old is None
+                 else (F.col("ts") <= F.lit(horizon_old)).cast("int"))
+    brow = ev.agg(F.max("ts").alias("m"),
+                  F.coalesce(F.sum(late_flag), F.lit(0)).alias("nl")) \
+        .collect()[0]
+    batch_max, n_late = brow["m"], int(brow["nl"])
+    wm_new = (wm_old if batch_max is None
+              else batch_max if wm_old is None
+              else max(wm_old, batch_max))
+    horizon_new = (None if wm_new is None
+                   else wm_new - dt.timedelta(seconds=lateness_s))
+    admitted = (ev if horizon_old is None
+                else ev.filter(F.col("ts") > F.lit(horizon_old)))
+    return wm_old, dropped, wm_new, horizon_new, admitted, n_late
