@@ -87,6 +87,7 @@ HEADLINE = [
     "part_triangle_participation",  # degree-oriented triangle counting (new r7)
     "events_transitions_late_tolerant",  # watermark/out-of-order miner (new r7)
     "events_sessions_late_tolerant",  # watermark sessionizer, bridging (new r7)
+    "kmv_customer_overlap",        # bottom-k set-overlap sketches (new r7)
 ]
 # doc_zipf_fit is deliberately NOT in the headline: its corpus-scale
 # work is the same explode→term-count shuffle vocab_top_terms already
@@ -99,7 +100,9 @@ HEADLINE = [
 # bm25_top_docs + knn_brute_cosine (both measured) plus an O(k)
 # fusion; weighted_reservoir_sample is a single narrow scan into
 # TakeOrdered(50) — sub-second by construction at any sf that fits
-# one host.
+# one host. kmv_accuracy_floor adds only the exact distinct + 7-year
+# self-join on top of kmv_customer_overlap's measured sketch build —
+# the floor's extra work is the oracle side, not engine work.
 
 # Log note (VERDICT r5 #8): repeated `WindowExec: No Partition
 # Defined` warnings in this bench's stderr come from the documented

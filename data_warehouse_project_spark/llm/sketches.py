@@ -33,7 +33,7 @@ boolean.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from ..sources.catalog import Catalog
@@ -365,3 +365,296 @@ def equijoin_size_estimate_floor(spark: SparkSession,
 register("equijoin_size_estimate", equijoin_size_estimate, None)
 register("equijoin_size_estimate_floor", equijoin_size_estimate_floor,
          JOIN_SIZE_FLOOR_SQL)
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-value sketches — mergeable set-
+# operation cardinality (Beyer, Haas, Reinwald, Sismanis, Gemulla,
+# SIGMOD 2007). Completes the sketch family: HLL answers "how many
+# distinct" (plans/incremental.py), CMS answers "how often / how big
+# a join" (above), MinHash answers "how similar are two documents"
+# (llm/dedup.py) — KMV answers "how big is the INTERSECTION / UNION
+# of two distinct-sets" from k-row summaries, without the exact
+# distinct self-join. Application here: year-over-year returning-
+# customer overlap on orders — each year's distinct o_custkey set is
+# summarized by its k smallest xxhash64 values; |A∪B| and |A∩B| for
+# consecutive years come from merging two k-row sketches.
+#
+# Plan shape (the part that must survive 100 TB): the only corpus-
+# sized shuffle is the distinct (year, hash) dedup — the same shuffle
+# class as ANY distinct count, with map-side partial aggregation.
+# Truncation is two-level so no single task ever sorts a year's full
+# hash set: level 1 takes bottom-k per (year, salt) over KMV_SALT
+# salt buckets (bounded window partitions), level 2 takes bottom-k of
+# the ≤ SALT·k survivors. Level-2 output ≡ true global bottom-k: any
+# of a year's k smallest hashes is necessarily among the k smallest
+# of its own salt bucket. After truncation EVERYTHING downstream
+# (per-year estimates, all pairwise union/intersection estimates) is
+# arithmetic over ≤ k rows per group — the sketch is built once and
+# prices any number of overlap questions without rescanning orders,
+# and merges across batches/partitions by "union hashes, re-truncate"
+# (same mergeable-state discipline as the HLL/CMS maintainers).
+#
+# Estimator (all IEEE-exact +,/ on doubles — no libm call, so none of
+# the cross-platform log2 rounding residual documented in
+# functions/compat.py): map h ∈ [-2^63, 2^63) to u ∈ (0, 1] via
+# u = (h + 2^63 + 2^11) / 2^64 — the 2^11 is exactly one ulp at that
+# magnitude (a literal +1 would be absorbed), keeping u > 0 even at
+# the h = −2^63 corner at a bias of 2^−53, orders below estimator
+# noise; with the k-th smallest value u_k,
+#   n̂ = (k − 1) / u_k            (unbiased; RSE ≈ 1/√(k−2))
+# and for two sketches, with K = bottom-k of the merged hash set,
+#   ρ̂ = |{h ∈ K : h ∈ both sketches}| / |K|,   |A∩B|̂ = ρ̂ · |A∪B|̂.
+# A group with fewer than k distinct values keeps them all and
+# reports the exact count (the estimate degrades gracefully to
+# exact). On driver data every year is saturated at every sf
+# (85–120 / ~1 170 / ~11 700 distinct customers per year vs k = 64),
+# so the estimator path — not the fallback — is what the gates probe.
+#
+# Oracle: xxhash64 is engine-defined → the overlap report registers
+# rows-only; the accuracy FLOOR registers against a pinned-constant
+# oracle (cms_accuracy_floor pattern): deterministic pipeline + fixed
+# data ⇒ structural truths (sketch size ≤ k, intersection ≤ union,
+# pair count = years − 1) and generous measured-margin error gates
+# hash-match constants, while any estimator regression (hash drift,
+# truncation bug, merge bug, u-mapping slip) flips a boolean.
+# --------------------------------------------------------------------------
+
+#: sketch size: k smallest hash values per group. 64 keeps every
+#: driver-data year saturated at sf0.001 (min 85 distinct) so the
+#: gates exercise the estimator, not the exact fallback.
+KMV_K = 64
+
+#: level-1 truncation fan-out (bounds any single window partition)
+KMV_SALT = 16
+
+#: per-year distinct-count gate: max relative error ≤ 45% — vs the
+#: k=64 theory RSE of 1/√62 ≈ 12.7% (3.5σ headroom, so the gate
+#: survives a driver testdata regeneration re-rolling the hash draws:
+#: P(any of 7 years exceeding 3.5σ) ≲ 0.2%); measured driver-data max
+#: across all years: 12.7% (sf0.001), 24.3% (sf0.01), 16.2% (sf0.1)
+KMV_DIST_GATE_PCT = 45
+
+#: pairwise-intersection gate: max relative error ≤ 60% — the ρ̂
+#: binomial noise (RSE ≈ √((1−ρ)/(ρk)) ≈ 8% at ρ≈0.66) stacks on the
+#: union estimate's ~12.7%, giving ~15% combined per-pair σ (4σ
+#: headroom); measured driver-data max across all consecutive-year
+#: pairs: 19.0% (sf0.001), 30.1% (sf0.01), 13.5% (sf0.1)
+KMV_INTER_GATE_PCT = 60
+
+
+def _kmv_u(hcol):
+    """h ∈ [-2^63, 2^63) → u ∈ (0, 1], order-preserving. The 2^11
+    offset is one double-ulp at 2^63 (see section comment)."""
+    return ((hcol.cast("double") + F.lit(float(2 ** 63) + 2048.0))
+            / F.lit(float(2 ** 64)))
+
+
+def kmv_sketch(df: DataFrame, group_col, key_col,
+               k: int = KMV_K) -> DataFrame:
+    """(g, h, r): the k smallest distinct xxhash64(key) per group,
+    rank-ordered. Two-level truncation (see section comment) so no
+    window partition exceeds the salt bucket's share of one group's
+    distinct set."""
+    d = (df.select(F.col(group_col).cast("long").alias("g"),
+                   F.xxhash64(F.col(key_col).cast("string")).alias("h"))
+         .distinct()
+         .withColumn("s", F.pmod(F.col("h"), F.lit(KMV_SALT))))
+    w1 = Window.partitionBy("g", "s").orderBy("h")
+    lvl1 = (d.withColumn("r1", F.row_number().over(w1))
+            .filter(F.col("r1") <= k).drop("r1", "s"))
+    w2 = Window.partitionBy("g").orderBy("h")
+    return (lvl1.withColumn("r", F.row_number().over(w2))
+            .filter(F.col("r") <= k))
+
+
+def kmv_estimates(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(g, kk, est): distinct-count estimate per group — (k−1)/u_k
+    when the sketch is saturated, the exact kept-row count when the
+    whole set fit."""
+    return (sketch.groupBy("g")
+            .agg(F.count("*").alias("kk"), F.max("h").alias("hk"))
+            .select("g", "kk",
+                    F.when(F.col("kk") < k, F.col("kk").cast("double"))
+                    .otherwise(F.lit(float(k - 1)) / _kmv_u(F.col("hk")))
+                    .alias("est")))
+
+
+def kmv_pair_estimates(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(p, kk, n_both, est_union, est_inter) for every consecutive
+    group pair (p, p+1) where both groups exist: merge the two k-row
+    sketches, re-truncate to bottom-k (≡ the union's true sketch),
+    and apply the ρ̂ intersection estimator. Work per pair is ≤ 2k
+    rows end-to-end."""
+    a = sketch.select(F.col("g").alias("p"), "h",
+                      F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    b = sketch.select((F.col("g") - 1).alias("p"), "h",
+                      F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    groups = sketch.select("g").distinct()
+    valid = (groups.join(
+        groups.select((F.col("g") - 1).alias("g")), "g")
+        .select(F.col("g").alias("p")))
+    merged = (a.unionByName(b)
+              .join(F.broadcast(valid), "p")
+              .groupBy("p", "h")
+              .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib")))
+    w = Window.partitionBy("p").orderBy("h")
+    trunc = (merged.withColumn("r", F.row_number().over(w))
+             .filter(F.col("r") <= k))
+    agg = (trunc.groupBy("p")
+           .agg(F.count("*").alias("kk"), F.max("h").alias("hk"),
+                F.sum(F.col("ia") * F.col("ib")).cast("long")
+                .alias("n_both")))
+    est_union = F.when(F.col("kk") < k, F.col("kk").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) / _kmv_u(F.col("hk")))
+    return agg.select(
+        "p", "kk", "n_both", est_union.alias("est_union"),
+        (F.col("n_both") / F.col("kk") * est_union).alias("est_inter"))
+
+
+def _kmv_year_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders
+    return kmv_sketch(
+        orders.select(F.year("o_orderdate").alias("y"), "o_custkey"),
+        "y", "o_custkey")
+
+
+def kmv_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query (rows-only: xxhash64 is engine-defined):
+    year-over-year returning-customer overlap priced entirely from
+    k-row sketches — per consecutive year pair, the estimated union,
+    intersection, and Jaccard (ppm) of the two years' distinct
+    customer sets."""
+    from ..cache import pin
+    sketch = pin(_kmv_year_sketch(spark, sf_dir))
+    per_year = kmv_estimates(sketch)
+    pairs = kmv_pair_estimates(sketch)
+    return (pairs
+            .join(per_year.select(F.col("g").alias("p"),
+                                  F.col("est").alias("est_a")), "p")
+            .join(per_year.select((F.col("g") - 1).alias("p"),
+                                  F.col("est").alias("est_b")), "p")
+            .select(F.col("p").cast("long").alias("year_a"),
+                    (F.col("p") + 1).cast("long").alias("year_b"),
+                    F.round("est_a").cast("long").alias("est_distinct_a"),
+                    F.round("est_b").cast("long").alias("est_distinct_b"),
+                    F.round("est_union").cast("long").alias("est_union"),
+                    F.round("est_inter").cast("long")
+                    .alias("est_intersection"),
+                    F.round(F.col("n_both") / F.col("kk") * 1e6)
+                    .cast("long").alias("est_jaccard_ppm"))
+            .orderBy("year_a"))
+
+
+def kmv_accuracy_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible KMV quality gate, pinned-constant oracle: one
+    row asserting (a) every per-year sketch holds ≤ k rows (truncation
+    discipline), (b) every consecutive-year pair is priced and
+    intersection ≤ union (ρ̂ ≤ 1 structurally), (c) max per-year
+    distinct-count relative error ≤ KMV_DIST_GATE_PCT %, and (d) max
+    pairwise-intersection relative error ≤ KMV_INTER_GATE_PCT %.
+    Exact sides are one distinct + one self-join on the 7-year
+    distinct frame — SQL-expressible, so only the gates' truth values
+    are pinned. Measured margins in the section constants; every
+    arithmetic step is IEEE-exact +,/ so the booleans carry no
+    cross-libm rounding residual."""
+    from ..cache import pin
+    orders = Catalog(spark, sf_dir).orders
+    d = pin(orders.select(F.year("o_orderdate").cast("long").alias("y"),
+                          "o_custkey").distinct())
+    exact_year = d.groupBy("y").agg(F.count("*").cast("long").alias("n"))
+    exact_pair = (d.join(d.select((F.col("y") - 1).alias("y"),
+                                  "o_custkey"),
+                         ["y", "o_custkey"])
+                  .groupBy("y")
+                  .agg(F.count("*").cast("long").alias("n_inter")))
+    sketch = pin(_kmv_year_sketch(spark, sf_dir))
+    year_err = (kmv_estimates(sketch)
+                .join(exact_year, F.col("g") == F.col("y"))
+                .select((F.abs(F.col("est") - F.col("n")) / F.col("n"))
+                        .alias("rel_err"), "kk"))
+    pair_err = (kmv_pair_estimates(sketch)
+                .join(exact_pair, F.col("p") == F.col("y"))
+                .select((F.abs(F.col("est_inter") - F.col("n_inter"))
+                         / F.col("n_inter")).alias("rel_err"),
+                        (F.col("est_inter") <= F.col("est_union"))
+                        .alias("ile")))
+    n_years = exact_year.agg(F.count("*").alias("ny"))
+    ya = year_err.agg(F.max("rel_err").alias("dmax"),
+                      F.max("kk").alias("kmax"),
+                      F.count("*").alias("nyr"))
+    pa = pair_err.agg(F.max("rel_err").alias("imax"),
+                      F.min(F.col("ile").cast("int")).alias("ile_min"),
+                      F.count("*").alias("npair"))
+    return (n_years.crossJoin(F.broadcast(ya)).crossJoin(F.broadcast(pa))
+            .select(
+                F.lit(KMV_K).cast("long").alias("k"),
+                (F.col("kmax") <= KMV_K).alias("sketch_bounded"),
+                ((F.col("nyr") == F.col("ny"))
+                 & (F.col("npair") == F.col("ny") - 1))
+                .alias("all_groups_priced"),
+                (F.col("ile_min") == 1).alias("inter_le_union"),
+                (F.col("dmax") * 100 <= KMV_DIST_GATE_PCT)
+                .alias("dist_err_le_gate"),
+                (F.col("imax") * 100 <= KMV_INTER_GATE_PCT)
+                .alias("inter_err_le_gate"),
+            ))
+
+
+KMV_ACCURACY_SQL = f"""
+SELECT CAST({KMV_K} AS BIGINT) AS k,
+       TRUE AS sketch_bounded,
+       TRUE AS all_groups_priced,
+       TRUE AS inter_le_union,
+       TRUE AS dist_err_le_gate,
+       TRUE AS inter_err_le_gate
+"""
+
+register("kmv_customer_overlap", kmv_customer_overlap, None)
+register("kmv_accuracy_floor", kmv_accuracy_floor, KMV_ACCURACY_SQL)
+
+
+def _kmv_init(batch_orders: DataFrame) -> DataFrame:
+    return kmv_sketch(
+        batch_orders.select(F.year("o_orderdate").alias("y"),
+                            "o_custkey"),
+        "y", "o_custkey")
+
+
+def _kmv_merge(prev: DataFrame, batch_orders: DataFrame) -> DataFrame:
+    """Union hashes, re-truncate — the KMV merge is EXACT: any of the
+    union's k smallest distinct hashes is necessarily among the k
+    smallest of whichever side it arrived in, so
+    bottom-k(bottom-k(A) ∪ bottom-k(B)) = bottom-k(A ∪ B) and the
+    folded sketch is BIT-IDENTICAL to a single-pass build over all
+    history (unit-pinned) — the same guarantee class as the CMS
+    cell-addition and HLL register-maxima merges."""
+    merged = (prev.select("g", "h")
+              .unionByName(_kmv_init(batch_orders).select("g", "h"))
+              .distinct())
+    w = Window.partitionBy("g").orderBy("h")
+    return (merged.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= KMV_K))
+
+
+def kmv_fold_batch_into_state(batch_df: DataFrame, batch_id: int,
+                              state_path: str) -> bool:
+    """Idempotent KMV fold on the shared template
+    (streaming/state_fold.py): batch-id replay guard, atomic staged
+    swap. State is ≤ k rows per group forever — every overlap
+    question (union / intersection / Jaccard between any two groups)
+    is served from state without rescanning history."""
+    from ..streaming.state_fold import fold_batch
+    return fold_batch(batch_df, batch_id, state_path,
+                      _kmv_init, _kmv_merge)
+
+
+def run_kmv_maintainer(orders_stream: DataFrame, state_path: str,
+                       checkpoint: str):
+    """foreachBatch KMV maintainer over a streaming orders source: an
+    always-current bounded-state distinct-set summary per year, from
+    which kmv_estimates / kmv_pair_estimates price cardinalities and
+    overlaps O(groups·k) at serve time."""
+    from ..streaming.state_fold import run_maintainer
+    return run_maintainer(orders_stream, state_path, checkpoint,
+                          _kmv_init, _kmv_merge)

@@ -84,7 +84,9 @@ def _register_modules() -> None:
 #:   weighted_reservoir_sample, events_sessions_incremental,
 #:   part_triangle_participation, join_size_estimate(+_floor),
 #:   equijoin_size_estimate(+_floor), events_transitions_late_tolerant,
-#:   events_sessions_late_tolerant) join the round-9 cohort.
+#:   events_sessions_late_tolerant,
+#:   kmv_customer_overlap, kmv_accuracy_floor) join the round-9
+#:   cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a

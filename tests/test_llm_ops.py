@@ -1395,3 +1395,90 @@ def test_equijoin_estimate_disjoint_keys_prices_zero(spark, tmp_path):
     row = S.equijoin_size_estimate_floor(spark, str(tmp_path)).collect()[0]
     assert row["never_underestimates"] is True
     assert row["slack_le_gate"] is True
+
+
+def test_kmv_sketch_bottom_k_exact_fallback_and_estimator(spark):
+    from data_warehouse_project_spark.llm import sketches as S
+    import pyspark.sql.functions as SF
+
+    # group 1: 10 keys (< k) -> sketch keeps all, estimate is EXACT;
+    # group 2: 300 keys (> k) -> sketch is the true global bottom-k
+    # (exercises both levels of the salted truncation) and the
+    # estimate matches a Python reimplementation bit-for-bit
+    rows = [(1, i) for i in range(10)] + [(2, 1000 + i) for i in range(300)]
+    df = spark.createDataFrame(rows, "g long, key long")
+    sk = S.kmv_sketch(df, "g", "key")
+    by_g = {}
+    for r in sk.collect():
+        by_g.setdefault(r["g"], []).append(r["h"])
+    assert len(by_g[1]) == 10
+    assert len(by_g[2]) == S.KMV_K
+
+    all_h = {r["g"]: [] for r in df.collect()}
+    for r in df.select("g", SF.xxhash64(SF.col("key").cast("string"))
+                       .alias("h")).collect():
+        all_h[r["g"]].append(r["h"])
+    assert sorted(by_g[1]) == sorted(all_h[1])
+    assert sorted(by_g[2]) == sorted(all_h[2])[:S.KMV_K]
+
+    est = {r["g"]: r["est"] for r in S.kmv_estimates(sk).collect()}
+    assert est[1] == 10.0                      # exact fallback
+    hk = sorted(all_h[2])[S.KMV_K - 1]
+    u = (float(hk) + (float(2 ** 63) + 2048.0)) / float(2 ** 64)
+    assert est[2] == float(S.KMV_K - 1) / u    # IEEE-exact reference
+    # sanity: the estimate is in the right ballpark of 300
+    assert 150 < est[2] < 600
+
+
+def test_kmv_pair_estimator_planted_overlap(spark):
+    from data_warehouse_project_spark.llm import sketches as S
+    import pyspark.sql.functions as SF
+
+    # consecutive groups 1,2 with |A|=200, |B|=200, |A∩B|=100,
+    # |A∪B|=300 (keys 0..199 and 100..299)
+    rows = [(1, i) for i in range(200)] + [(2, 100 + i) for i in range(200)]
+    df = spark.createDataFrame(rows, "g long, key long")
+    sk = S.kmv_sketch(df, "g", "key")
+    pe = S.kmv_pair_estimates(sk).collect()
+    assert len(pe) == 1 and pe[0]["p"] == 1
+    r = pe[0]
+    assert r["kk"] == S.KMV_K
+    # structural: rho <= 1 so inter <= union
+    assert r["est_inter"] <= r["est_union"]
+    # within the module gates of the planted truth
+    assert abs(r["est_union"] - 300) / 300 <= S.KMV_DIST_GATE_PCT / 100
+    assert abs(r["est_inter"] - 100) / 100 <= S.KMV_INTER_GATE_PCT / 100
+
+    # the merged-and-retruncated pair sketch must equal the sketch of
+    # the true union (the bottom-k merge lemma the estimator rests on)
+    union_rows = [(9, i) for i in range(300)]
+    udf = spark.createDataFrame(union_rows, "g long, key long")
+    # same key domain as A∪B = {0..299}
+    union_h = sorted(
+        x["h"] for x in udf.select(
+            SF.xxhash64(SF.col("key").cast("string")).alias("h"))
+        .collect())[:S.KMV_K]
+    a = {x["h"] for x in sk.filter("g = 1").collect()}
+    b = {x["h"] for x in sk.filter("g = 2").collect()}
+    merged_bottom_k = sorted(a | b)[:S.KMV_K]
+    assert merged_bottom_k == union_h
+
+    # Python reference for the full pair estimator
+    n_both = sum(1 for h in merged_bottom_k if h in a and h in b)
+    u_k = (float(merged_bottom_k[-1]) + (float(2 ** 63) + 2048.0)) \
+        / float(2 ** 64)
+    est_union = float(S.KMV_K - 1) / u_k
+    assert r["est_union"] == est_union
+    assert r["n_both"] == n_both
+    assert r["est_inter"] == n_both / S.KMV_K * est_union
+
+
+def test_kmv_accuracy_floor_gates_true(spark, sf_dir):
+    from data_warehouse_project_spark.llm import sketches as S
+
+    row = S.kmv_accuracy_floor(spark, sf_dir).collect()[0]
+    assert row["sketch_bounded"] is True
+    assert row["all_groups_priced"] is True
+    assert row["inter_le_union"] is True
+    assert row["dist_err_le_gate"] is True
+    assert row["inter_err_le_gate"] is True

@@ -1436,3 +1436,72 @@ def test_late_sessions_maintainer_restart_with_disorder(spark, tmp_path):
     assert got == full
     run()
     assert view(L.state_to_view(spark.read.parquet(state))) == got
+
+
+def test_kmv_maintainer_fold_is_exact_and_replay_safe(spark, tmp_path):
+    """The folded KMV sketch must be BIT-IDENTICAL to a single-pass
+    sketch over all history (bottom-k merge lemma), and replayed
+    batch ids must be skipped."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.llm import sketches
+
+    state = str(tmp_path / "kmv_state")
+    schema = "o_orderdate date, o_custkey long"
+    # two batches over the same two years, 100 keys each with overlap
+    a = spark.createDataFrame(
+        [(dt.date(1995, 1, 1 + i % 27), i) for i in range(100)]
+        + [(dt.date(1996, 2, 1 + i % 27), 1000 + i) for i in range(100)],
+        schema)
+    b = spark.createDataFrame(
+        [(dt.date(1995, 3, 1 + i % 27), 50 + i) for i in range(100)]
+        + [(dt.date(1996, 4, 1 + i % 27), 1050 + i) for i in range(100)],
+        schema)
+
+    assert sketches.kmv_fold_batch_into_state(a, 0, state) is True
+    assert sketches.kmv_fold_batch_into_state(b, 1, state) is True
+    assert sketches.kmv_fold_batch_into_state(b, 1, state) is False
+    assert sketches.kmv_fold_batch_into_state(a, 0, state) is False
+
+    folded = {(r["g"], r["h"], r["r"])
+              for r in spark.read.parquet(state)
+              .drop("last_batch_id").collect()}
+    single = {(r["g"], r["h"], r["r"])
+              for r in sketches._kmv_init(a.unionByName(b)).collect()}
+    assert folded == single
+    # both years saturated (150 distinct keys > k)
+    gs = {}
+    for g, h, r in folded:
+        gs[g] = max(gs.get(g, 0), r)
+    assert gs == {1995: sketches.KMV_K, 1996: sketches.KMV_K}
+
+
+def test_kmv_streaming_maintainer_restart(spark, tmp_path):
+    import datetime as dt
+
+    from data_warehouse_project_spark.llm import sketches
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    schema = "o_orderdate date, o_custkey long"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        sketches.run_kmv_maintainer(stream, state, ck)
+
+    feed([(dt.date(1995, 1, 1 + i % 27), i) for i in range(80)])
+    run()
+    feed([(dt.date(1995, 2, 1 + i % 27), 40 + i) for i in range(80)])
+    run()  # restart of the same checkpoint
+    folded = {(r["g"], r["h"], r["r"])
+              for r in spark.read.parquet(state)
+              .drop("last_batch_id").collect()}
+    single = {(r["g"], r["h"], r["r"])
+              for r in sketches._kmv_init(
+                  spark.read.parquet(landing)).collect()}
+    assert folded == single
