@@ -563,7 +563,7 @@ def r7_plans(spark, sf_dir):
     qs = registry.queries()
     names = ["events_attribution", "events_ttl_window_state",
              "events_ttl_sliding_served", "cms_accuracy_floor",
-             "dedup_bridge_survivors"]
+             "dedup_bridge_survivors", "kmv_customer_overlap"]
     out = {}
     for name in names:
         out[name] = _plan(qs[name](spark, sf_dir))
@@ -610,4 +610,14 @@ def test_bridge_consumes_pinned_edges(r7_plans):
     the pinned edge union; nothing in the bridge goes cartesian."""
     plan = r7_plans["dedup_bridge_survivors"]
     assert plan.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_consumers_read_pinned_sketch(r7_plans):
+    """Per-year estimates and all three pair-stage reads consume the
+    ONE pinned k-row sketch — orders is scanned only inside the
+    cached sketch build; nothing goes cartesian and the only
+    nested-loops are broadcast attaches."""
+    plan = r7_plans["kmv_customer_overlap"]
+    assert plan.count("InMemoryTableScan") >= 4
     assert "CartesianProduct" not in plan
