@@ -88,6 +88,7 @@ HEADLINE = [
     "events_transitions_late_tolerant",  # watermark/out-of-order miner (new r7)
     "events_sessions_late_tolerant",  # watermark sessionizer, bridging (new r7)
     "kmv_customer_overlap",        # bottom-k set-overlap sketches (new r7)
+    "bloom_semijoin_revenue",      # bloom-pruned fact join, exact result (new r7)
 ]
 # doc_zipf_fit is deliberately NOT in the headline: its corpus-scale
 # work is the same explode→term-count shuffle vocab_top_terms already
@@ -102,7 +103,12 @@ HEADLINE = [
 # TakeOrdered(50) — sub-second by construction at any sf that fits
 # one host. kmv_accuracy_floor adds only the exact distinct + 7-year
 # self-join on top of kmv_customer_overlap's measured sketch build —
-# the floor's extra work is the oracle side, not engine work.
+# the floor's extra work is the oracle side, not engine work; the same
+# argument excludes bloom_filter_floor (its engine work IS
+# bloom_semijoin_revenue's measured probe). k_anonymity_report /
+# l_diversity_report are customer-dimension-sized two-level aggregates
+# (sub-second shapes, the audit family's spine is already measured via
+# referential_integrity_report / user_rfm_segments).
 
 # Log note (VERDICT r5 #8): repeated `WindowExec: No Partition
 # Defined` warnings in this bench's stderr come from the documented

@@ -84,6 +84,7 @@ def main(argv: list[str] | None = None) -> int:
         from .llm.similarity import ann_recall_floor
         from .llm.distributions import pca_projection_floor
         from .llm.sketches import cms_accuracy_floor, kmv_accuracy_floor
+        from .operators.bloom import bloom_filter_floor
         from .plans.warehouse import (approx_quantile_accuracy_floor,
                                       hll_distinct_accuracy_floor)
         for gate_name, gate_fn in [
@@ -94,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
             ("hll_distinct_accuracy_floor", hll_distinct_accuracy_floor),
             ("cms_accuracy_floor", cms_accuracy_floor),
             ("kmv_accuracy_floor", kmv_accuracy_floor),
+            ("bloom_filter_floor", bloom_filter_floor),
             ("pca_projection_floor", pca_projection_floor),
         ]:
             row = gate_fn(spark, args.sf_dir).collect()[0].asDict()

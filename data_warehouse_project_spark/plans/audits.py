@@ -685,3 +685,74 @@ ORDER BY size_band_log2
 """
 
 register("k_anonymity_report", k_anonymity_report, K_ANONYMITY_SQL)
+
+#: l-diversity release threshold: every quasi-identifier group must
+#: contain at least this many DISTINCT sensitive values
+L_DIV = 3
+
+#: fixed acctbal band edges (the released "sensitive attribute"):
+#: negative / four 2500-wide bands — deterministic threshold compares,
+#: no quantile estimation enters the audit
+_ACCTBAL_BANDS = (0, 2500, 5000, 7500)
+
+
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit, the l-diversity complement of k_anonymity_report
+    (same quasi-identifier pair): k-anonymity bounds how SMALL a
+    linkable group can be, but a large group whose sensitive value is
+    uniform still leaks it (the homogeneity attack — Machanavajjhala
+    et al., ICDE 2006). Here the sensitive attribute is the account-
+    balance band (fixed edges, no quantiles), and the report profiles
+    groups by their count of DISTINCT sensitive bands: per diversity
+    level, group count, row mass, and the rows in groups failing
+    l = L_DIV — the mass a release gate would suppress or generalize.
+
+    Scale: one map-side-combined two-level aggregation — distinct
+    (QI, band) then per-QI distinct counts ride the same shuffle key —
+    then a rollup bounded by the 5-level diversity domain. Pure
+    integer compares and counts; nothing transcendental.
+    """
+    cat = Catalog(spark, sf_dir)
+    band = (F.when(F.col("c_acctbal") < _ACCTBAL_BANDS[0], 0)
+            .when(F.col("c_acctbal") < _ACCTBAL_BANDS[1], 1)
+            .when(F.col("c_acctbal") < _ACCTBAL_BANDS[2], 2)
+            .when(F.col("c_acctbal") < _ACCTBAL_BANDS[3], 3)
+            .otherwise(4))
+    eq = (cat.customer
+          .select("c_mktsegment", "c_nationkey", band.alias("sens"))
+          .groupBy("c_mktsegment", "c_nationkey")
+          .agg(F.count_distinct(F.col("sens")).cast("long")
+               .alias("diversity"),
+               F.count("*").cast("long").alias("gsize")))
+    return (eq.groupBy("diversity")
+            .agg(F.count("*").cast("long").alias("n_groups"),
+                 F.sum("gsize").cast("long").alias("n_customers"),
+                 F.sum(F.when(F.col("diversity") < L_DIV,
+                              F.col("gsize")).otherwise(0))
+                 .cast("long").alias("n_below_l"))
+            .orderBy("diversity"))
+
+
+L_DIVERSITY_SQL = f"""
+WITH eq AS (
+    SELECT c_mktsegment, c_nationkey,
+           CAST(COUNT(DISTINCT CASE
+                WHEN c_acctbal < {_ACCTBAL_BANDS[0]} THEN 0
+                WHEN c_acctbal < {_ACCTBAL_BANDS[1]} THEN 1
+                WHEN c_acctbal < {_ACCTBAL_BANDS[2]} THEN 2
+                WHEN c_acctbal < {_ACCTBAL_BANDS[3]} THEN 3
+                ELSE 4 END) AS BIGINT) AS diversity,
+           CAST(COUNT(*) AS BIGINT) AS gsize
+    FROM customer GROUP BY 1, 2
+)
+SELECT diversity,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(gsize) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN diversity < {L_DIV} THEN gsize ELSE 0 END)
+            AS BIGINT) AS n_below_l
+FROM eq
+GROUP BY 1
+ORDER BY diversity
+"""
+
+register("l_diversity_report", l_diversity_report, L_DIVERSITY_SQL)

@@ -43,7 +43,8 @@ register("flagship_my_registrations", _flagship.flagship, _flagship.FLAGSHIP_ORA
 
 def _register_modules() -> None:
     """Import every module that self-registers queries."""
-    from .operators import extended, quarantine, relational, skew  # noqa: F401
+    from .operators import (bloom, extended, quarantine,  # noqa: F401
+                            relational, skew)
     from .plans import (analytics, attribution, audits, cdc,  # noqa: F401
                         dashboard, graph, incremental, poststate,
                         timeseries, tpch, tpch_deep, warehouse)
@@ -85,7 +86,8 @@ def _register_modules() -> None:
 #:   part_triangle_participation, join_size_estimate(+_floor),
 #:   equijoin_size_estimate(+_floor), events_transitions_late_tolerant,
 #:   events_sessions_late_tolerant,
-#:   kmv_customer_overlap, kmv_accuracy_floor) join the round-9
+#:   kmv_customer_overlap, kmv_accuracy_floor, l_diversity_report,
+#:   bloom_semijoin_revenue, bloom_filter_floor) join the round-9
 #:   cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds

@@ -226,3 +226,34 @@ def test_order_aging_bands_account_all_orders(spark, sf_dir):
     bands = {r["age_band"] for r in rows}
     assert bands <= {"000-030", "031-060", "061-090", "091-180",
                      "181-365", "366+"}
+
+
+def test_l_diversity_planted_homogeneous_group(spark, tmp_path):
+    """A quasi-identifier group whose sensitive bands are uniform must
+    land at diversity 1 with its whole row mass in n_below_l, while a
+    fully diverse group lands at 5 with zero below-l mass."""
+    from data_warehouse_project_spark.plans import audits
+
+    rows = (
+        # group (SEG_A, 1): 4 customers, ALL in band 1 -> diversity 1
+        [(i, "SEG_A", 1, 100.0) for i in range(4)]
+        # group (SEG_B, 2): 5 customers spanning all 5 bands
+        + [(10, "SEG_B", 2, -50.0), (11, "SEG_B", 2, 100.0),
+           (12, "SEG_B", 2, 2600.0), (13, "SEG_B", 2, 5100.0),
+           (14, "SEG_B", 2, 9000.0)]
+        # group (SEG_C, 3): 2 customers in 2 bands -> diversity 2,
+        # still below l=3
+        + [(20, "SEG_C", 3, 100.0), (21, "SEG_C", 3, 2600.0)])
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_mktsegment string, c_nationkey long, "
+              "c_acctbal double")
+    d = str(tmp_path / "cust")
+    df.write.parquet(d + "/customer.parquet")
+    # Catalog loads lazily; only the customer table is read here
+    got = {r["diversity"]: r for r in
+           audits.l_diversity_report(spark, d).collect()}
+    assert got[1]["n_groups"] == 1 and got[1]["n_customers"] == 4
+    assert got[1]["n_below_l"] == 4
+    assert got[2]["n_groups"] == 1 and got[2]["n_below_l"] == 2
+    assert got[5]["n_groups"] == 1 and got[5]["n_below_l"] == 0
+    assert set(got) == {1, 2, 5}

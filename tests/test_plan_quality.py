@@ -563,7 +563,8 @@ def r7_plans(spark, sf_dir):
     qs = registry.queries()
     names = ["events_attribution", "events_ttl_window_state",
              "events_ttl_sliding_served", "cms_accuracy_floor",
-             "dedup_bridge_survivors", "kmv_customer_overlap"]
+             "dedup_bridge_survivors", "kmv_customer_overlap",
+             "bloom_semijoin_revenue"]
     out = {}
     for name in names:
         out[name] = _plan(qs[name](spark, sf_dir))
@@ -620,4 +621,14 @@ def test_kmv_consumers_read_pinned_sketch(r7_plans):
     nested-loops are broadcast attaches."""
     plan = r7_plans["kmv_customer_overlap"]
     assert plan.count("InMemoryTableScan") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_is_broadcast_semi_joins(r7_plans):
+    """The fact stream is pruned by k broadcast LEFT SEMI probes
+    before the exact join — no fact-sized exchange ahead of the
+    probes, no cartesian anywhere."""
+    plan = r7_plans["bloom_semijoin_revenue"]
+    assert plan.count("LeftSemi") >= 3
+    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan

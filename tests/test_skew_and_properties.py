@@ -640,3 +640,43 @@ def test_late_sessions_any_split_matches_model(spark, events, mask):
                 for (u, s), (a, b, n, v) in model.items()}
     assert got == expected, (events, mask)
     assert L.dropped_late_count(state) == 0
+
+
+def test_bloom_probe_planted_membership(spark):
+    """The probe must pass EXACTLY the rows whose k positions are all
+    set — verified against a manual position-membership check for
+    present and absent keys alike (catches hash/seed/pmod drift and
+    any accidental false negative)."""
+    import pyspark.sql.functions as SF
+
+    from data_warehouse_project_spark.operators import bloom as B
+
+    dim = spark.createDataFrame([(k,) for k in range(0, 50)],
+                                "p_partkey long")
+    bits = B.bloom_bits(dim, "p_partkey")
+    bitset = {(r["seed"], r["pos"]) for r in bits.collect()}
+    assert len(bitset) <= 50 * B.BLOOM_K
+
+    fact = spark.createDataFrame([(k,) for k in range(0, 200)],
+                                 "l_partkey long")
+    got = {r["l_partkey"]
+           for r in B.bloom_probe(fact, "l_partkey", bits).collect()}
+    # manual expectation from the same engine-computed positions
+    pos = fact.select(
+        "l_partkey",
+        *[B._positions(SF.col("l_partkey"), s).alias(f"p{s}")
+          for s in range(B.BLOOM_K)]).collect()
+    want = {r["l_partkey"] for r in pos
+            if all((s, r[f"p{s}"]) in bitset for s in range(B.BLOOM_K))}
+    assert got == want
+    # zero false negatives: every present key passes
+    assert set(range(0, 50)) <= got
+
+
+def test_bloom_floor_and_exactness(spark, sf_dir):
+    from data_warehouse_project_spark.operators import bloom as B
+
+    row = B.bloom_filter_floor(spark, sf_dir).collect()[0]
+    assert row["no_false_negatives"] is True
+    assert row["fpr_le_gate"] is True
+    assert row["prunes_to_gate"] is True
