@@ -1505,3 +1505,39 @@ def test_kmv_streaming_maintainer_restart(spark, tmp_path):
               for r in sketches._kmv_init(
                   spark.read.parquet(landing)).collect()}
     assert folded == single
+
+
+def test_bloom_maintainer_fold_is_exact_and_replay_safe(spark, tmp_path):
+    """The folded Bloom bit set must be BIT-IDENTICAL to a single-pass
+    build over all history (set union is exact), and replayed batch
+    ids must be skipped."""
+    from data_warehouse_project_spark.operators import bloom
+
+    state = str(tmp_path / "bloom_state")
+    schema = "p_partkey long, p_size long"
+    # sizes alternate qualifying (<=2) and not; batches overlap keys
+    a = spark.createDataFrame(
+        [(k, 1 + (k % 4)) for k in range(0, 60)], schema)
+    b = spark.createDataFrame(
+        [(k, 1 + (k % 4)) for k in range(30, 90)], schema)
+
+    assert bloom.bloom_fold_batch_into_state(a, 0, state) is True
+    assert bloom.bloom_fold_batch_into_state(b, 1, state) is True
+    assert bloom.bloom_fold_batch_into_state(b, 1, state) is False
+    assert bloom.bloom_fold_batch_into_state(a, 0, state) is False
+
+    folded = {(r["seed"], r["pos"])
+              for r in spark.read.parquet(state)
+              .drop("last_batch_id").collect()}
+    single = {(r["seed"], r["pos"])
+              for r in bloom._bloom_init(a.unionByName(b)).collect()}
+    assert folded == single
+    # the folded filter still admits every qualifying key (no false
+    # negatives through the fold path)
+    qualifying = a.unionByName(b).filter("p_size <= 2") \
+        .select("p_partkey").distinct()
+    bits = spark.read.parquet(state).drop("last_batch_id")
+    passed = bloom.bloom_probe(
+        qualifying.withColumnRenamed("p_partkey", "l_partkey"),
+        "l_partkey", bits)
+    assert passed.count() == qualifying.count()
