@@ -22,3 +22,14 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def kmv_hash_universe(spark):
+    """120 engine-computed xxhash64 values (the KMV key hash), pulled
+    once for the pure-Python bottom-k merge-lemma property test."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(120).select(
+        F.xxhash64(F.col("id").cast("string")).alias("h"))
+    return [r["h"] for r in df.collect()]

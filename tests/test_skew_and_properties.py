@@ -680,3 +680,25 @@ def test_bloom_floor_and_exactness(spark, sf_dir):
     assert row["no_false_negatives"] is True
     assert row["fpr_le_gate"] is True
     assert row["prunes_to_gate"] is True
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(mask_a=st.integers(0, 2 ** 120 - 1),
+       mask_b=st.integers(0, 2 ** 120 - 1))
+def test_kmv_bottom_k_merge_lemma(kmv_hash_universe, mask_a, mask_b):
+    """The lemma both the KMV maintainer and the pair estimator rest
+    on: bottom-k(bottom-k(A) ∪ bottom-k(B)) == bottom-k(A ∪ B), for
+    ARBITRARY overlapping key subsets A, B. Hashes come from the
+    engine once (session fixture); the property itself is pure
+    set arithmetic, so hundreds of examples are cheap."""
+    from data_warehouse_project_spark.llm.sketches import KMV_K
+
+    hashes = kmv_hash_universe
+    a = {h for i, h in enumerate(hashes) if mask_a >> i & 1}
+    b = {h for i, h in enumerate(hashes) if mask_b >> i & 1}
+    sk_a = sorted(a)[:KMV_K]
+    sk_b = sorted(b)[:KMV_K]
+    merged = sorted(set(sk_a) | set(sk_b))[:KMV_K]
+    direct = sorted(a | b)[:KMV_K]
+    assert merged == direct
