@@ -105,7 +105,9 @@ HEADLINE = [
 # self-join on top of kmv_customer_overlap's measured sketch build —
 # the floor's extra work is the oracle side, not engine work; the same
 # argument excludes bloom_filter_floor (its engine work IS
-# bloom_semijoin_revenue's measured probe). k_anonymity_report /
+# bloom_semijoin_revenue's measured probe) and
+# sketch_fold_identity_floor (three half-table sketch builds — each
+# family's full build is already measured or bounded sub-second). k_anonymity_report /
 # l_diversity_report are customer-dimension-sized two-level aggregates
 # (sub-second shapes, the audit family's spine is already measured via
 # referential_integrity_report / user_rfm_segments).

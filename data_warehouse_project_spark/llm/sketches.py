@@ -658,3 +658,63 @@ def run_kmv_maintainer(orders_stream: DataFrame, state_path: str,
     from ..streaming.state_fold import run_maintainer
     return run_maintainer(orders_stream, state_path, checkpoint,
                           _kmv_init, _kmv_merge)
+
+
+def _frames_identical(a: DataFrame, b: DataFrame):
+    """1-row frame with a TRUE iff the two frames hold exactly the
+    same multiset of rows (symmetric exceptAll emptiness)."""
+    return (a.exceptAll(b).agg(F.count("*").alias("x"))
+            .crossJoin(F.broadcast(
+                b.exceptAll(a).agg(F.count("*").alias("y"))))
+            .select(((F.col("x") == 0) & (F.col("y") == 0)).alias("ok")))
+
+
+def sketch_fold_identity_floor(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Driver-visible merge-exactness gate for every mergeable sketch
+    in the engine, pinned-constant oracle: split each input table in
+    half by a deterministic key predicate, fold half 2 into half 1's
+    sketch with the SAME merge the streaming maintainers run, and
+    assert the folded sketch is row-for-row identical to a single-pass
+    build over the whole table — CMS (cell addition), KMV (union +
+    re-truncate), Bloom (set-bit union). The unit suite pins these on
+    planted fixtures; this gate re-proves them on the driver's own
+    data in the driver's own environment, so a merge regression (or
+    an engine-version change in hashing/aggregation) flips a boolean
+    in CORRECTNESS rather than only failing CI."""
+    from ..operators.bloom import _bloom_init, _bloom_merge
+    cat = Catalog(spark, sf_dir)
+
+    docs = cat.documents
+    d1 = docs.filter(F.col("doc_id") % 2 == 0)
+    d2 = docs.filter(F.col("doc_id") % 2 == 1)
+    cms_ok = _frames_identical(
+        _cms_merge(_cms_init(d1), d2), _cms_init(docs)) \
+        .withColumnRenamed("ok", "cms_fold_identical")
+
+    orders = cat.orders
+    o1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    o2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    kmv_ok = _frames_identical(
+        _kmv_merge(_kmv_init(o1), o2), _kmv_init(orders)) \
+        .withColumnRenamed("ok", "kmv_fold_identical")
+
+    parts = cat.part
+    p1 = parts.filter(F.col("p_partkey") % 2 == 0)
+    p2 = parts.filter(F.col("p_partkey") % 2 == 1)
+    bloom_ok = _frames_identical(
+        _bloom_merge(_bloom_init(p1), p2), _bloom_init(parts)) \
+        .withColumnRenamed("ok", "bloom_fold_identical")
+
+    return (cms_ok.crossJoin(F.broadcast(kmv_ok))
+            .crossJoin(F.broadcast(bloom_ok)))
+
+
+SKETCH_FOLD_IDENTITY_SQL = """
+SELECT TRUE AS cms_fold_identical,
+       TRUE AS kmv_fold_identical,
+       TRUE AS bloom_fold_identical
+"""
+
+register("sketch_fold_identity_floor", sketch_fold_identity_floor,
+         SKETCH_FOLD_IDENTITY_SQL)

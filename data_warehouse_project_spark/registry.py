@@ -87,8 +87,8 @@ def _register_modules() -> None:
 #:   equijoin_size_estimate(+_floor), events_transitions_late_tolerant,
 #:   events_sessions_late_tolerant,
 #:   kmv_customer_overlap, kmv_accuracy_floor, l_diversity_report,
-#:   bloom_semijoin_revenue, bloom_filter_floor) join the round-9
-#:   cohort.
+#:   bloom_semijoin_revenue, bloom_filter_floor,
+#:   sketch_fold_identity_floor) join the round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a
