@@ -89,6 +89,7 @@ HEADLINE = [
     "events_sessions_late_tolerant",  # watermark sessionizer, bridging (new r7)
     "kmv_customer_overlap",        # bottom-k set-overlap sketches (new r7)
     "bloom_semijoin_revenue",      # bloom-pruned fact join, exact result (new r7)
+    "events_click_purchase_incremental",  # stream-stream interval-join maintainer (new r7)
 ]
 # doc_zipf_fit is deliberately NOT in the headline: its corpus-scale
 # work is the same explode→term-count shuffle vocab_top_terms already

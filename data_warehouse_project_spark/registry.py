@@ -49,8 +49,9 @@ def _register_modules() -> None:
                         dashboard, graph, incremental, poststate,
                         timeseries, tpch, tpch_deep, warehouse)
     from .streaming import (batch_parity, distinct_users,  # noqa: F401
-                            funnel_state, late_sessions, late_transitions,
-                            sessions, transitions, ttl_window)
+                            funnel_state, interval_join, late_sessions,
+                            late_transitions, sessions, transitions,
+                            ttl_window)
     from .llm import (bpe, bridge, clusters, compress, dedup,  # noqa: F401
                       distributions, importance, index, langmix, manifest,
                       multimodal, pipeline, quality, refinery, repetition,
@@ -88,7 +89,8 @@ def _register_modules() -> None:
 #:   events_sessions_late_tolerant,
 #:   kmv_customer_overlap, kmv_accuracy_floor, l_diversity_report,
 #:   bloom_semijoin_revenue, bloom_filter_floor,
-#:   sketch_fold_identity_floor) join the round-9 cohort.
+#:   sketch_fold_identity_floor, events_click_purchase_incremental)
+#:   join the round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a
