@@ -74,7 +74,8 @@ def run_maintainer(events_stream: DataFrame, state_path: str,
 
 def watermark_prologue(prev: DataFrame, ev: DataFrame, lateness_s: int):
     """Shared watermark-fold prologue for the allowed-lateness
-    maintainers (late_transitions.py, late_sessions.py) — ONE copy of
+    maintainers (late_transitions.py, late_sessions.py,
+    interval_join.py) — ONE copy of
     the subtle part: read the 'w' row, merge the batch's max-ts and
     late-count into a single action, advance the watermark, and admit
     events STRICTLY above the previous horizon.

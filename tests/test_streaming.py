@@ -1654,10 +1654,12 @@ def test_interval_join_fold_replay_and_restart(spark, tmp_path):
     assert len(got2) == 1 and got2[0]["click_id"] == 11
 
 
-def test_interval_join_beats_per_batch_joins(spark, sf_dir):
-    """Non-vacuity on driver data: the registered disordered split
-    produces cross-batch pairs that per-batch independent joins miss,
-    and the served table equals the batch twin exactly."""
+def test_interval_join_exact_and_subsumes_per_batch(spark, sf_dir):
+    """On driver data: the served table equals the batch twin exactly
+    on the registered disordered split, per-batch independent joins
+    can only ever see a subset, and at sf0.1 (where the feed is dense
+    enough to place pairs across the boundary) the subset is STRICT —
+    asserting the registry docstring's cross-batch-pairs claim."""
     from data_warehouse_project_spark.streaming import (
         batch_parity, interval_join as IJ)
 
@@ -1689,6 +1691,9 @@ def test_interval_join_beats_per_batch_joins(spark, sf_dir):
                       IJ.state_to_matches(st).select(*key).collect()}
     # per-batch joins can only ever see a subset; whether the driver
     # feed happens to place a pair across the boundary depends on sf
-    # (none at sf0.001's sparsity — the planted hand-computed test
-    # carries the strictly-missing-pairs evidence)
+    # (none at sf0.001's sparsity — there the planted hand-computed
+    # test carries the strictly-missing-pairs evidence; at sf0.1 the
+    # split measurably loses cross-batch pairs, asserted below)
     assert per_batch <= s
+    if sf_dir.rstrip("/").endswith("sf0.1"):
+        assert len(s - per_batch) >= 1
