@@ -702,3 +702,58 @@ def test_kmv_bottom_k_merge_lemma(kmv_hash_universe, mask_a, mask_b):
     merged = sorted(set(sk_a) | set(sk_b))[:KMV_K]
     direct = sorted(a | b)[:KMV_K]
     assert merged == direct
+
+
+# ---------------------------------------------------------------------------
+# allowed-lateness interval-join maintainer vs the Python model under
+# ARBITRARY disorder
+# ---------------------------------------------------------------------------
+
+_ij_events = st.lists(
+    st.tuples(st.integers(0, 3),          # user
+              st.integers(0, 340),        # minute (< 6 h LATENESS)
+              st.booleans()),             # click?
+    min_size=0, max_size=24)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=_ij_events, mask=st.integers(0, 2**25 - 1))
+def test_interval_join_any_split_matches_model(spark, events, mask):
+    """With every event inside the lateness window, ANY bitmask
+    two-batch split — late clicks under already-arrived purchases and
+    vice versa — must serve exactly the Python full-recompute pair
+    set for the 1 h window, with nothing dropped."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_project_spark.streaming import interval_join as IJ
+
+    rows = [(u, i, dt.datetime(2024, 1, 1, m // 60, m % 60),
+             "click" if c else "purchase", float(i))
+            for i, (u, m, c) in enumerate(events)]
+    schema = ("user_id long, event_id long, ts timestamp, "
+              "event_type string, value double")
+    df = spark.createDataFrame(
+        rows or [(0, 0, dt.datetime(2024, 1, 1), "click", 0.0)], schema)
+    if not rows:
+        df = df.filter(F.lit(False))
+    pick = F.pmod(F.col("event_id") * 2654435761 + mask, 3) == 0
+    first, second = df.filter(pick), df.filter(~pick)
+    state = IJ.merge_interval_join_state(
+        IJ.interval_join_state(first), second)
+    got = {(r["user_id"], r["click_id"], r["purchase_id"])
+           for r in IJ.state_to_matches(state).collect()}
+
+    model = set()
+    for ci, (cu, cm, cc) in enumerate(events):
+        if not cc:
+            continue
+        for pi, (pu, pm, pc) in enumerate(events):
+            if pc or pu != cu:
+                continue
+            if 0 <= pm - cm <= 60:
+                model.add((cu, ci, pi))
+    assert got == model, (events, mask)
+    assert IJ.dropped_late_count(state) == 0
