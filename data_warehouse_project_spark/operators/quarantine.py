@@ -155,3 +155,40 @@ SELECT rule, n_violations FROM (
 
 register("ingest_quarantine_report", ingest_quarantine_report,
          INGEST_QUARANTINE_SQL)
+
+
+def read_json_with_quarantine(spark: SparkSession, path: str,
+                              schema) -> tuple[DataFrame, DataFrame]:
+    """Parse-level quarantine — the layer BELOW the rule-based split
+    above: read newline-JSON under an explicit schema in PERMISSIVE
+    mode, capturing rows Spark cannot parse (malformed JSON, type
+    mismatches) in a `_corrupt_record` column instead of failing the
+    job (FAILFAST) or silently dropping them (DROPMALFORMED). Returns
+    (clean, corrupt): clean rows fully typed with the capture column
+    removed; corrupt rows as (raw_line) for triage — together with
+    tag_violations this gives both halves of real-world ingestion:
+    can't-parse and parsed-but-invalid.
+
+    Scale: the PERMISSIVE capture is scan-side (no extra pass); both
+    outputs filter the SAME read. The parsed frame is pin()ned —
+    Spark refuses corrupt-column-only projections over a raw file
+    scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and
+    the cache is also exactly the one-read fan-out discipline the
+    rule split documents; callers release via cache.release_all()
+    after materializing both sinks. Spark requires the capture column
+    present in the user schema — appended here, never stored."""
+    from pyspark.sql.types import StringType, StructType
+
+    from ..cache import pin
+
+    assert isinstance(schema, StructType)
+    capture = "_corrupt_record"
+    full = StructType(schema.fields).add(capture, StringType())
+    df = pin(spark.read.schema(full)
+             .option("mode", "PERMISSIVE")
+             .option("columnNameOfCorruptRecord", capture)
+             .json(path))
+    clean = df.filter(F.col(capture).isNull()).drop(capture)
+    corrupt = (df.filter(F.col(capture).isNotNull())
+               .select(F.col(capture).alias("raw_line")))
+    return clean, corrupt

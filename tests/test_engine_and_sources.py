@@ -175,3 +175,35 @@ def test_load_table_missing_ts_column_raises_clear_error(
      .parquet(f"{bad_dir}/events.parquet"))
     with pytest.raises(ValueError, match="missing expected.*'ts'"):
         load_table(spark, bad_dir, "events")
+
+
+def test_json_permissive_corrupt_record_quarantine(spark, tmp_path):
+    """Malformed lines and type-mismatched rows route to the corrupt
+    output with their raw text; clean rows come back fully typed with
+    no capture column."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from data_warehouse_project_spark.operators.quarantine import (
+        read_json_with_quarantine)
+
+    path = str(tmp_path / "feed.json")
+    lines = [
+        '{"id": 1, "name": "ok-one"}',
+        '{"id": 2, "name": "ok-two"}',
+        '{"id": "not-a-number", "name": "bad-type"}',
+        '{broken json!!',
+        '{"id": 5, "name": "ok-three"}',
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    schema = StructType([StructField("id", LongType()),
+                         StructField("name", StringType())])
+    clean, corrupt = read_json_with_quarantine(spark, path, schema)
+    got = {(r["id"], r["name"]) for r in clean.collect()}
+    assert got == {(1, "ok-one"), (2, "ok-two"), (5, "ok-three")}
+    assert "_corrupt_record" not in clean.columns
+    raw = {r["raw_line"] for r in corrupt.collect()}
+    assert raw == {lines[2], lines[3]}
+    from data_warehouse_project_spark import cache
+    cache.release_all()
