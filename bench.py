@@ -108,7 +108,9 @@ HEADLINE = [
 # argument excludes bloom_filter_floor (its engine work IS
 # bloom_semijoin_revenue's measured probe) and
 # sketch_fold_identity_floor (three half-table sketch builds — each
-# family's full build is already measured or bounded sub-second). k_anonymity_report /
+# family's full build is already measured or bounded sub-second) and
+# orders_enriched_incremental (its engine work is the broadcast star
+# join q5/q9 already measure; the fold adds only a union). k_anonymity_report /
 # l_diversity_report are customer-dimension-sized two-level aggregates
 # (sub-second shapes, the audit family's spine is already measured via
 # referential_integrity_report / user_rfm_segments).

@@ -89,8 +89,8 @@ def _register_modules() -> None:
 #:   events_sessions_late_tolerant,
 #:   kmv_customer_overlap, kmv_accuracy_floor, l_diversity_report,
 #:   bloom_semijoin_revenue, bloom_filter_floor,
-#:   sketch_fold_identity_floor, events_click_purchase_incremental)
-#:   join the round-9 cohort.
+#:   sketch_fold_identity_floor, events_click_purchase_incremental,
+#:   orders_enriched_incremental) join the round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a

@@ -1697,3 +1697,52 @@ def test_interval_join_exact_and_subsumes_per_batch(spark, sf_dir):
     assert per_batch <= s
     if sf_dir.rstrip("/").endswith("sf0.1"):
         assert len(s - per_batch) >= 1
+
+
+def test_enriched_view_fold_replay_restart_and_single_pass(spark, sf_dir,
+                                                           tmp_path):
+    """The folded enriched view must equal the one-shot star join
+    row-for-row, a replayed batch must not double-append, and the
+    streaming maintainer must survive a restart on the same
+    checkpoint."""
+    from data_warehouse_project_spark.plans import incremental as INC
+    from data_warehouse_project_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders.limit(200).cache()
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    state = str(tmp_path / "ev_state")
+    assert INC.enriched_view_fold(b1, 0, state, cat.customer,
+                                  cat.nation) is True
+    assert INC.enriched_view_fold(b2, 1, state, cat.customer,
+                                  cat.nation) is True
+    assert INC.enriched_view_fold(b2, 1, state, cat.customer,
+                                  cat.nation) is False   # replay
+    folded = spark.read.parquet(state).drop("last_batch_id")
+    init, _ = INC.make_enriched_view_fns(cat.customer, cat.nation)
+    single = init(orders)
+    assert folded.count() == orders.count()
+    assert folded.exceptAll(single).count() == 0
+    assert single.exceptAll(folded).count() == 0
+
+    # streaming restart on the same checkpoint
+    landing = str(tmp_path / "landing")
+    st2 = str(tmp_path / "st2")
+    ck = str(tmp_path / "ck")
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    sch = spark.read.parquet(landing).schema
+
+    def run():
+        stream = spark.readStream.schema(sch).parquet(landing)
+        INC.run_enriched_view_maintainer(stream, st2, ck,
+                                         cat.customer, cat.nation)
+
+    run()
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    run()
+    got = spark.read.parquet(st2).drop("last_batch_id")
+    assert got.count() == orders.count()
+    assert got.exceptAll(single).count() == 0
+    orders.unpersist()
