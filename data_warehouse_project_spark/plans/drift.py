@@ -1,0 +1,423 @@
+"""Distribution-drift monitoring — the data-quality watchdog every
+production training-data / warehouse pipeline runs beside ingestion
+(reference scope: the portal's tables are append-mostly, so "did this
+month's data change shape?" is the natural companion audit to
+`plans/audits.py`; drift detection itself is standard practice — PSI /
+TVD monitoring as in the dataset-shift literature, e.g. Rabanser et al.
+"Failing Loudly", NeurIPS 2019).
+
+Three operators, one per monitoring shape:
+
+* ``orders_price_drift`` — two-cohort numeric drift: fixed-width
+  integer histogram of a money column, early vs late cohort, with
+  per-bin total-variation and chi-square contributions.
+* ``events_type_mix_weekly_drift`` — categorical mix drift
+  week-over-week with a per-week TVD rollup (the "did the event mix
+  shift?" alarm panel).
+* ``events_value_drift_daily`` — rolling detector: each day's value
+  histogram against the trailing-7-day baseline, per-day TVD and a
+  threshold alarm — the batch twin of what a streaming monitor would
+  maintain incrementally.
+
+Cross-engine determinism: every continuous value is first recovered
+as an exact integer (cents / value-hundredths), so bin assignment is
+pure integer arithmetic (``DIV`` / ``//``); fractions are single IEEE
+divisions on identical long operands (correctly rounded per IEEE-754
+in both engines — only libm transcendentals carry cross-engine risk,
+compat.py policy), and every sum over double terms quantizes to a
+long first (order-independent, compat.py hazard #1).
+
+Scale design (100 TB): each operator is one linear scan that
+collapses map-side to a bounded frame — bins (16), week x type
+(weeks x 5), or day x bin (days x 16) — before any shuffle; the
+global min/max bounds pass is a second linear scan collapsing to one
+row (a production run folds it into ingestion footer stats). All
+post-scan work is on monitoring-cardinality frames that never grow
+with the corpus, only with the calendar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.compat import fround, sql_fround
+from ..registry import register
+from ..sources.catalog import Catalog
+
+#: histogram bins for the numeric-drift operators
+_BINS = 16
+
+#: early/late cohort cutoff for the two-cohort order-price drift
+_CUTOFF = "1998-01-01"
+
+#: rolling-detector alarm threshold on per-day TVD
+_ALARM_TVD = 0.08
+
+#: quantization scale for summing double-valued drift terms
+_TQ = 1e9
+
+
+def cohort_drift(c: DataFrame) -> DataFrame:
+    """Core of the two-cohort numeric drift report. ``c`` must have
+    columns (cents: long, early: boolean); returns the per-bin report
+    (see orders_price_drift). Factored out so planted unit tests can
+    drive it with hand-computable frames."""
+    bounds = c.agg(
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+    ).withColumn(
+        "width",
+        F.ceil((F.col("mx") - F.col("mn") + F.lit(1)).cast("double")
+               / F.lit(float(_BINS))).cast("long"),
+    )
+    binned = (
+        c.crossJoin(F.broadcast(bounds))
+        .select(F.expr("(cents - mn) DIV width").alias("bin"),
+                "early", "mn", "width")
+        .groupBy("bin", "mn", "width")
+        .agg(F.sum(F.when(F.col("early"), 1).otherwise(0))
+             .cast("long").alias("n_early"),
+             F.sum(F.when(F.col("early"), 0).otherwise(1))
+             .cast("long").alias("n_late"))
+    )
+    w = Window.partitionBy()
+    t = (
+        binned
+        .withColumn("tot_early", F.sum("n_early").over(w))
+        .withColumn("tot_late", F.sum("n_late").over(w))
+    )
+    p = F.col("n_early").cast("double") / F.col("tot_early").cast("double")
+    q = F.col("n_late").cast("double") / F.col("tot_late").cast("double")
+    pooled = ((F.col("n_early") + F.col("n_late")).cast("double")
+              / (F.col("tot_early") + F.col("tot_late")).cast("double"))
+    return (
+        t.select(
+            F.col("bin").cast("long").alias("bin"),
+            fround((F.col("mn") + F.col("bin") * F.col("width"))
+                   .cast("double") / F.lit(100.0), 2).alias("lo"),
+            fround((F.col("mn") + (F.col("bin") + 1) * F.col("width"))
+                   .cast("double") / F.lit(100.0), 2).alias("hi"),
+            "n_early", "n_late",
+            fround(p, 9).alias("frac_early"),
+            fround(q, 9).alias("frac_late"),
+            fround(F.abs(p - q) / F.lit(2.0), 9).alias("tvd_term"),
+            fround((p - q) * (p - q) / pooled, 9).alias("chi2_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+def orders_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin drift report for o_totalprice, early (< 1998) vs late
+    cohort: counts, fractions, |p-q|/2 TVD contribution and the
+    chi-square contribution under the pooled expectation. The global
+    TVD is the sum of ``tvd_term`` (each term already quantized-safe:
+    callers sum the rounded column)."""
+    cat = Catalog(spark, sf_dir)
+    return cohort_drift(cat.orders.select(
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"),
+        (F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp"))
+        .alias("early"),
+    ))
+
+
+ORDERS_PRICE_DRIFT_SQL = f"""
+WITH c AS (
+    SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+           (o_orderdate < TIMESTAMP '{_CUTOFF}') AS early
+    FROM orders
+),
+b AS (
+    SELECT MIN(cents) AS mn, MAX(cents) AS mx,
+           CAST(CEIL(CAST(MAX(cents) - MIN(cents) + 1 AS DOUBLE)
+                     / {float(_BINS)}) AS BIGINT) AS width
+    FROM c
+),
+binned AS (
+    SELECT (c.cents - b.mn) // b.width AS bin, b.mn, b.width,
+           CAST(SUM(CASE WHEN c.early THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_early,
+           CAST(SUM(CASE WHEN c.early THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_late
+    FROM c CROSS JOIN b
+    GROUP BY 1, 2, 3
+),
+t AS (
+    SELECT *, SUM(n_early) OVER () AS tot_early,
+              SUM(n_late) OVER () AS tot_late
+    FROM binned
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       {sql_fround('CAST(mn + bin * width AS DOUBLE) / 100.0', 2)} AS lo,
+       {sql_fround('CAST(mn + (bin + 1) * width AS DOUBLE) / 100.0', 2)}
+           AS hi,
+       n_early, n_late,
+       {sql_fround('CAST(n_early AS DOUBLE) / CAST(tot_early AS DOUBLE)', 9)}
+           AS frac_early,
+       {sql_fround('CAST(n_late AS DOUBLE) / CAST(tot_late AS DOUBLE)', 9)}
+           AS frac_late,
+       {sql_fround('ABS(CAST(n_early AS DOUBLE) / CAST(tot_early AS DOUBLE)'
+                   ' - CAST(n_late AS DOUBLE) / CAST(tot_late AS DOUBLE))'
+                   ' / 2.0', 9)} AS tvd_term,
+       {sql_fround(
+           '(CAST(n_early AS DOUBLE) / CAST(tot_early AS DOUBLE)'
+           ' - CAST(n_late AS DOUBLE) / CAST(tot_late AS DOUBLE))'
+           ' * (CAST(n_early AS DOUBLE) / CAST(tot_early AS DOUBLE)'
+           ' - CAST(n_late AS DOUBLE) / CAST(tot_late AS DOUBLE))'
+           ' / (CAST(n_early + n_late AS DOUBLE)'
+           '    / CAST(tot_early + tot_late AS DOUBLE))', 9)} AS chi2_term
+FROM t
+ORDER BY bin
+"""
+
+register("orders_price_drift", orders_price_drift, ORDERS_PRICE_DRIFT_SQL)
+
+
+def events_type_mix_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week categorical drift of the event-type mix: one row
+    per (week, event_type) with this week's fraction, last week's
+    fraction (calendar join on week - 7 days, NOT positional LAG, so a
+    type absent for a week cannot silently shift frames), the |p-q|/2
+    drift term, and the per-week mix TVD (terms quantized to longs
+    before the window sum — order-independent)."""
+    cat = Catalog(spark, sf_dir)
+    wk = (
+        cat.events
+        .select(F.date_trunc("week", F.col("ts")).alias("week"),
+                "event_type")
+        .groupBy("week", "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("week_n", F.sum("n").over(Window.partitionBy("week")))
+        .withColumn("frac", F.col("n").cast("double")
+                    / F.col("week_n").cast("double"))
+    )
+    prev = wk.select(
+        (F.col("week") + F.expr("INTERVAL 7 DAYS")).alias("week"),
+        F.col("event_type"),
+        F.col("frac").alias("prev_frac"),
+    )
+    joined = (
+        wk.join(prev, ["week", "event_type"], "left")
+        .withColumn(
+            "term",
+            F.when(F.col("prev_frac").isNull(), F.lit(None).cast("double"))
+            .otherwise(F.abs(F.col("frac") - F.col("prev_frac"))
+                       / F.lit(2.0)))
+        .withColumn(
+            "term_q",
+            F.floor(F.coalesce(F.col("term"), F.lit(0.0)) * F.lit(_TQ)
+                    + F.lit(0.5)).cast("long"))
+        .withColumn("week_tvd_q",
+                    F.sum("term_q").over(Window.partitionBy("week")))
+        .withColumn("has_prev",
+                    F.max(F.when(F.col("prev_frac").isNotNull(), 1)
+                          .otherwise(0))
+                    .over(Window.partitionBy("week")))
+    )
+    return (
+        joined.select(
+            F.col("week").cast("timestamp").alias("week"),
+            "event_type", "n",
+            fround(F.col("frac"), 9).alias("frac"),
+            fround(F.col("prev_frac"), 9).alias("prev_frac"),
+            fround(F.col("term"), 9).alias("drift_term"),
+            F.when(F.col("has_prev") == 1,
+                   fround(F.col("week_tvd_q").cast("double") / F.lit(_TQ), 9))
+            .alias("week_mix_tvd"),
+        )
+        .orderBy("week", "event_type")
+    )
+
+
+EVENTS_TYPE_MIX_WEEKLY_DRIFT_SQL = f"""
+WITH wk AS (
+    SELECT DATE_TRUNC('week', ts) AS week, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+fr AS (
+    SELECT *, SUM(n) OVER (PARTITION BY week) AS week_n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY week)
+                                    AS DOUBLE) AS frac
+    FROM wk
+),
+j AS (
+    SELECT a.week, a.event_type, a.n, a.frac, b.frac AS prev_frac,
+           CASE WHEN b.frac IS NULL THEN NULL
+                ELSE ABS(a.frac - b.frac) / 2.0 END AS term
+    FROM fr a
+    LEFT JOIN fr b
+      ON b.event_type = a.event_type
+     AND b.week + INTERVAL 7 DAY = a.week
+),
+t AS (
+    SELECT *,
+           SUM(CAST(FLOOR(COALESCE(term, 0.0) * {_TQ} + 0.5) AS BIGINT))
+               OVER (PARTITION BY week) AS week_tvd_q,
+           MAX(CASE WHEN prev_frac IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY week) AS has_prev
+    FROM j
+)
+SELECT CAST(week AS TIMESTAMP) AS week, event_type, n,
+       {sql_fround('frac', 9)} AS frac,
+       {sql_fround('prev_frac', 9)} AS prev_frac,
+       {sql_fround('term', 9)} AS drift_term,
+       CASE WHEN has_prev = 1
+            THEN {sql_fround(f'CAST(week_tvd_q AS DOUBLE) / {_TQ}', 9)}
+            END AS week_mix_tvd
+FROM t
+ORDER BY week, event_type
+"""
+
+register("events_type_mix_weekly_drift", events_type_mix_weekly_drift,
+         EVENTS_TYPE_MIX_WEEKLY_DRIFT_SQL)
+
+
+def events_value_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling drift detector: each day's histogram of ``value``
+    (16 fixed-width integer bins over the global range) against the
+    trailing-7-day pooled baseline; per-day TVD and a boolean alarm.
+
+    The day x bin grid is materialized by exploding a bin sequence
+    under each observed day (no join, no missing-cell bias: a bin
+    present in the baseline but empty today still contributes |0-q|).
+    Days with an empty baseline (the first day) are excluded."""
+    cat = Catalog(spark, sf_dir)
+    return rolling_drift(cat.events.select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long").alias("day_idx"),
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("vq"),
+    ))
+
+
+def rolling_drift(v: DataFrame) -> DataFrame:
+    """Core of the rolling drift detector. ``v`` must have columns
+    (day_idx: long — contiguous calendar index, day: date, vq: long);
+    returns the per-day TVD/alarm report (see events_value_drift_daily)."""
+    bounds = v.agg(
+        F.min("vq").alias("mn"), F.max("vq").alias("mx"),
+    ).withColumn(
+        "width",
+        F.ceil((F.col("mx") - F.col("mn") + F.lit(1)).cast("double")
+               / F.lit(float(_BINS))).cast("long"),
+    )
+    counts = (
+        v.crossJoin(F.broadcast(bounds.select("mn", "width")))
+        .select("day_idx", "day",
+                F.expr("(vq - mn) DIV width").alias("bin"))
+        .groupBy("day_idx", "day", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    grid = (
+        counts.select("day_idx", "day").distinct()
+        .select("day_idx", "day",
+                F.explode(F.sequence(F.lit(0), F.lit(_BINS - 1)))
+                .alias("bin"))
+        .withColumn("bin", F.col("bin").cast("long"))
+    )
+    full = (
+        grid.join(counts, ["day_idx", "day", "bin"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)).cast("long"))
+    )
+    wb = (Window.partitionBy("bin").orderBy("day_idx")
+          .rangeBetween(-7, -1))
+    base = full.withColumn("b", F.coalesce(F.sum("n").over(wb), F.lit(0))
+                           .cast("long"))
+    wd = Window.partitionBy("day_idx")
+    t = (
+        base
+        .withColumn("day_n", F.sum("n").over(wd))
+        .withColumn("base_n", F.sum("b").over(wd))
+        .where(F.col("base_n") > 0)
+        .withColumn(
+            "term_q",
+            F.floor(F.abs(F.col("n").cast("double")
+                          / F.col("day_n").cast("double")
+                          - F.col("b").cast("double")
+                          / F.col("base_n").cast("double"))
+                    / F.lit(2.0) * F.lit(_TQ) + F.lit(0.5)).cast("long"))
+    )
+    return (
+        t.groupBy("day")
+        .agg(F.max("day_n").alias("n_events"),
+             F.max("base_n").alias("baseline_n"),
+             F.sum("term_q").alias("tvd_q"))
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "n_events", "baseline_n",
+            fround(F.col("tvd_q").cast("double") / F.lit(_TQ), 9)
+            .alias("tvd"),
+            (F.col("tvd_q").cast("double") / F.lit(_TQ)
+             > F.lit(_ALARM_TVD)).alias("alarm"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_VALUE_DRIFT_DAILY_SQL = f"""
+WITH v AS (
+    SELECT CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS day_idx,
+           CAST(ts AS DATE) AS day,
+           CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vq
+    FROM events
+),
+b AS (
+    SELECT MIN(vq) AS mn,
+           CAST(CEIL(CAST(MAX(vq) - MIN(vq) + 1 AS DOUBLE)
+                     / {float(_BINS)}) AS BIGINT) AS width
+    FROM v
+),
+counts AS (
+    SELECT v.day_idx, v.day, (v.vq - b.mn) // b.width AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM v CROSS JOIN b
+    GROUP BY 1, 2, 3
+),
+grid AS (
+    SELECT d.day_idx, d.day, CAST(g.bin AS BIGINT) AS bin
+    FROM (SELECT DISTINCT day_idx, day FROM counts) d
+    CROSS JOIN (SELECT UNNEST(RANGE(0, {_BINS})) AS bin) g
+),
+full_g AS (
+    SELECT g.day_idx, g.day, g.bin,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM grid g
+    LEFT JOIN counts c
+      ON c.day_idx = g.day_idx AND c.bin = g.bin
+),
+base AS (
+    SELECT *,
+           CAST(COALESCE(SUM(n) OVER (
+               PARTITION BY bin ORDER BY day_idx
+               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS b
+    FROM full_g
+),
+t AS (
+    SELECT *,
+           SUM(n) OVER (PARTITION BY day_idx) AS day_n,
+           SUM(b) OVER (PARTITION BY day_idx) AS base_n
+    FROM base
+),
+terms AS (
+    SELECT day, day_n, base_n,
+           CAST(FLOOR(ABS(CAST(n AS DOUBLE) / CAST(day_n AS DOUBLE)
+                          - CAST(b AS DOUBLE) / CAST(base_n AS DOUBLE))
+                      / 2.0 * {_TQ} + 0.5) AS BIGINT) AS term_q
+    FROM t WHERE base_n > 0
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       MAX(day_n) AS n_events, MAX(base_n) AS baseline_n,
+       {sql_fround(f'CAST(SUM(term_q) AS DOUBLE) / {_TQ}', 9)} AS tvd,
+       CAST(SUM(term_q) AS DOUBLE) / {_TQ} > {_ALARM_TVD} AS alarm
+FROM terms
+GROUP BY day
+ORDER BY day
+"""
+
+register("events_value_drift_daily", events_value_drift_daily,
+         EVENTS_VALUE_DRIFT_DAILY_SQL)

@@ -1,0 +1,188 @@
+"""Distributed least-squares trend fits via sufficient statistics —
+the normal-equations pattern: one aggregation pass collects the six
+exact sums (n, St, Sy, Stt, Sty, Syy) per group and the closed-form
+slope / intercept / R² come out of a handful of scalar IEEE ops. The
+same map-side-collapsible split as the covariance/PCA operators
+(llm/distributions.py): nothing but group-sized rows ever shuffles,
+and the "model solve" is O(groups), not O(corpus).
+
+Reference scope: the portal charts monthly revenue (app.py dashboard
+figures); a warehouse serving those charts is one step from "fit the
+trend and forecast" — q6_forecast_revenue covers the fixed-growth
+variant, these operators fit the trend FROM the data.
+
+Cross-engine determinism: regressors are exact integer time indexes
+(month index / day index) and responses are exact integer money/value
+units, so the sufficient sums are exact (summed as DECIMAL(38,0) in
+Spark — Spark's long SUM would overflow silently at warehouse scale,
+and DuckDB's BIGINT sum auto-widens to HUGEINT; both engines then
+cast the identical exact integer to double). The closed forms are a
+fixed dag of IEEE mul/sub/div on identical doubles — correctly
+rounded, zero libm exposure (compat.py policy).
+
+Scale design (100 TB): pass 1 pre-aggregates the fact table to
+(group, t) cells — shuffle = series points, with map-side combine
+doing the heavy lifting; pass 2 folds cells into the six sums —
+shuffle = groups. Degenerate series (single point / constant t or y)
+yield NULL fits via explicit variance guards rather than Inf/NaN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..functions.compat import fround, sql_fround
+from ..registry import register
+from ..sources.catalog import Catalog
+
+#: decimal type for overflow-proof exact sufficient sums
+_DEC = "decimal(38,0)"
+
+
+def ols_fit(cells: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold (group, t: long, y: long) cells into per-group OLS fits.
+
+    Returns one row per group: n_points, slope, intercept, r2 —
+    slope/intercept in y-units per t-unit. R² is NULL when either
+    variance is zero (vertical/constant series carry no fit)."""
+    sums = cells.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("t").cast(_DEC)).alias("st"),
+        F.sum(F.col("y").cast(_DEC)).alias("sy"),
+        F.sum((F.col("t") * F.col("t")).cast(_DEC)).alias("stt"),
+        F.sum((F.col("t").cast(_DEC) * F.col("y").cast(_DEC))).alias("sty"),
+        F.sum((F.col("y").cast(_DEC) * F.col("y").cast(_DEC))).alias("syy"),
+    )
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    n, st, sy, stt, sty, syy = (d(c) for c in
+                                ("n", "st", "sy", "stt", "sty", "syy"))
+    var_t = n * stt - st * st
+    var_y = n * syy - sy * sy
+    cov = n * sty - st * sy
+    slope = F.when(var_t > 0, cov / var_t)
+    intercept = F.when(var_t > 0, (sy - (cov / var_t) * st) / n)
+    r2 = F.when((var_t > 0) & (var_y > 0), cov * cov / (var_t * var_y))
+    return sums.select(
+        *group_cols,
+        F.col("n").alias("n_points"),
+        fround(slope, 6).alias("slope"),
+        fround(intercept, 6).alias("intercept"),
+        fround(r2, 9).alias("r2"),
+    )
+
+
+def _sql_ols(cells_sql: str, group_cols: list[str]) -> str:
+    """DuckDB twin of ols_fit over a cells CTE named ``cells``."""
+    g = ", ".join(group_cols)
+    var_t = "(n * stt - st * st)"
+    var_y = "(n * syy - sy * sy)"
+    cov = "(n * sty - st * sy)"
+    return f"""
+WITH cells AS ({cells_sql}),
+sums AS (
+    SELECT {g},
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(t AS HUGEINT)) AS DOUBLE) AS st,
+           CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS DOUBLE)
+               AS stt,
+           CAST(SUM(CAST(t AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)
+               AS sty,
+           CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)
+               AS syy,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM cells GROUP BY {g}
+)
+SELECT {g}, n_points,
+       {sql_fround(f'CASE WHEN {var_t} > 0 THEN {cov} / {var_t} END', 6)}
+           AS slope,
+       {sql_fround(f'CASE WHEN {var_t} > 0 THEN'
+                   f' (sy - ({cov} / {var_t}) * st) / n END', 6)}
+           AS intercept,
+       {sql_fround(f'CASE WHEN {var_t} > 0 AND {var_y} > 0 THEN'
+                   f' {cov} * {cov} / ({var_t} * {var_y}) END', 9)}
+           AS r2
+FROM sums
+ORDER BY {g}
+"""
+
+
+def nation_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS trend of monthly order revenue: slope in cents
+    per month, intercept, and R² over the ~80-month series. The fact
+    scan collapses to (nation, month) cells before any model math."""
+    cat = Catalog(spark, sf_dir)
+    month_idx = ((F.year("o_orderdate") - F.lit(1995)) * F.lit(12)
+                 + F.month("o_orderdate") - F.lit(1)).cast("long")
+    cells = (
+        cat.orders
+        .join(cat.customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"),
+                month_idx.alias("t"),
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("long").alias("cents"))
+        .groupBy("nation", "t")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    return ols_fit(cells, ["nation"]).orderBy("nation")
+
+
+NATION_REVENUE_TREND_OLS_SQL = _sql_ols(
+    """
+    SELECT n.n_name AS nation,
+           CAST((YEAR(o.o_orderdate) - 1995) * 12
+                + MONTH(o.o_orderdate) - 1 AS BIGINT) AS t,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS y
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    ["nation"],
+)
+
+register("nation_revenue_trend_ols", nation_revenue_trend_ols,
+         NATION_REVENUE_TREND_OLS_SQL)
+
+
+def event_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of daily total value (hundredths) over
+    the event window — the activity-ramp detector twin of the revenue
+    trend, same cells-then-solve split."""
+    cat = Catalog(spark, sf_dir)
+    cells = (
+        cat.events
+        .select("event_type",
+                F.datediff(F.to_date("ts"),
+                           F.lit("2024-01-01").cast("date"))
+                .cast("long").alias("t"),
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                .cast("long").alias("vq"))
+        .groupBy("event_type", "t")
+        .agg(F.sum("vq").cast("long").alias("y"))
+    )
+    return ols_fit(cells, ["event_type"]).orderBy("event_type")
+
+
+EVENT_VALUE_TREND_OLS_SQL = _sql_ols(
+    """
+    SELECT event_type,
+           CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE))
+                AS BIGINT) AS t,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+    FROM events
+    GROUP BY 1, 2
+    """,
+    ["event_type"],
+)
+
+register("event_value_trend_ols", event_value_trend_ols,
+         EVENT_VALUE_TREND_OLS_SQL)

@@ -1,0 +1,166 @@
+"""Robust statistics — exact winsorized / trimmed means per group.
+
+The outlier-resistant cousins of the plain averages the dashboard
+serves (plans/dashboard.py) and the exact complement of the sketch
+path (``ship_latency_quantiles`` / ``approx_quantile_accuracy_floor``
+use approx sketches; this family pins EXACT order statistics so the
+robust location estimates are auditable).
+
+Definitions (symmetric 5% trim): with n group rows sorted by value,
+``lo = floor(0.05 * n)`` rows are affected on each side. The trimmed
+mean averages ranks ``lo+1 .. n-lo``; the winsorized mean clamps every
+value into ``[value@rank(lo+1), value@rank(n-lo)]`` before averaging.
+Rank positions (not interpolated percentiles) keep every quantity an
+exact integer — ties are harmless because equal values sum equally
+whatever order row_number assigns them.
+
+Cross-engine determinism: money is exact cents; sums of clamped /
+trimmed cents are exact longs; the only IEEE ops are the final
+divisions (correctly rounded, compat.py policy).
+
+Scale design (100 TB): the rank pass is a per-group window sort —
+the one operator family where a total order inside each group is the
+semantics. The group key (order priority, 5 values) makes each group
+huge at warehouse scale: the documented production path is two-phase
+(approx-quantile cut candidates + a counting pass), with THIS exact
+form run on sampled audits; for bounded-cardinality group values the
+window sort itself is still a single range-sort per group with
+map-side-combinable downstream aggregation. The ranked frame is
+pinned: bounds extraction and the clamped fold both consume it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..cache import pin
+from ..functions.compat import fround, sql_fround
+from ..registry import register
+from ..sources.catalog import Catalog
+
+#: symmetric trim fraction
+_TRIM = 0.05
+
+
+def winsorized_stats(vals: DataFrame, group_col: str) -> DataFrame:
+    """Per-group exact robust location report over (group, cents).
+
+    Returns one row per group: n, p_lo / p_hi (the winsor bounds as
+    currency), mean, winsorized_mean, trimmed_mean."""
+    w = Window.partitionBy(group_col).orderBy("cents")
+    ranked = pin(
+        vals
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count("*")
+                    .over(Window.partitionBy(group_col)).cast("long"))
+        .withColumn("lo", F.floor(F.col("n").cast("double") * F.lit(_TRIM))
+                    .cast("long"))
+    )
+    bounds = (
+        ranked
+        .groupBy(group_col)
+        .agg(
+            F.max(F.when(F.col("rk") == F.col("lo") + 1, F.col("cents")))
+            .alias("c_lo"),
+            F.max(F.when(F.col("rk") == F.col("n") - F.col("lo"),
+                         F.col("cents"))).alias("c_hi"),
+        )
+    )
+    folded = (
+        ranked.join(F.broadcast(bounds), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.max("n").alias("n"),
+            F.max("c_lo").alias("c_lo"),
+            F.max("c_hi").alias("c_hi"),
+            F.sum("cents").cast("long").alias("sum_all"),
+            F.sum(F.greatest(F.least(F.col("cents"), F.col("c_hi")),
+                             F.col("c_lo"))).cast("long")
+            .alias("sum_wins"),
+            F.sum(F.when((F.col("rk") > F.col("lo"))
+                         & (F.col("rk") <= F.col("n") - F.col("lo")),
+                         F.col("cents")).otherwise(F.lit(0)))
+            .cast("long").alias("sum_trim"),
+            F.max("lo").alias("lo"),
+        )
+    )
+    n = F.col("n").cast("double")
+    kept = (F.col("n") - 2 * F.col("lo")).cast("double")
+    return folded.select(
+        group_col,
+        F.col("n").alias("n_rows"),
+        fround(F.col("c_lo").cast("double") / F.lit(100.0), 2).alias("p_lo"),
+        fround(F.col("c_hi").cast("double") / F.lit(100.0), 2).alias("p_hi"),
+        fround(F.col("sum_all").cast("double") / n / F.lit(100.0), 6)
+        .alias("mean"),
+        fround(F.col("sum_wins").cast("double") / n / F.lit(100.0), 6)
+        .alias("winsorized_mean"),
+        fround(F.col("sum_trim").cast("double") / kept / F.lit(100.0), 6)
+        .alias("trimmed_mean"),
+    ).orderBy(group_col)
+
+
+def orders_price_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized / trimmed order-value report per order priority —
+    the outlier-proof version of 'average order value by priority'."""
+    cat = Catalog(spark, sf_dir)
+    return winsorized_stats(
+        cat.orders.select(
+            F.col("o_orderpriority"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long").alias("cents")),
+        "o_orderpriority")
+
+
+ORDERS_PRICE_ROBUST_SQL = f"""
+WITH vals AS (
+    SELECT o_orderpriority,
+           CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM orders
+),
+ranked AS (
+    SELECT *,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY cents) AS BIGINT) AS rk,
+           CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+               AS n,
+           CAST(FLOOR(CAST(COUNT(*) OVER (PARTITION BY o_orderpriority)
+                           AS DOUBLE) * {_TRIM}) AS BIGINT) AS lo
+    FROM vals
+),
+bounds AS (
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rk = lo + 1 THEN cents END) AS c_lo,
+           MAX(CASE WHEN rk = n - lo THEN cents END) AS c_hi
+    FROM ranked GROUP BY 1
+),
+folded AS (
+    SELECT r.o_orderpriority,
+           MAX(r.n) AS n,
+           MAX(b.c_lo) AS c_lo,
+           MAX(b.c_hi) AS c_hi,
+           CAST(SUM(r.cents) AS BIGINT) AS sum_all,
+           CAST(SUM(GREATEST(LEAST(r.cents, b.c_hi), b.c_lo)) AS BIGINT)
+               AS sum_wins,
+           CAST(SUM(CASE WHEN r.rk > r.lo AND r.rk <= r.n - r.lo
+                         THEN r.cents ELSE 0 END) AS BIGINT) AS sum_trim,
+           MAX(r.lo) AS lo
+    FROM ranked r JOIN bounds b USING (o_orderpriority)
+    GROUP BY 1
+)
+SELECT o_orderpriority, n AS n_rows,
+       {sql_fround('CAST(c_lo AS DOUBLE) / 100.0', 2)} AS p_lo,
+       {sql_fround('CAST(c_hi AS DOUBLE) / 100.0', 2)} AS p_hi,
+       {sql_fround('CAST(sum_all AS DOUBLE) / CAST(n AS DOUBLE) / 100.0', 6)}
+           AS mean,
+       {sql_fround('CAST(sum_wins AS DOUBLE) / CAST(n AS DOUBLE) / 100.0', 6)}
+           AS winsorized_mean,
+       {sql_fround('CAST(sum_trim AS DOUBLE)'
+                   ' / CAST(n - 2 * lo AS DOUBLE) / 100.0', 6)}
+           AS trimmed_mean
+FROM folded
+ORDER BY o_orderpriority
+"""
+
+register("orders_price_robust_stats", orders_price_robust_stats,
+         ORDERS_PRICE_ROBUST_SQL)

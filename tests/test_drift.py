@@ -1,0 +1,130 @@
+"""Semantic unit tests for the drift-monitoring family
+(plans/drift.py) — invariants the parity suite can't express: TVD and
+chi-square on hand-computable planted cohorts, zero drift on identical
+distributions, the rolling detector's baseline pooling and alarm edge,
+and the weekly mix drift's calendar (non-positional) join.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row, functions as F
+
+from data_warehouse_project_spark.plans.drift import (
+    _ALARM_TVD, _BINS, cohort_drift, events_type_mix_weekly_drift,
+    rolling_drift)
+
+
+def _cohort_frame(spark, early_cents, late_cents):
+    rows = [Row(cents=c, early=True) for c in early_cents] + [
+        Row(cents=c, early=False) for c in late_cents]
+    return spark.createDataFrame(rows, "cents long, early boolean")
+
+
+def test_cohort_drift_disjoint_bins_full_separation(spark):
+    # early mass entirely in bin 0, late entirely in bin 15
+    # (range 0..159 -> width ceil(160/16) = 10)
+    df = cohort_drift(_cohort_frame(
+        spark, early_cents=list(range(10)),
+        late_cents=list(range(150, 160))))
+    rows = {r["bin"]: r for r in df.collect()}
+    assert set(rows) == {0, _BINS - 1}
+    b0, b15 = rows[0], rows[_BINS - 1]
+    assert (b0["n_early"], b0["n_late"]) == (10, 0)
+    assert (b15["n_early"], b15["n_late"]) == (0, 10)
+    # total TVD = 1.0 (maximal drift), split 0.5 + 0.5
+    assert b0["tvd_term"] == 0.5 and b15["tvd_term"] == 0.5
+    # chi2 term: (1-0)^2 / pooled(0.5) = 2.0 per bin
+    assert b0["chi2_term"] == 2.0 and b15["chi2_term"] == 2.0
+    assert b0["lo"] == 0.0 and b0["hi"] == 0.1  # cents -> currency
+
+
+def test_cohort_drift_identical_distributions_zero(spark):
+    cents = [5, 37, 99, 120, 155] * 4
+    df = cohort_drift(_cohort_frame(spark, cents, cents))
+    for r in df.collect():
+        assert r["tvd_term"] == 0.0
+        assert r["chi2_term"] == 0.0
+        assert r["frac_early"] == r["frac_late"]
+
+
+def test_cohort_drift_fraction_bookkeeping(spark):
+    # early: 3 in low bin, 1 in high; late: 1 and 3 -> |p-q|/2 = 0.25
+    df = cohort_drift(_cohort_frame(
+        spark, [0, 1, 2, 159], [0, 157, 158, 159]))
+    rows = {r["bin"]: r for r in df.collect()}
+    assert rows[0]["frac_early"] == 0.75 and rows[0]["frac_late"] == 0.25
+    assert rows[0]["tvd_term"] == 0.25
+    assert rows[_BINS - 1]["tvd_term"] == 0.25
+
+
+def _daily_frame(spark, day_to_vqs):
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        Row(day_idx=d, day=base + datetime.timedelta(days=d), vq=vq)
+        for d, vqs in day_to_vqs.items() for vq in vqs
+    ]
+    return spark.createDataFrame(rows, "day_idx long, day date, vq long")
+
+
+def test_rolling_drift_stable_then_shift_alarm(spark):
+    # days 0-2: all mass in bin 0; day 3: all mass in bin 15
+    stable = [0, 3, 7, 9]
+    shifted = [150, 152, 155, 159]
+    df = rolling_drift(_daily_frame(
+        spark, {0: stable, 1: stable, 2: stable, 3: shifted}))
+    rows = {r["day"].day: r for r in df.collect()}
+    # day 0 excluded: empty baseline
+    assert set(rows) == {2, 3, 4}
+    assert rows[2]["tvd"] == 0.0 and not rows[2]["alarm"]
+    assert rows[3]["baseline_n"] == 8  # pooled days 1+2
+    assert rows[4]["tvd"] == 1.0 and rows[4]["alarm"]
+    assert rows[4]["n_events"] == 4 and rows[4]["baseline_n"] == 12
+
+
+def test_rolling_drift_baseline_window_is_seven_days(spark):
+    # day 9's baseline must pool days 2..8 only (range -7..-1), so
+    # day 0/1's outlier mass must have aged out
+    days = {d: [0, 5] for d in range(10)}
+    days[0] = [150, 155]
+    days[1] = [150, 155]
+    df = rolling_drift(_daily_frame(spark, days))
+    rows = {r["day"].day: r for r in df.collect()}
+    last = rows[10]  # day_idx 9 -> Jan 10
+    assert last["baseline_n"] == 14  # 7 days x 2 events
+    assert last["tvd"] == 0.0 and not last["alarm"]
+    # day 2 (idx 1): baseline = day 0 (all shifted) vs current shifted
+    assert rows[2]["tvd"] == 0.0
+    # day 3 (idx 2): baseline days 0-1 all bin15, current bin0 -> full
+    assert rows[3]["tvd"] == 1.0 and rows[3]["alarm"]
+    assert _ALARM_TVD < 1.0
+
+
+def test_weekly_mix_drift_hand_frame(spark, tmp_path):
+    # two Mondays apart: mix flips 3:1 -> 1:3 => per-type term 0.25,
+    # week TVD 0.5; first week has NULL prev/drift/mix
+    w1 = datetime.datetime(2024, 1, 1)
+    w2 = datetime.datetime(2024, 1, 8)
+    rows = (
+        [Row(ts=w1, event_type="a", event_id=i, user_id=1, value=1.0,
+             props="{}") for i in range(3)]
+        + [Row(ts=w1, event_type="b", event_id=9, user_id=1, value=1.0,
+               props="{}")]
+        + [Row(ts=w2, event_type="a", event_id=10, user_id=1, value=1.0,
+               props="{}")]
+        + [Row(ts=w2, event_type="b", event_id=11 + i, user_id=1,
+               value=1.0, props="{}") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows)
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = {(r["week"].day, r["event_type"]): r
+           for r in events_type_mix_weekly_drift(spark, sf).collect()}
+    assert out[(1, "a")]["prev_frac"] is None
+    assert out[(1, "a")]["week_mix_tvd"] is None
+    assert out[(8, "a")]["frac"] == 0.25
+    assert out[(8, "a")]["prev_frac"] == 0.75
+    assert out[(8, "a")]["drift_term"] == 0.25
+    assert out[(8, "a")]["week_mix_tvd"] == 0.5
+    assert out[(8, "b")]["week_mix_tvd"] == 0.5

@@ -1,0 +1,68 @@
+"""Semantic unit tests for the sufficient-statistics OLS family
+(plans/regression.py): exact-line recovery, agreement with numpy's
+least squares on a noisy planted series, and the degenerate-series
+NULL guards.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Row
+
+from data_warehouse_project_spark.plans.regression import ols_fit
+
+
+def _cells(spark, pts, group="g"):
+    return spark.createDataFrame(
+        [Row(g=group, t=int(t), y=int(y)) for t, y in pts],
+        "g string, t long, y long")
+
+
+def test_ols_exact_line(spark):
+    # y = 7t + 3 exactly -> slope 7, intercept 3, r2 = 1
+    pts = [(t, 7 * t + 3) for t in range(10)]
+    r = ols_fit(_cells(spark, pts), ["g"]).collect()[0]
+    assert r["n_points"] == 10
+    assert r["slope"] == 7.0
+    assert r["intercept"] == 3.0
+    assert r["r2"] == 1.0
+
+
+def test_ols_matches_numpy_on_noisy_series(spark):
+    # deterministic pseudo-noise (no RNG: fixed arithmetic sequence)
+    pts = [(t, 50 * t + 1000 + ((t * 37) % 11 - 5) * 13)
+           for t in range(24)]
+    r = ols_fit(_cells(spark, pts), ["g"]).collect()[0]
+    ts = np.array([p[0] for p in pts], dtype=float)
+    ys = np.array([p[1] for p in pts], dtype=float)
+    slope, intercept = np.polyfit(ts, ys, 1)
+    corr = np.corrcoef(ts, ys)[0, 1]
+    assert abs(r["slope"] - slope) < 1e-6
+    assert abs(r["intercept"] - intercept) < 1e-6
+    assert abs(r["r2"] - corr * corr) < 1e-9
+
+
+def test_ols_degenerate_guards(spark):
+    # single point and constant-t series: no fit, NULLs not NaN/Inf
+    df = spark.createDataFrame(
+        [Row(g="single", t=5, y=100),
+         Row(g="vert", t=2, y=10), Row(g="vert", t=2, y=20),
+         Row(g="flat", t=0, y=42), Row(g="flat", t=1, y=42)],
+        "g string, t long, y long")
+    rows = {r["g"]: r for r in ols_fit(df, ["g"]).collect()}
+    assert rows["single"]["slope"] is None
+    assert rows["single"]["r2"] is None
+    assert rows["vert"]["slope"] is None
+    # constant y: slope 0 is a valid fit, but r2 is undefined
+    assert rows["flat"]["slope"] == 0.0
+    assert rows["flat"]["intercept"] == 42.0
+    assert rows["flat"]["r2"] is None
+
+
+def test_ols_groups_are_independent(spark):
+    a = [(t, 2 * t) for t in range(5)]
+    b = [(t, -3 * t + 10) for t in range(5)]
+    df = _cells(spark, a, "a").union(_cells(spark, b, "b"))
+    rows = {r["g"]: r for r in ols_fit(df, ["g"]).collect()}
+    assert rows["a"]["slope"] == 2.0 and rows["a"]["intercept"] == 0.0
+    assert rows["b"]["slope"] == -3.0 and rows["b"]["intercept"] == 10.0

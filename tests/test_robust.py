@@ -1,0 +1,76 @@
+"""Semantic unit tests for the robust-statistics family
+(plans/robust.py): hand-computable winsorized/trimmed means, the
+outlier-resistance property itself (one huge outlier moves the mean
+but not the robust pair), numpy/scipy-free reference agreement, and
+small-n edge behavior (lo = 0 -> all three means coincide).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from data_warehouse_project_spark.plans.robust import winsorized_stats
+
+
+def _vals(spark, cents, group="g"):
+    return spark.createDataFrame(
+        [Row(g=group, cents=int(c)) for c in cents],
+        "g string, cents long")
+
+
+def test_winsorized_hand_computed_n20(spark):
+    # n=20, lo=1: bounds are the 2nd smallest / 2nd largest values
+    cents = [100 * v for v in range(1, 21)]  # 1.00 .. 20.00 currency
+    r = winsorized_stats(_vals(spark, cents), "g").collect()[0]
+    assert r["n_rows"] == 20
+    assert r["p_lo"] == 2.0 and r["p_hi"] == 19.0
+    assert r["mean"] == 10.5
+    # winsorize: 1->2 and 20->19 => sum 2100-100-100=1900... recompute:
+    # plain sum = 210.00; clamp replaces 1.00 with 2.00 (+1) and 20.00
+    # with 19.00 (-1) => 210 -> 210, mean unchanged by symmetry
+    assert r["winsorized_mean"] == 10.5
+    # trimmed: drop 1.00 and 20.00 -> mean of 2..19 = 10.5 (symmetric)
+    assert r["trimmed_mean"] == 10.5
+
+
+def test_winsorized_outlier_resistance(spark):
+    # same as above but the top value is a 100x outlier: the mean
+    # moves, the robust estimates clamp/drop it entirely
+    cents = [100 * v for v in range(1, 20)] + [2_000_00]
+    r = winsorized_stats(_vals(spark, cents), "g").collect()[0]
+    assert r["mean"] == 109.5  # dragged up by the outlier
+    # winsor bound p_hi = 19.00 -> outlier clamped to 19.00; clamped
+    # sum = 190 + 1 (1->2) + 19 (2000->19) = 210 -> mean 10.5
+    assert r["p_hi"] == 19.0
+    assert r["winsorized_mean"] == 10.5
+    # trimmed drops 1.00 and 2000.00 -> mean of 2.00..19.00 = 10.5
+    assert r["trimmed_mean"] == 10.5
+
+
+def test_winsorized_small_group_no_trim(spark):
+    # n=10 -> lo = floor(0.5) = 0: nothing trimmed, bounds = min/max,
+    # all three means equal the plain mean
+    cents = [100, 200, 300, 400, 500, 600, 700, 800, 900, 1000]
+    r = winsorized_stats(_vals(spark, cents), "g").collect()[0]
+    assert r["p_lo"] == 1.0 and r["p_hi"] == 10.0
+    assert r["mean"] == r["winsorized_mean"] == r["trimmed_mean"] == 5.5
+
+
+def test_winsorized_ties_at_bound_are_stable(spark):
+    # duplicate values straddling the cut: equal values sum equally
+    # regardless of row_number tie order
+    cents = [100] * 5 + [500] * 30 + [900] * 5
+    r = winsorized_stats(_vals(spark, cents), "g").collect()[0]
+    # n=40, lo=2: bounds land inside the tied runs
+    assert r["p_lo"] == 1.0 and r["p_hi"] == 9.0
+    assert r["winsorized_mean"] == r["mean"]  # clamping ties is a no-op
+    exp_trim = (100 * 3 + 500 * 30 + 900 * 3) / 36 / 100
+    assert r["trimmed_mean"] == round(exp_trim, 6)
+
+
+def test_winsorized_groups_independent(spark):
+    df = _vals(spark, [100 * v for v in range(1, 21)], "a").union(
+        _vals(spark, [1000] * 20, "b"))
+    rows = {r["g"]: r for r in winsorized_stats(df, "g").collect()}
+    assert rows["a"]["trimmed_mean"] == 10.5
+    assert rows["b"]["mean"] == rows["b"]["winsorized_mean"] == 10.0
