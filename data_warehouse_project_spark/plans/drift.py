@@ -311,6 +311,15 @@ def rolling_drift(v: DataFrame) -> DataFrame:
         .groupBy("day_idx", "day", "bin")
         .agg(F.count("*").cast("long").alias("n"))
     )
+    return drift_from_cells(counts)
+
+
+def drift_from_cells(counts: DataFrame) -> DataFrame:
+    """Per-day TVD/alarm report from (day_idx, day, bin, n) histogram
+    cells — shared by the batch detector above and the incremental
+    maintainer's state-served twin (streaming/drift_state.py), so
+    "served from maintained state" and "recomputed from raw events"
+    run the identical detector math."""
     grid = (
         counts.select("day_idx", "day").distinct()
         .select("day_idx", "day",

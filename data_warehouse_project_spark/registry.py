@@ -50,9 +50,9 @@ def _register_modules() -> None:
                         regression, robust, timeseries, tpch, tpch_deep,
                         warehouse)
     from .streaming import (batch_parity, distinct_users,  # noqa: F401
-                            funnel_state, interval_join, late_sessions,
-                            late_transitions, sessions, transitions,
-                            ttl_window)
+                            drift_state, funnel_state, interval_join,
+                            late_sessions, late_transitions, sessions,
+                            transitions, ttl_window)
     from .llm import (bpe, bridge, clusters, compress, dedup,  # noqa: F401
                       distributions, importance, index, langmix, manifest,
                       multimodal, pipeline, quality, refinery, repetition,

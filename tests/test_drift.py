@@ -128,3 +128,93 @@ def test_weekly_mix_drift_hand_frame(spark, tmp_path):
     assert out[(8, "a")]["drift_term"] == 0.25
     assert out[(8, "a")]["week_mix_tvd"] == 0.5
     assert out[(8, "b")]["week_mix_tvd"] == 0.5
+
+
+# --- incremental drift maintainer (streaming/drift_state.py) ---
+
+_EV_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+def _events(spark, rows):
+    import datetime as dt
+    return spark.createDataFrame(
+        [(eid, dt.datetime(2024, 1, day, 12, 0), 1, "click", val, "{}")
+         for eid, day, val in rows], _EV_SCHEMA)
+
+
+def test_drift_fold_replay_is_idempotent(spark, tmp_path):
+    """At-least-once crash window: a replayed batch id is skipped —
+    cell counts must not double."""
+    from data_warehouse_project_spark.streaming import drift_state as D
+
+    state = str(tmp_path / "state")
+    b0 = _events(spark, [(1, 1, 5.0), (2, 1, 9.0)])
+    b1 = _events(spark, [(3, 2, 100.0)])
+    assert D.fold_batch_into_state(b0, 0, state) is True
+    assert D.fold_batch_into_state(b1, 1, state) is True
+    assert D.fold_batch_into_state(b1, 1, state) is False
+    assert D.fold_batch_into_state(b0, 0, state) is False
+    cells = {(r["day"].day, r["bin"]): r["n"]
+             for r in spark.read.parquet(state).collect()}
+    # 5.0 and 9.0 -> vq 500/900 -> bin 0; 100.0 -> vq 10000 -> bin 4
+    assert cells == {(1, 0): 2, (2, 4): 1}
+
+
+def test_drift_maintainer_restart_matches_full_recompute(spark, tmp_path):
+    """Checkpoint-restart parity: two maintainer runs over chunked
+    arrivals converge to exactly the state a single full build
+    produces, and the served report equals the batch detector's
+    output over the same data."""
+    from data_warehouse_project_spark.streaming import drift_state as D
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    def feed(rows):
+        _events(spark, rows).coalesce(1).write.mode("append") \
+            .parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(_EV_SCHEMA).parquet(landing)
+        D.run_drift_maintainer(stream, state, ck)
+
+    feed([(1, 1, 5.0), (2, 1, 9.0), (3, 2, 5.5)])
+    run()
+    feed([(4, 2, 300.0), (5, 3, 5.0), (6, 3, 5.0)])
+    run()  # restart
+
+    served = {r["day"].day: (r["n_events"], r["baseline_n"], r["tvd"])
+              for r in D.drift_report_from_state(
+                  spark.read.parquet(state)).collect()}
+    full = {r["day"].day: (r["n_events"], r["baseline_n"], r["tvd"])
+            for r in D.drift_report_from_state(
+                D.drift_state(spark.read.parquet(landing))).collect()}
+    assert served == full and set(served) == {2, 3}
+    # restart with no new data changes nothing
+    run()
+    again = {r["day"].day: (r["n_events"], r["baseline_n"], r["tvd"])
+             for r in D.drift_report_from_state(
+                 spark.read.parquet(state)).collect()}
+    assert again == served
+
+
+def test_drift_merge_associativity_and_clamp(spark):
+    """Merging batch-by-batch equals one-shot build (mergeable sums),
+    and out-of-spec values clamp into the edge bins instead of
+    corrupting the bin range."""
+    from data_warehouse_project_spark.plans.drift import _BINS
+    from data_warehouse_project_spark.streaming import drift_state as D
+
+    a = _events(spark, [(1, 1, 5.0), (2, 1, 999999.0)])   # clamp high
+    b = _events(spark, [(3, 1, -4.0), (4, 2, 7.0)])       # clamp low
+    merged = D.merge_drift_state(D.drift_state(a), b)
+    oneshot = D.drift_state(a.unionByName(b))
+    as_map = lambda df: {(r["day"].day, r["bin"]): r["n"]
+                         for r in df.collect()}
+    assert as_map(merged) == as_map(oneshot)
+    bins = {bin for (_, bin) in as_map(merged)}
+    assert bins <= set(range(_BINS))
+    assert (1, _BINS - 1) in as_map(merged)  # the excursion, clamped
+    assert (1, 0) in as_map(merged)          # the negative, clamped
