@@ -164,3 +164,136 @@ ORDER BY o_orderpriority
 
 register("orders_price_robust_stats", orders_price_robust_stats,
          ORDERS_PRICE_ROBUST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Two-pass exact median — the SCALE PATH for exact order statistics
+# that winsorized_stats' docstring promises: no global sort anywhere.
+# Pass 1 histograms each group into _MBINS fixed-width integer bins
+# (shuffle = groups x bins partials, map-side combined) and locates
+# the bin(s) holding the k-th order statistics from the cumulative
+# counts; pass 2 rescans ONLY candidate-bin rows (expected n/_MBINS
+# of each group) and ranks inside them — the rank window sorts tiny
+# partitions instead of whole groups. This is the classic
+# select-by-histogram refinement (one extra linear scan buys away the
+# O(n log n) sort); at 100 TB the two scans are the cheap part and no
+# executor ever materializes a group-wide sort run.
+#
+# The oracle is DELIBERATELY a different algorithm (row_number over a
+# full per-group sort): matching results validate the histogram
+# refinement itself, not a mirrored construction.
+
+#: pass-1 histogram resolution for the two-pass median
+_MBINS = 1024
+
+
+def median_twopass(vals: DataFrame, group_col: str) -> DataFrame:
+    """Exact per-group median of ``cents`` without a group-wide sort.
+
+    Returns (group, n_rows, median) where median is the average of
+    the two middle order statistics (1-indexed ranks (n+1) DIV 2 and
+    (n+2) DIV 2 — equal when n is odd), in currency units."""
+    bounds = pin(
+        vals.groupBy(group_col).agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("cents").alias("mn"),
+            F.max("cents").alias("mx"),
+        ).withColumn(
+            "width",
+            F.ceil((F.col("mx") - F.col("mn") + F.lit(1)).cast("double")
+                   / F.lit(float(_MBINS))).cast("long"))
+        .withColumn("k1", F.expr("(n + 1) DIV 2"))
+        .withColumn("k2", F.expr("(n + 2) DIV 2"))
+    )
+    binned = pin(
+        vals.join(F.broadcast(bounds.select(group_col, "mn", "width")),
+                  group_col)
+        .select(group_col, "cents",
+                F.expr("(cents - mn) DIV width").alias("bin"))
+    )
+    hist = (
+        binned.groupBy(group_col, "bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn(
+            "cum_hi",
+            F.sum("cnt").over(Window.partitionBy(group_col)
+                              .orderBy("bin")))
+        .withColumn("cum_lo", F.col("cum_hi") - F.col("cnt"))
+    )
+    cands = (
+        hist.join(F.broadcast(bounds.select(group_col, "k1", "k2")),
+                  group_col)
+        .where(((F.col("cum_lo") < F.col("k1"))
+                & (F.col("cum_hi") >= F.col("k1")))
+               | ((F.col("cum_lo") < F.col("k2"))
+                  & (F.col("cum_hi") >= F.col("k2"))))
+        .select(group_col, "bin", "cum_lo", "k1", "k2")
+    )
+    probe = (
+        binned.join(F.broadcast(cands), [group_col, "bin"])
+        .withColumn(
+            "grank",
+            F.row_number().over(Window.partitionBy(group_col, "bin")
+                                .orderBy("cents")).cast("long")
+            + F.col("cum_lo"))
+    )
+    picks = (
+        probe
+        .where((F.col("grank") == F.col("k1"))
+               | (F.col("grank") == F.col("k2")))
+        .groupBy(group_col)
+        .agg(F.max(F.when(F.col("grank") == F.col("k1"), F.col("cents")))
+             .alias("v1"),
+             F.max(F.when(F.col("grank") == F.col("k2"), F.col("cents")))
+             .alias("v2"))
+    )
+    return (
+        bounds.select(group_col, "n").join(picks, group_col)
+        .select(
+            group_col,
+            F.col("n").alias("n_rows"),
+            fround((F.col("v1") + F.col("v2")).cast("double")
+                   / F.lit(2.0) / F.lit(100.0), 6).alias("median"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def orders_price_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median order value per priority via the two-pass
+    histogram refinement (no group-wide sort in the plan)."""
+    cat = Catalog(spark, sf_dir)
+    return median_twopass(
+        cat.orders.select(
+            F.col("o_orderpriority"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long").alias("cents")),
+        "o_orderpriority")
+
+
+ORDERS_MEDIAN_TWOPASS_SQL = f"""
+WITH vals AS (
+    SELECT o_orderpriority,
+           CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM orders
+),
+ranked AS (
+    SELECT o_orderpriority, cents,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY cents) AS BIGINT) AS rk,
+           CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+               AS n
+    FROM vals
+)
+SELECT o_orderpriority,
+       MAX(n) AS n_rows,
+       {sql_fround('AVG(CASE WHEN rk = (n + 1) // 2 OR rk = (n + 2) // 2'
+                   ' THEN CAST(cents AS DOUBLE) END) / 100.0', 6)}
+           AS median
+FROM ranked
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+register("orders_price_median_twopass", orders_price_median_twopass,
+         ORDERS_MEDIAN_TWOPASS_SQL)

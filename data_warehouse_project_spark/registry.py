@@ -46,9 +46,9 @@ def _register_modules() -> None:
     from .operators import (bloom, extended, quarantine,  # noqa: F401
                             relational, skew)
     from .plans import (analytics, attribution, audits, cdc,  # noqa: F401
-                        dashboard, drift, graph, incremental, poststate,
-                        regression, robust, timeseries, tpch, tpch_deep,
-                        warehouse)
+                        dashboard, drift, experiment, graph, incremental,
+                        poststate, regression, robust, timeseries, tpch,
+                        tpch_deep, warehouse)
     from .streaming import (batch_parity, distinct_users,  # noqa: F401
                             drift_state, funnel_state, interval_join,
                             late_sessions, late_transitions, sessions,

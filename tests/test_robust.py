@@ -74,3 +74,40 @@ def test_winsorized_groups_independent(spark):
     rows = {r["g"]: r for r in winsorized_stats(df, "g").collect()}
     assert rows["a"]["trimmed_mean"] == 10.5
     assert rows["b"]["mean"] == rows["b"]["winsorized_mean"] == 10.0
+
+
+# --- two-pass exact median ---
+
+def test_median_twopass_odd_even_and_singleton(spark):
+    from data_warehouse_project_spark.plans.robust import median_twopass
+
+    df = _vals(spark, [100, 300, 200], "odd").union(
+        _vals(spark, [100, 200, 300, 400], "even")).union(
+        _vals(spark, [777], "one")).union(
+        _vals(spark, [500, 600], "two"))
+    rows = {r["g"]: r for r in median_twopass(df, "g").collect()}
+    assert rows["odd"]["median"] == 2.0
+    assert rows["even"]["median"] == 2.5   # (200+300)/2 cents -> 2.50
+    assert rows["one"]["median"] == 7.77 and rows["one"]["n_rows"] == 1
+    assert rows["two"]["median"] == 5.5
+
+
+def test_median_twopass_matches_numpy_on_wide_range(spark):
+    import numpy as np
+    from data_warehouse_project_spark.plans.robust import median_twopass
+
+    # values spread far beyond _MBINS so many bins are occupied and
+    # the candidate-bin refinement actually has to narrow
+    cents = [(v * 7919) % 1_000_003 for v in range(501)]
+    r = median_twopass(_vals(spark, cents), "g").collect()[0]
+    assert r["median"] == round(float(np.median(cents)) / 100.0, 6)
+
+
+def test_median_twopass_heavy_ties_across_cut(spark):
+    from data_warehouse_project_spark.plans.robust import median_twopass
+
+    # the median rank falls inside a run of identical values
+    cents = [100] * 10 + [200] * 10 + [300] * 5
+    r = median_twopass(_vals(spark, cents), "g").collect()[0]
+    # n=25, k1=k2=13 -> value 200
+    assert r["median"] == 2.0 and r["n_rows"] == 25
