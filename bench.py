@@ -90,6 +90,10 @@ HEADLINE = [
     "kmv_customer_overlap",        # bottom-k set-overlap sketches (new r7)
     "bloom_semijoin_revenue",      # bloom-pruned fact join, exact result (new r7)
     "events_click_purchase_incremental",  # stream-stream interval-join maintainer (new r7)
+    "events_value_drift_daily",    # rolling histogram drift detector (new r7)
+    "nation_revenue_trend_ols",    # sufficient-statistics OLS over a 3-table join (new r7)
+    "orders_price_median_twopass",  # histogram-refinement exact median, no group sort (new r7)
+    "events_ab_conversion_report",  # hash-bucketed per-user A/B funnel + z-test (new r7)
 ]
 # doc_zipf_fit is deliberately NOT in the headline: its corpus-scale
 # work is the same explode→term-count shuffle vocab_top_terms already
@@ -110,7 +114,16 @@ HEADLINE = [
 # sketch_fold_identity_floor (three half-table sketch builds — each
 # family's full build is already measured or bounded sub-second) and
 # orders_enriched_incremental (its engine work is the broadcast star
-# join q5/q9 already measure; the fold adds only a union). k_anonymity_report /
+# join q5/q9 already measure; the fold adds only a union). Of the r7
+# drift/regression/robust/experiment families, the four entries above
+# stand in for the rest: orders_price_drift and the weekly mix drift
+# are smaller cuts of events_value_drift_daily's scan+grid+window
+# shape (and events_drift_daily_served is its two-batch state-build
+# variant), event_value_trend_ols is nation_revenue_trend_ols minus
+# the join, and orders_price_robust_stats is a per-group window sort
+# (the shape window_ntile_quartiles already measures — the scale-
+# relevant order-statistic plan is the measured two-pass median).
+# k_anonymity_report /
 # l_diversity_report are customer-dimension-sized two-level aggregates
 # (sub-second shapes, the audit family's spine is already measured via
 # referential_integrity_report / user_rfm_segments).

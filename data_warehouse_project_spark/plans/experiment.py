@@ -209,3 +209,187 @@ FROM one
 
 register("events_ab_conversion_report", events_ab_conversion_report,
          EVENTS_AB_SQL)
+
+
+# ---------------------------------------------------------------------------
+# CUPED — variance-reduced experiment readout (Controlled-experiment
+# Using Pre-Experiment Data; Deng, Xu, Kohavi & Walker, WSDM 2013).
+# The adjusted metric y' = y - theta * (x - E[x]) with
+# theta = cov(x, y) / var(x) removes the variance explained by the
+# pre-experiment covariate, shrinking confidence intervals without
+# biasing the treatment effect (x predates assignment, so E[x|arm]
+# is equal in expectation). theta comes from the POOLED population —
+# the standard practice that keeps the estimator unbiased under the
+# null. The same report carries the sample-ratio-mismatch (SRM)
+# chi-square — the first sanity gate any experiment platform applies
+# before trusting a readout.
+#
+# Scale design: one events scan -> per-user (x, y) partials (shuffle
+# on user_id, map-side combined), then a SINGLE global aggregation
+# computes every sufficient sum — pooled AND per-arm via conditional
+# terms — so the model solve is one row. The sufficient sums are the
+# regression.py discipline: exact integer value-hundredths summed as
+# DECIMAL(38,0) (DuckDB: HUGEINT), the closed forms a fixed dag of
+# IEEE ops on identical doubles.
+
+#: experiment-period split: events before this are the pre-period
+_PERIOD_SPLIT = "2024-01-15"
+
+#: SRM alarm threshold: chi-square(1 dof) at p ~ 0.001
+_SRM_CHI2 = 10.83
+
+
+def events_ab_cuped_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row CUPED readout: per-arm counts and raw means of the
+    experiment-period purchase value, pooled theta and rho-squared
+    (the variance-reduction fraction), adjusted means and lift, and
+    the SRM chi-square gate."""
+    cat = Catalog(spark, sf_dir)
+    vq = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    pre = F.col("ts") < F.lit(_PERIOD_SPLIT).cast("timestamp")
+    per_user = (
+        cat.events
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(pre, vq)), F.lit(0))
+            .cast("long").alias("x"),
+            F.coalesce(F.sum(F.when((~pre)
+                                    & (F.col("event_type") == "purchase"),
+                                    vq)), F.lit(0))
+            .cast("long").alias("y"),
+        )
+        .select(_arm().alias("arm"), "x", "y")
+    )
+    a = F.col("arm") == "A"
+    dec = "decimal(38,0)"
+    sums = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("x").cast(dec))).alias("sxx"),
+        F.sum((F.col("x").cast(dec) * F.col("y").cast(dec))).alias("sxy"),
+        F.sum((F.col("y").cast(dec) * F.col("y").cast(dec))).alias("syy"),
+        F.sum(F.when(a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(a, F.col("x")).otherwise(0)).cast("long").alias("sx_a"),
+        F.sum(F.when(a, F.col("y")).otherwise(0)).cast("long").alias("sy_a"),
+        F.sum(F.when(~a, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(~a, F.col("x")).otherwise(0)).cast("long").alias("sx_b"),
+        F.sum(F.when(~a, F.col("y")).otherwise(0)).cast("long").alias("sy_b"),
+    )
+
+    def d(c: str):
+        return F.col(c).cast("double")
+
+    n, sx, sy = d("n"), d("sx"), d("sy")
+    var_x = n * d("sxx") - sx * sx
+    var_y = n * d("syy") - sy * sy
+    cov = n * d("sxy") - sx * sy
+    theta = F.when(var_x > 0, cov / var_x)
+    rho2 = F.when((var_x > 0) & (var_y > 0), cov * cov / (var_x * var_y))
+    mean_x = sx / n
+    th = F.coalesce(theta, F.lit(0.0))
+    mean_y_a = d("sy_a") / d("n_a")
+    mean_y_b = d("sy_b") / d("n_b")
+    adj_a = mean_y_a - th * (d("sx_a") / d("n_a") - mean_x)
+    adj_b = mean_y_b - th * (d("sx_b") / d("n_b") - mean_x)
+    nd = d("n_a") - d("n_b")
+    srm = nd * nd / (d("n_a") + d("n_b"))
+    cur = F.lit(100.0)
+    return sums.select(
+        "n_a", "n_b",
+        fround(mean_y_a / cur, 6).alias("mean_y_a"),
+        fround(mean_y_b / cur, 6).alias("mean_y_b"),
+        fround(theta, 9).alias("theta"),
+        fround(rho2, 9).alias("rho2"),
+        fround(adj_a / cur, 6).alias("mean_y_a_adj"),
+        fround(adj_b / cur, 6).alias("mean_y_b_adj"),
+        fround((mean_y_b - mean_y_a) / cur, 6).alias("abs_lift_raw"),
+        fround((adj_b - adj_a) / cur, 6).alias("abs_lift_adj"),
+        fround(srm, 9).alias("srm_chi2"),
+        (srm <= F.lit(_SRM_CHI2)).alias("srm_ok"),
+    )
+
+
+EVENTS_AB_CUPED_SQL = f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{_PERIOD_SPLIT}'
+                THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) END), 0)
+               AS BIGINT) AS x,
+           CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_PERIOD_SPLIT}'
+                     AND event_type = 'purchase'
+                THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) END), 0)
+               AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+assigned AS (
+    SELECT CASE WHEN substr(sha256('{_SALT}' || CAST(user_id AS VARCHAR)),
+                            64, 1) IN
+                ('0','2','4','6','8','a','c','e')
+                THEN 'A' ELSE 'B' END AS arm, x, y
+    FROM per_user
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE)
+               AS sxx,
+           CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)
+               AS sxy,
+           CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)
+               AS syy,
+           CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+           CAST(SUM(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS DOUBLE)
+               AS sx_a,
+           CAST(SUM(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS DOUBLE)
+               AS sy_a,
+           CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+           CAST(SUM(CASE WHEN arm = 'B' THEN x ELSE 0 END) AS DOUBLE)
+               AS sx_b,
+           CAST(SUM(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS DOUBLE)
+               AS sy_b
+    FROM assigned
+),
+m AS (
+    SELECT *,
+           (n * sxx - sx * sx) AS var_x,
+           (n * syy - sy * sy) AS var_y,
+           (n * sxy - sx * sy) AS cov,
+           sx / n AS mean_x,
+           sy_a / CAST(n_a AS DOUBLE) AS mean_y_a,
+           sy_b / CAST(n_b AS DOUBLE) AS mean_y_b,
+           CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+               / CAST(n_a + n_b AS DOUBLE) AS srm
+    FROM sums
+),
+t AS (
+    SELECT *,
+           CASE WHEN var_x > 0 THEN cov / var_x END AS theta,
+           COALESCE(CASE WHEN var_x > 0 THEN cov / var_x END, 0.0) AS th
+    FROM m
+)
+SELECT n_a, n_b,
+       {sql_fround('mean_y_a / 100.0', 6)} AS mean_y_a,
+       {sql_fround('mean_y_b / 100.0', 6)} AS mean_y_b,
+       {sql_fround('theta', 9)} AS theta,
+       {sql_fround('CASE WHEN var_x > 0 AND var_y > 0'
+                   ' THEN cov * cov / (var_x * var_y) END', 9)} AS rho2,
+       {sql_fround('(mean_y_a - th * (sx_a / CAST(n_a AS DOUBLE)'
+                   ' - mean_x)) / 100.0', 6)} AS mean_y_a_adj,
+       {sql_fround('(mean_y_b - th * (sx_b / CAST(n_b AS DOUBLE)'
+                   ' - mean_x)) / 100.0', 6)} AS mean_y_b_adj,
+       {sql_fround('(mean_y_b - mean_y_a) / 100.0', 6)} AS abs_lift_raw,
+       {sql_fround('((mean_y_b - th * (sx_b / CAST(n_b AS DOUBLE)'
+                   ' - mean_x))'
+                   ' - (mean_y_a - th * (sx_a / CAST(n_a AS DOUBLE)'
+                   ' - mean_x))) / 100.0', 6)} AS abs_lift_adj,
+       {sql_fround('srm', 9)} AS srm_chi2,
+       srm <= {_SRM_CHI2} AS srm_ok
+FROM t
+"""
+
+register("events_ab_cuped_report", events_ab_cuped_report,
+         EVENTS_AB_CUPED_SQL)

@@ -91,7 +91,13 @@ def _register_modules() -> None:
 #:   kmv_customer_overlap, kmv_accuracy_floor, l_diversity_report,
 #:   bloom_semijoin_revenue, bloom_filter_floor,
 #:   sketch_fold_identity_floor, events_click_purchase_incremental,
-#:   orders_enriched_incremental) join the round-9 cohort.
+#:   orders_enriched_incremental, and the late-r7
+#:   drift/regression/robust/experiment families:
+#:   orders_price_drift, events_type_mix_weekly_drift,
+#:   events_value_drift_daily, events_drift_daily_served,
+#:   nation_revenue_trend_ols, event_value_trend_ols,
+#:   orders_price_robust_stats, orders_price_median_twopass,
+#:   events_ab_conversion_report) join the round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a

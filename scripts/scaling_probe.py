@@ -46,6 +46,10 @@ PROBE = [
     "dedup_bridge_survivors",       # multi-signal CC bridge (r7)
     "events_ttl_window_state",      # TTL'd bounded-state fold (r7)
     "cms_accuracy_floor",           # count-min sketch build+probe (r7)
+    "events_value_drift_daily",     # rolling histogram drift (late r7)
+    "nation_revenue_trend_ols",     # sufficient-stats OLS + join (late r7)
+    "orders_price_median_twopass",  # histogram-refinement median (late r7)
+    "events_ab_cuped_report",       # per-user funnel + CUPED solve (late r7)
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

@@ -94,3 +94,83 @@ def test_ab_bucketing_is_salted_and_balanced(spark):
         in _A_NIBBLES else "B"
         for u in range(1, 200)]
     assert any(x != y for x, y in zip(arms, other))
+
+
+# --- CUPED variance-reduced readout ---
+
+def test_cuped_matches_hand_formula_and_reduces_variance(spark, tmp_path):
+    """Planted per-user (x, y) with strong linear dependence: theta
+    and the adjusted means must match the closed-form computation,
+    rho2 must be high, and the SRM gate must pass on a near-even
+    split."""
+    import numpy as np
+    from data_warehouse_project_spark.plans.experiment import (
+        _PERIOD_SPLIT, events_ab_cuped_report)
+
+    pre_t = dt.datetime(2024, 1, 10, 12, 0)
+    post_t = dt.datetime(2024, 1, 20, 12, 0)
+    users = list(range(1, 81))
+    rows, xs, ys, arms = [], {}, {}, {}
+    for u in users:
+        arm = _arm_of(u)
+        x = 10.0 + (u % 7) * 3.0          # pre-period covariate
+        y = 2.0 * x + (1.5 if arm == "B" else 0.0)  # treatment effect
+        rows.append((u, "view", pre_t, x))
+        rows.append((u, "purchase", post_t, y))
+        xs[u], ys[u], arms[u] = x, y, arm
+    df = spark.createDataFrame(
+        [(i, ts, u, et, v, "{}") for i, (u, et, ts, v) in enumerate(rows)],
+        _EV_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet")
+    r = events_ab_cuped_report(spark, str(tmp_path)).collect()[0]
+
+    xq = np.array([round(xs[u] * 100) for u in users], dtype=float)
+    yq = np.array([round(ys[u] * 100) for u in users], dtype=float)
+    n = len(users)
+    var_x = n * (xq * xq).sum() - xq.sum() ** 2
+    var_y = n * (yq * yq).sum() - yq.sum() ** 2
+    cov = n * (xq * yq).sum() - xq.sum() * yq.sum()
+    theta = cov / var_x
+    assert r["theta"] == round(theta, 9)
+    assert r["rho2"] == round(cov * cov / (var_x * var_y), 9)
+    assert r["rho2"] > 0.9               # covariate explains most variance
+    mean_x = xq.mean()
+    for arm, (nk, mk, ak) in {
+        "A": (r["n_a"], r["mean_y_a"], r["mean_y_a_adj"]),
+        "B": (r["n_b"], r["mean_y_b"], r["mean_y_b_adj"]),
+    }.items():
+        sel = [u for u in users if arms[u] == arm]
+        assert nk == len(sel)
+        my = yq[[users.index(u) for u in sel]].mean()
+        mx = xq[[users.index(u) for u in sel]].mean()
+        assert mk == round(my / 100.0, 6)
+        assert ak == round((my - theta * (mx - mean_x)) / 100.0, 6)
+    # the adjusted lift isolates the planted +1.5 treatment effect
+    # better than the raw lift contaminated by covariate imbalance
+    assert abs(r["abs_lift_adj"] - 1.5) <= abs(r["abs_lift_raw"] - 1.5) + 1e-9
+    assert r["srm_ok"] is True
+    assert dt.datetime.fromisoformat(_PERIOD_SPLIT) > pre_t
+
+
+def test_cuped_degenerate_constant_covariate(spark, tmp_path):
+    """Constant x: var_x = 0 -> theta NULL, adjustment falls back to
+    the raw means (th coalesced to 0)."""
+    from data_warehouse_project_spark.plans.experiment import (
+        events_ab_cuped_report)
+
+    pre_t = dt.datetime(2024, 1, 10, 12, 0)
+    post_t = dt.datetime(2024, 1, 20, 12, 0)
+    rows = []
+    for u in range(1, 41):
+        rows.append((u, "view", pre_t, 5.0))
+        rows.append((u, "purchase", post_t, float(u % 9)))
+    df = spark.createDataFrame(
+        [(i, ts, u, et, v, "{}") for i, (u, et, ts, v) in enumerate(rows)],
+        _EV_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet")
+    r = events_ab_cuped_report(spark, str(tmp_path)).collect()[0]
+    assert r["theta"] is None
+    assert r["mean_y_a_adj"] == r["mean_y_a"]
+    assert r["mean_y_b_adj"] == r["mean_y_b"]
