@@ -756,3 +756,178 @@ ORDER BY diversity
 """
 
 register("l_diversity_report", l_diversity_report, L_DIVERSITY_SQL)
+
+# --------------------------------------------------------------------------
+# t-closeness audit (completes the k-anonymity / l-diversity triad)
+# --------------------------------------------------------------------------
+
+#: t-closeness release threshold as an exact rational (t = 1/5): a
+#: group fails when its sensitive-band distribution sits farther than
+#: t from the global distribution under the ordered-domain EMD
+_T_CLOSE_NUM, _T_CLOSE_DEN = 1, 5
+
+#: ordered sensitive-band domain size (the _ACCTBAL_BANDS edges + 1)
+_N_BANDS = len(_ACCTBAL_BANDS) + 1
+
+
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit, the t-closeness complement of k_anonymity_report
+    and l_diversity_report (same quasi-identifier pair, same sensitive
+    banding): l-diversity counts distinct sensitive values but a group
+    can be "diverse" while still skewed far from the population — the
+    skewness attack (Li, Li & Venkatasubramanian, ICDE 2007). Here
+    each (mktsegment, nationkey) group's band distribution is compared
+    to the GLOBAL band distribution under the Earth Mover's Distance
+    over the ordered 5-band domain, and the report profiles groups by
+    EMD decile: group count, row mass, and the rows in groups whose
+    EMD exceeds t = 1/5 — the mass a release gate would generalize.
+
+    Determinism: the ordered-domain EMD is computed entirely in
+    integers. With group cumulative counts C_j, global cumulative
+    counts G_j, group size s and population size N,
+        EMD = (1 / (m-1)) * sum_j |C_j/s - G_j/N|
+    so   EMD * (m-1) * s * N = sum_j |C_j*N - G_j*s|   (exact BIGINT).
+    The decile is integer division of that scaled sum; the t-gate is
+    the cross-multiplied compare DEN*scaled > NUM*(m-1)*s*N. No float
+    division anywhere. (BIGINT headroom: terms are bounded by s*N —
+    fine up to ~10^9-customer dimensions; beyond that switch the two
+    products to DECIMAL(38,0).)
+
+    Scale: one map-side-combined groupBy on (QI, band) — the only
+    corpus-sized shuffle; everything after runs on the bounded
+    QI-combination x 5-band grid (explode(sequence), no join for the
+    missing-cell completion bias), a per-QI 5-row cumulative window,
+    a broadcast of the 5-row global cumulative, and a rollup over the
+    ≤10-row decile domain.
+    """
+    cat = Catalog(spark, sf_dir)
+    band = (F.when(F.col("c_acctbal") < _ACCTBAL_BANDS[0], 0)
+            .when(F.col("c_acctbal") < _ACCTBAL_BANDS[1], 1)
+            .when(F.col("c_acctbal") < _ACCTBAL_BANDS[2], 2)
+            .when(F.col("c_acctbal") < _ACCTBAL_BANDS[3], 3)
+            .otherwise(4)).cast("long")
+    cells = (cat.customer
+             .select("c_mktsegment", "c_nationkey", band.alias("sens"))
+             .groupBy("c_mktsegment", "c_nationkey", "sens")
+             .agg(F.count("*").cast("long").alias("n")))
+
+    # global band cumulative over the FULL 0..m-1 domain (a band empty
+    # in the population must still occupy its slot so both engines sum
+    # the same m terms); 5 rows, so the unpartitioned window is exact
+    # bounded work, not a data-sized single partition
+    dom = spark.range(_N_BANDS).select(F.col("id").cast("long")
+                                       .alias("sens"))
+    gtot = (dom.join(cells.groupBy("sens")
+                     .agg(F.sum("n").cast("long").alias("nb")),
+                     "sens", "left")
+            .na.fill({"nb": 0}))
+    w_cum = (Window.orderBy("sens")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = (Window.orderBy("sens")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    gcum = gtot.select(
+        "sens",
+        F.sum("nb").over(w_cum).cast("long").alias("cum_nb"),
+        F.sum("nb").over(w_all).cast("long").alias("n_total"))
+
+    # per-group cumulative over the same full domain
+    grid = (cells.select("c_mktsegment", "c_nationkey").distinct()
+            .select("c_mktsegment", "c_nationkey",
+                    F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1)))
+                    .alias("sens"))
+            .withColumn("sens", F.col("sens").cast("long")))
+    filled = (grid.join(cells, ["c_mktsegment", "c_nationkey", "sens"],
+                        "left")
+              .na.fill({"n": 0}))
+    w_g = (Window.partitionBy("c_mktsegment", "c_nationkey")
+           .orderBy("sens")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_gall = Window.partitionBy("c_mktsegment", "c_nationkey")
+    cum = filled.select(
+        "c_mktsegment", "c_nationkey", "sens",
+        F.sum("n").over(w_g).cast("long").alias("cum_n"),
+        F.sum("n").over(w_gall).cast("long").alias("gsize"))
+
+    emd = (cum.join(F.broadcast(gcum), "sens")
+           .groupBy("c_mktsegment", "c_nationkey")
+           .agg(F.max("gsize").alias("gsize"),
+                F.max("n_total").alias("n_total"),
+                F.sum(F.abs(F.col("cum_n") * F.col("n_total")
+                            - F.col("cum_nb") * F.col("gsize")))
+                .cast("long").alias("emd_scaled")))
+    m1 = _N_BANDS - 1
+    return (emd.select(
+                F.expr(f"(10 * emd_scaled) DIV ({m1} * gsize * n_total)")
+                .cast("long").alias("emd_decile"),
+                "gsize", "emd_scaled", "n_total")
+            .groupBy("emd_decile")
+            .agg(F.count("*").cast("long").alias("n_groups"),
+                 F.sum("gsize").cast("long").alias("n_customers"),
+                 F.sum(F.when(
+                     F.lit(_T_CLOSE_DEN) * F.col("emd_scaled")
+                     > F.lit(_T_CLOSE_NUM * m1)
+                     * F.col("gsize") * F.col("n_total"),
+                     F.col("gsize")).otherwise(0))
+                 .cast("long").alias("n_above_t"))
+            .orderBy("emd_decile"))
+
+
+T_CLOSENESS_SQL = f"""
+WITH cells AS (
+    SELECT c_mktsegment AS seg, c_nationkey AS nat,
+           CAST(CASE WHEN c_acctbal < {_ACCTBAL_BANDS[0]} THEN 0
+                WHEN c_acctbal < {_ACCTBAL_BANDS[1]} THEN 1
+                WHEN c_acctbal < {_ACCTBAL_BANDS[2]} THEN 2
+                WHEN c_acctbal < {_ACCTBAL_BANDS[3]} THEN 3
+                ELSE 4 END AS BIGINT) AS sens,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1, 2, 3
+),
+dom AS (SELECT CAST(range AS BIGINT) AS sens FROM range({_N_BANDS})),
+gtot AS (
+    SELECT d.sens, CAST(COALESCE(x.nb, 0) AS BIGINT) AS nb
+    FROM dom d LEFT JOIN (SELECT sens, SUM(n) AS nb FROM cells
+                          GROUP BY 1) x
+    ON d.sens = x.sens
+),
+gcum AS (
+    SELECT sens, CAST(SUM(nb) OVER (ORDER BY sens) AS BIGINT) AS cum_nb,
+           CAST(SUM(nb) OVER () AS BIGINT) AS n_total
+    FROM gtot
+),
+grid AS (
+    SELECT q.seg, q.nat, d.sens
+    FROM (SELECT DISTINCT seg, nat FROM cells) q CROSS JOIN dom d
+),
+filled AS (
+    SELECT g.seg, g.nat, g.sens, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN cells c
+    ON g.seg = c.seg AND g.nat = c.nat AND g.sens = c.sens
+),
+cum AS (
+    SELECT seg, nat, sens,
+           CAST(SUM(n) OVER (PARTITION BY seg, nat ORDER BY sens)
+                AS BIGINT) AS cum_n,
+           CAST(SUM(n) OVER (PARTITION BY seg, nat) AS BIGINT) AS gsize
+    FROM filled
+),
+emd AS (
+    SELECT c.seg, c.nat, MAX(c.gsize) AS gsize,
+           MAX(g.n_total) AS n_total,
+           CAST(SUM(ABS(c.cum_n * g.n_total - g.cum_nb * c.gsize))
+                AS BIGINT) AS emd_scaled
+    FROM cum c JOIN gcum g ON c.sens = g.sens
+    GROUP BY 1, 2
+)
+SELECT CAST((10 * emd_scaled) // ({_N_BANDS - 1} * gsize * n_total)
+            AS BIGINT) AS emd_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(gsize) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN {_T_CLOSE_DEN} * emd_scaled
+                     > {_T_CLOSE_NUM * (_N_BANDS - 1)} * gsize * n_total
+                THEN gsize ELSE 0 END) AS BIGINT) AS n_above_t
+FROM emd GROUP BY 1 ORDER BY emd_decile
+"""
+
+register("t_closeness_report", t_closeness_report, T_CLOSENESS_SQL)

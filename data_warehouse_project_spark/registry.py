@@ -97,7 +97,8 @@ def _register_modules() -> None:
 #:   events_value_drift_daily, events_drift_daily_served,
 #:   nation_revenue_trend_ols, event_value_trend_ols,
 #:   orders_price_robust_stats, orders_price_median_twopass,
-#:   events_ab_conversion_report) join the round-9 cohort.
+#:   events_ab_conversion_report, events_ab_cuped_report,
+#:   t_closeness_report) join the round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a

@@ -257,3 +257,53 @@ def test_l_diversity_planted_homogeneous_group(spark, tmp_path):
     assert got[2]["n_groups"] == 1 and got[2]["n_below_l"] == 2
     assert got[5]["n_groups"] == 1 and got[5]["n_below_l"] == 0
     assert set(got) == {1, 2, 5}
+
+
+def test_t_closeness_matches_brute_force_emd(spark, sf_dir):
+    # independent model: per-group ordered-domain EMD computed in
+    # Python floats over the same banding, binned to deciles and
+    # gated at t = 0.2 — the report's integer-exact math must agree
+    from data_warehouse_project_spark.plans.audits import (
+        _ACCTBAL_BANDS, _N_BANDS, t_closeness_report)
+
+    pdf = (Catalog(spark, sf_dir).customer
+           .select("c_mktsegment", "c_nationkey", "c_acctbal")
+           .toPandas())
+
+    def band(v: float) -> int:
+        for i, edge in enumerate(_ACCTBAL_BANDS):
+            if v < edge:
+                return i
+        return len(_ACCTBAL_BANDS)
+
+    pdf["sens"] = pdf["c_acctbal"].map(band)
+    n_total = len(pdf)
+    glob = [int((pdf["sens"] == b).sum()) for b in range(_N_BANDS)]
+    from collections import Counter
+    deciles: Counter[int] = Counter()
+    mass: Counter[int] = Counter()
+    above = 0
+    for _, g in pdf.groupby(["c_mktsegment", "c_nationkey"]):
+        s = len(g)
+        cnt = [int((g["sens"] == b).sum()) for b in range(_N_BANDS)]
+        cum_p = cum_q = 0.0
+        emd = 0.0
+        for b in range(_N_BANDS):
+            cum_p += cnt[b] / s
+            cum_q += glob[b] / n_total
+            emd += abs(cum_p - cum_q)
+        emd /= _N_BANDS - 1
+        d = int(emd * 10)  # floats land far from decile edges here
+        deciles[d] += 1
+        mass[d] += s
+        if emd > 0.2:
+            above += s
+    report = {r["emd_decile"]: r
+              for r in t_closeness_report(spark, sf_dir).collect()}
+    assert {d: c for d, c in deciles.items()} == {
+        d: r["n_groups"] for d, r in report.items()}
+    assert {d: m for d, m in mass.items()} == {
+        d: r["n_customers"] for d, r in report.items()}
+    assert above == sum(r["n_above_t"] for r in report.values())
+    # non-vacuity: the gate actually splits the groups on driver data
+    assert len(report) >= 2
