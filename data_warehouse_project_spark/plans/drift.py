@@ -18,6 +18,9 @@ Three operators, one per monitoring shape:
   histogram against the trailing-7-day baseline, per-day TVD and a
   threshold alarm — the batch twin of what a streaming monitor would
   maintain incrementally.
+* ``orders_revenue_cusum`` — sequential mean-shift detector (one-sided
+  upper CUSUM, Page 1954) over daily revenue vs a baseline-year mean,
+  expressed as two stock window functions via the prefix-min identity.
 
 Cross-engine determinism: every continuous value is first recovered
 as an exact integer (cents / value-hundredths), so bin assignment is
@@ -430,3 +433,130 @@ ORDER BY day
 
 register("events_value_drift_daily", events_value_drift_daily,
          EVENTS_VALUE_DRIFT_DAILY_SQL)
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection (sequential mean-shift monitoring)
+# --------------------------------------------------------------------------
+
+#: CUSUM baseline period: days strictly before this date estimate the
+#: in-control daily-revenue mean
+_CUSUM_BASELINE_END = "1996-01-01"
+
+#: CUSUM allowance k = baseline-mean / _CUSUM_K_DEN (the slack the
+#: in-control process may exceed the mean by before excess accrues)
+_CUSUM_K_DEN = 20
+
+#: CUSUM decision threshold h = _CUSUM_H_MULT x baseline mean of
+#: accumulated excess
+_CUSUM_H_MULT = 5
+
+
+def orders_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided upper CUSUM over daily order revenue (Page 1954):
+    accumulate each monitored day's excess over the 1995-baseline
+    daily mean plus an allowance k = mu0/20, resetting at zero, and
+    alarm when the accumulated excess tops h = 5*mu0 — the classical
+    sequential mean-shift / change-point monitor, complementing the
+    distribution-shape detectors above (TVD sees a reshaped histogram;
+    CUSUM sees a small persistent level shift the histogram hides).
+
+    The recurrence S_t = max(0, S_{t-1} + x_t - mu0 - k) is sequential,
+    but the prefix-min identity S_t = C_t - min_{0<=j<=t} C_j (with
+    C_t the plain cumulative sum of the drift-adjusted series and
+    C_0 = 0) turns it into two stock window functions — a running SUM
+    and a running MIN — so no iterative or per-row Python path enters
+    the plan (tests/test_drift.py pins the identity against the
+    literal recurrence).
+
+    Determinism: daily revenue is exact cents; the baseline mean
+    enters only as (total_base, n_base) integers, with the series
+    rescaled by n_base so every CUSUM term is a BIGINT:
+    d_t = cents_t * n_base - total_base - (total_base DIV K_DEN).
+    (Headroom: |C_t| <= ~h + days*mu0' with mu0' = total_base; BIGINT
+    holds through ~10^14 cents/day x 365-day baselines — beyond that
+    move the two products to DECIMAL(38,0).) The only doubles are the
+    fround'd mean-units readout, one IEEE divide of identical longs.
+
+    Scale: one map-side-combined groupBy(o_orderdate) is the only
+    corpus-sized shuffle; the baseline fold is a one-row broadcast and
+    the windows run over the bounded calendar frame (~2k day rows —
+    monitoring cardinality, independent of corpus size).
+    """
+    cat = Catalog(spark, sf_dir)
+    daily = (cat.orders
+             .select(F.col("o_orderdate").alias("day"),
+                     F.floor(F.col("o_totalprice") * F.lit(100.0)
+                             + F.lit(0.5)).cast("long").alias("cents"))
+             .groupBy("day")
+             .agg(F.sum("cents").cast("long").alias("cents")))
+    return cusum_fold(daily)
+
+
+def cusum_fold(daily: DataFrame) -> DataFrame:
+    """Core of the CUSUM detector over a (day: date, cents: long)
+    daily series — split out so hand-built shifted series exercise the
+    identity and alarm math directly (tests/test_drift.py)."""
+    base = (daily
+            .where(F.col("day") < F.lit(_CUSUM_BASELINE_END).cast("date"))
+            .agg(F.count("*").cast("long").alias("n_base"),
+                 F.sum("cents").cast("long").alias("total_base")))
+    mon = (daily
+           .where(F.col("day") >= F.lit(_CUSUM_BASELINE_END).cast("date"))
+           .crossJoin(F.broadcast(base)))
+    d_t = (F.col("cents") * F.col("n_base") - F.col("total_base")
+           - F.expr(f"total_base DIV {_CUSUM_K_DEN}"))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (mon.select("day", "cents", "total_base",
+                      F.sum(d_t).over(w).cast("long").alias("cum")))
+    s = (F.col("cum")
+         - F.least(F.lit(0).cast("long"), F.min("cum").over(w)))
+    return (cum.select(
+                "day",
+                F.col("cents").alias("daily_cents"),
+                s.cast("long").alias("cusum_scaled"),
+                fround(s.cast("double") / F.col("total_base")
+                       .cast("double"), 6).alias("cusum_mean_units"),
+                (s > F.lit(_CUSUM_H_MULT) * F.col("total_base"))
+                .alias("alarm"))
+            .orderBy("day"))
+
+
+ORDERS_REVENUE_CUSUM_SQL = f"""
+WITH daily AS (
+    SELECT o_orderdate AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+base AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_base,
+           CAST(SUM(cents) AS BIGINT) AS total_base
+    FROM daily WHERE day < DATE '{_CUSUM_BASELINE_END}'
+),
+cum AS (
+    SELECT d.day, d.cents, b.total_base,
+           CAST(SUM(d.cents * b.n_base - b.total_base
+                    - b.total_base // {_CUSUM_K_DEN})
+                OVER (ORDER BY d.day) AS BIGINT) AS cum
+    FROM daily d CROSS JOIN base b
+    WHERE d.day >= DATE '{_CUSUM_BASELINE_END}'
+),
+s AS (
+    SELECT day, cents, total_base,
+           CAST(cum - LEAST(CAST(0 AS BIGINT),
+                            MIN(cum) OVER (ORDER BY day)) AS BIGINT)
+               AS cusum_scaled
+    FROM cum
+)
+SELECT day, cents AS daily_cents, cusum_scaled,
+       {sql_fround('CAST(cusum_scaled AS DOUBLE)'
+                   ' / CAST(total_base AS DOUBLE)', 6)}
+           AS cusum_mean_units,
+       cusum_scaled > {_CUSUM_H_MULT} * total_base AS alarm
+FROM s
+ORDER BY day
+"""
+
+register("orders_revenue_cusum", orders_revenue_cusum,
+         ORDERS_REVENUE_CUSUM_SQL)

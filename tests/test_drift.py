@@ -218,3 +218,67 @@ def test_drift_merge_associativity_and_clamp(spark):
     assert bins <= set(range(_BINS))
     assert (1, _BINS - 1) in as_map(merged)  # the excursion, clamped
     assert (1, 0) in as_map(merged)          # the negative, clamped
+
+
+def test_cusum_prefix_min_identity_matches_recurrence(spark, sf_dir):
+    # the windowed prefix-min form must equal the literal Page
+    # recurrence S_t = max(0, S_{t-1} + x_t*nb - tot - tot//20)
+    from data_warehouse_project_spark.plans.drift import (
+        _CUSUM_BASELINE_END, _CUSUM_H_MULT, _CUSUM_K_DEN,
+        orders_revenue_cusum)
+    from data_warehouse_project_spark.sources.catalog import Catalog
+
+    daily = (Catalog(spark, sf_dir).orders
+             .select(F.col("o_orderdate").alias("day"),
+                     F.floor(F.col("o_totalprice") * F.lit(100.0)
+                             + F.lit(0.5)).cast("long").alias("cents"))
+             .groupBy("day").agg(F.sum("cents").alias("cents"))
+             .orderBy("day").collect())
+    cut = datetime.date.fromisoformat(_CUSUM_BASELINE_END)
+
+    def d(v):  # o_orderdate may load as date or naive timestamp
+        return v.date() if isinstance(v, datetime.datetime) else v
+
+    base = [int(r["cents"]) for r in daily if d(r["day"]) < cut]
+    nb, tot = len(base), sum(base)
+    k = tot // _CUSUM_K_DEN
+    s = 0
+    expect = {}
+    for r in daily:
+        if d(r["day"]) < cut:
+            continue
+        s = max(0, s + int(r["cents"]) * nb - tot - k)
+        expect[d(r["day"])] = (s, s > _CUSUM_H_MULT * tot)
+    got = {d(r["day"]): (r["cusum_scaled"], r["alarm"])
+           for r in orders_revenue_cusum(spark, sf_dir).collect()}
+    assert got == expect
+
+
+def test_cusum_planted_shift_fires_after_onset_only(spark):
+    # flat in-control series, then a +50% level shift at day 60: the
+    # alarm must stay off before the shift and latch on within the
+    # expected ramp (h / (shift - k) days) after it
+    from data_warehouse_project_spark.plans.drift import (
+        _CUSUM_BASELINE_END, cusum_fold)
+
+    cut = datetime.date.fromisoformat(_CUSUM_BASELINE_END)
+    rows = []
+    for i in range(60):  # baseline year, flat 1000 cents/day
+        rows.append(Row(day=cut - datetime.timedelta(days=60 - i),
+                        cents=1000))
+    for i in range(120):  # monitored: flat, then +50% from day 60
+        rows.append(Row(day=cut + datetime.timedelta(days=i),
+                        cents=1000 if i < 60 else 1500))
+    out = (cusum_fold(spark.createDataFrame(rows)
+                      .withColumn("day", F.col("day").cast("date"))
+                      .withColumn("cents", F.col("cents").cast("long")))
+           .collect())
+    onset = cut + datetime.timedelta(days=60)
+    # mu0 = 1000, k = 50, h = 5*mu0: excess accrues 450/day after the
+    # shift -> S crosses h on the 12th shifted day
+    for r in out:
+        if r["day"] < onset:
+            assert r["cusum_scaled"] == 0 and not r["alarm"], r
+        elif (r["day"] - onset).days >= 12:
+            assert r["alarm"], r
+    assert any(r["alarm"] for r in out)
