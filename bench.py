@@ -124,9 +124,14 @@ HEADLINE = [
 # (the shape window_ntile_quartiles already measures — the scale-
 # relevant order-statistic plan is the measured two-pass median).
 # k_anonymity_report /
-# l_diversity_report are customer-dimension-sized two-level aggregates
-# (sub-second shapes, the audit family's spine is already measured via
+# l_diversity_report / t_closeness_report are customer-dimension-sized
+# aggregates over the same (QI, band) cells (sub-second shapes, the
+# audit family's spine is already measured via
 # referential_integrity_report / user_rfm_segments).
+# orders_revenue_cusum's corpus work is one map-side-combined daily
+# groupBy — the exact shape orders_backlog_timeseries and
+# monthly_revenue_growth already measure; the CUSUM windows run on the
+# bounded ~2k-day calendar frame.
 
 # Log note (VERDICT r5 #8): repeated `WindowExec: No Partition
 # Defined` warnings in this bench's stderr come from the documented

@@ -6,7 +6,8 @@ month's data change shape?" is the natural companion audit to
 TVD monitoring as in the dataset-shift literature, e.g. Rabanser et al.
 "Failing Loudly", NeurIPS 2019).
 
-Three operators, one per monitoring shape:
+One operator per monitoring shape (plus the cusum_identity_floor
+cross-derivation gate):
 
 * ``orders_price_drift`` — two-cohort numeric drift: fixed-width
   integer histogram of a money column, early vs late cohort, with
@@ -560,3 +561,66 @@ ORDER BY day
 
 register("orders_revenue_cusum", orders_revenue_cusum,
          ORDERS_REVENUE_CUSUM_SQL)
+
+
+def cusum_identity_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible CUSUM quality gate, cross-derivation oracle (a
+    stronger form of the pinned-constant floor family): Spark folds
+    the detector through the windowed prefix-min identity while the
+    DuckDB oracle runs the LITERAL Page recurrence
+    S_t = max(0, S_{t-1} + d_t) via a recursive CTE — the two
+    derivations share no algebra beyond the definition, so a
+    hash-match on (n_monitored, n_alarms, max S, final S) proves the
+    identity on real driver data in exact integers, per scale factor,
+    not just on the unit-test fixture."""
+    s = orders_revenue_cusum(spark, sf_dir)
+    return s.agg(
+        F.count("*").cast("long").alias("n_monitored"),
+        F.sum(F.when(F.col("alarm"), 1).otherwise(0)).cast("long")
+        .alias("n_alarms"),
+        F.max("cusum_scaled").cast("long").alias("max_cusum_scaled"),
+        F.max_by("cusum_scaled", "day").cast("long")
+        .alias("final_cusum_scaled"))
+
+
+CUSUM_IDENTITY_FLOOR_SQL = f"""
+WITH RECURSIVE daily AS (
+    SELECT o_orderdate AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+base AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_base,
+           CAST(SUM(cents) AS BIGINT) AS total_base
+    FROM daily WHERE day < DATE '{_CUSUM_BASELINE_END}'
+),
+mon AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY d.day) AS BIGINT) AS rk,
+           d.cents * b.n_base - b.total_base
+               - b.total_base // {_CUSUM_K_DEN} AS d_t,
+           b.total_base
+    FROM daily d CROSS JOIN base b
+    WHERE d.day >= DATE '{_CUSUM_BASELINE_END}'
+),
+rec AS (
+    SELECT rk, CAST(GREATEST(CAST(0 AS BIGINT), d_t) AS BIGINT) AS s,
+           total_base
+    FROM mon WHERE rk = 1
+    UNION ALL
+    SELECT m.rk,
+           CAST(GREATEST(CAST(0 AS BIGINT), r.s + m.d_t) AS BIGINT),
+           m.total_base
+    FROM rec r JOIN mon m ON m.rk = r.rk + 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_monitored,
+       CAST(SUM(CASE WHEN s > {_CUSUM_H_MULT} * total_base
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       CAST(MAX(s) AS BIGINT) AS max_cusum_scaled,
+       CAST(MAX(CASE WHEN rk = (SELECT MAX(rk) FROM mon) THEN s END)
+            AS BIGINT) AS final_cusum_scaled
+FROM rec
+"""
+
+register("cusum_identity_floor", cusum_identity_floor,
+         CUSUM_IDENTITY_FLOOR_SQL)
