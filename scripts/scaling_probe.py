@@ -50,6 +50,7 @@ PROBE = [
     "nation_revenue_trend_ols",     # sufficient-stats OLS + join (late r7)
     "orders_price_median_twopass",  # histogram-refinement median (late r7)
     "events_ab_cuped_report",       # per-user funnel + CUPED solve (late r7)
+    "orders_revenue_cusum",         # daily groupBy + calendar CUSUM (late r7)
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
