@@ -186,3 +186,129 @@ EVENT_VALUE_TREND_OLS_SQL = _sql_ols(
 
 register("event_value_trend_ols", event_value_trend_ols,
          EVENT_VALUE_TREND_OLS_SQL)
+
+# --------------------------------------------------------------------------
+# Rolling-origin forecast backtest (expanding-window OLS evaluation)
+# --------------------------------------------------------------------------
+
+#: minimum training months before the backtest starts scoring
+_BT_MIN_TRAIN = 12
+
+
+def revenue_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) backtest of the monthly-
+    revenue trend model: for every month t with at least 12 prior
+    months, fit OLS on months < t ONLY, predict month t, and report
+    actual, predicted, error and absolute percentage error — the
+    standard leakage-free evaluation protocol for forecast models
+    (each prediction uses strictly past data, like production would).
+
+    The trick that keeps it one declarative plan: every sufficient
+    statistic of the expanding training window (n, St, Sy, Stt, Sty)
+    is a cumulative window sum with frame ROWS UNBOUNDED PRECEDING TO
+    1 PRECEDING over the bounded monthly series — so the ~80 model
+    fits cost five window sums, not 80 passes. Sums stay exact
+    (DECIMAL(38,0) / HUGEINT) and the per-month closed forms are a
+    fixed dag of IEEE ops on identical doubles — zero libm, same
+    discipline as ols_fit above. Degenerate windows (var_t = 0) yield
+    NULL predictions via the same guard.
+
+    Scale: one map-side-combined groupBy(month) on the fact is the
+    only corpus-sized work; the backtest itself runs on the
+    calendar-sized frame (months never grow with the corpus).
+    """
+    cat = Catalog(spark, sf_dir)
+    from pyspark.sql import Window
+    monthly = (
+        cat.orders
+        .select(((F.year("o_orderdate") - F.lit(1992)) * F.lit(12)
+                 + F.month("o_orderdate") - F.lit(1)).cast("long")
+                .alias("t"),
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("long").alias("cents"))
+        .groupBy("t")
+        .agg(F.sum("cents").cast("long").alias("y")))
+    return backtest_fold(monthly)
+
+
+def backtest_fold(monthly: DataFrame) -> DataFrame:
+    """Core of the rolling-origin backtest over a (t: long, y: long)
+    series — split out so planted exact-line and no-leakage tests
+    drive it with hand-built frames (tests/test_regression.py)."""
+    from pyspark.sql import Window
+    w = (Window.orderBy("t")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    tr = monthly.select(
+        "t", "y",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum(F.col("t").cast(_DEC)).over(w).alias("st"),
+        F.sum(F.col("y").cast(_DEC)).over(w).alias("sy"),
+        F.sum((F.col("t") * F.col("t")).cast(_DEC)).over(w).alias("stt"),
+        F.sum(F.col("t").cast(_DEC) * F.col("y").cast(_DEC)).over(w)
+        .alias("sty"))
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    n, st, sy, stt, sty = (d(c) for c in ("n", "st", "sy", "stt", "sty"))
+    var_t = n * stt - st * st
+    cov = n * sty - st * sy
+    slope = cov / var_t
+    intercept = (sy - slope * st) / n
+    pred = F.when(var_t > 0, intercept + slope * F.col("t").cast("double"))
+    err = F.col("y").cast("double") - pred
+    return (tr.where(F.col("n") >= _BT_MIN_TRAIN)
+            .select("t",
+                    F.col("n").alias("n_train"),
+                    F.col("y").alias("actual_cents"),
+                    fround(pred, 4).alias("pred_cents"),
+                    fround(err, 4).alias("err_cents"),
+                    fround(F.abs(err) / F.col("y").cast("double"), 9)
+                    .alias("ape"))
+            .orderBy("t"))
+
+
+REVENUE_FORECAST_BACKTEST_SQL = f"""
+WITH monthly AS (
+    SELECT CAST((YEAR(o_orderdate) - 1992) * 12
+                + MONTH(o_orderdate) - 1 AS BIGINT) AS t,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS y
+    FROM orders GROUP BY 1
+),
+tr AS (
+    SELECT t, y,
+           CAST(COUNT(*) OVER win AS BIGINT) AS n,
+           CAST(SUM(CAST(t AS HUGEINT)) OVER win AS DOUBLE) AS st,
+           CAST(SUM(CAST(y AS HUGEINT)) OVER win AS DOUBLE) AS sy,
+           CAST(SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) OVER win
+                AS DOUBLE) AS stt,
+           CAST(SUM(CAST(t AS HUGEINT) * CAST(y AS HUGEINT)) OVER win
+                AS DOUBLE) AS sty
+    FROM monthly
+    WINDOW win AS (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+    SELECT t, y, n,
+           CASE WHEN (CAST(n AS DOUBLE) * stt - st * st) > 0 THEN
+               ((sy - ((CAST(n AS DOUBLE) * sty - st * sy)
+                       / (CAST(n AS DOUBLE) * stt - st * st)) * st)
+                / CAST(n AS DOUBLE))
+               + ((CAST(n AS DOUBLE) * sty - st * sy)
+                  / (CAST(n AS DOUBLE) * stt - st * st))
+                 * CAST(t AS DOUBLE)
+           END AS pred
+    FROM tr WHERE n >= {_BT_MIN_TRAIN}
+)
+SELECT t, n AS n_train, y AS actual_cents,
+       {sql_fround('pred', 4)} AS pred_cents,
+       {sql_fround('CAST(y AS DOUBLE) - pred', 4)} AS err_cents,
+       {sql_fround('ABS(CAST(y AS DOUBLE) - pred) / CAST(y AS DOUBLE)', 9)}
+           AS ape
+FROM scored
+ORDER BY t
+"""
+
+register("revenue_forecast_backtest", revenue_forecast_backtest,
+         REVENUE_FORECAST_BACKTEST_SQL)

@@ -98,8 +98,8 @@ def _register_modules() -> None:
 #:   nation_revenue_trend_ols, event_value_trend_ols,
 #:   orders_price_robust_stats, orders_price_median_twopass,
 #:   events_ab_conversion_report, events_ab_cuped_report,
-#:   t_closeness_report, orders_revenue_cusum, cusum_identity_floor)
-#:   join the round-9 cohort.
+#:   t_closeness_report, orders_revenue_cusum, cusum_identity_floor,
+#:   revenue_forecast_backtest) join the round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a

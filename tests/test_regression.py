@@ -66,3 +66,40 @@ def test_ols_groups_are_independent(spark):
     rows = {r["g"]: r for r in ols_fit(df, ["g"]).collect()}
     assert rows["a"]["slope"] == 2.0 and rows["a"]["intercept"] == 0.0
     assert rows["b"]["slope"] == -3.0 and rows["b"]["intercept"] == 10.0
+
+
+def _series(spark, pts):
+    return spark.createDataFrame(
+        [Row(t=int(t), y=int(y)) for t, y in pts], "t long, y long")
+
+
+def test_backtest_exact_line_recovery(spark):
+    # an exactly linear series: every scored month's prediction must
+    # recover the actual exactly (err = ape = 0) once n_train >= 12
+    from data_warehouse_project_spark.plans.regression import (
+        _BT_MIN_TRAIN, backtest_fold)
+
+    pts = [(t, 5000 + 250 * t) for t in range(30)]
+    rows = backtest_fold(_series(spark, pts)).collect()
+    assert len(rows) == 30 - _BT_MIN_TRAIN
+    for r in rows:
+        assert r["n_train"] >= _BT_MIN_TRAIN
+        assert r["err_cents"] == 0.0, r
+        assert r["ape"] == 0.0, r
+        assert r["pred_cents"] == float(r["actual_cents"]), r
+
+
+def test_backtest_never_leaks_future_months(spark):
+    # rolling-origin discipline: scores up to month t0 must be
+    # byte-identical whether or not the series' FUTURE months change
+    from data_warehouse_project_spark.plans.regression import backtest_fold
+
+    base = [(t, 10000 + 137 * t + (t * t * 7) % 501) for t in range(40)]
+    mutated = [(t, y if t <= 25 else y * 3 + 17) for t, y in base]
+    a = {r["t"]: r for r in backtest_fold(_series(spark, base)).collect()}
+    b = {r["t"]: r
+         for r in backtest_fold(_series(spark, mutated)).collect()}
+    for t in range(26):  # predictions AT t use months < t only
+        if t in a:
+            assert a[t] == b[t], t
+    assert any(t > 25 and a[t] != b[t] for t in b)  # future did change
