@@ -11,11 +11,12 @@ data (the same integer counts both engines consume) and asserts each
 lands at least ``MARGIN_ULPS`` ulps away from a flip boundary — far
 wider than any plausible cross-libm divergence.
 
-Covered sites (the four quantized-log producers in the registry):
+Covered sites (the five quantized-log producers in the registry):
   - llm/textstats.py doc_lm_cross_entropy   -log2(p)        Q=1e6
   - llm/importance.py dsir_importance_weights log2 ratio    Q=1e6
   - llm/distributions.py doc_zipf_fit       ln(rank/count)  Q=1e6
   - llm/langmix.py source_length_kl         p*ln(p/q)       Q=1e9
+  - plans/survival.py customer_churn_survival ln(1-d/n)     Q=1e6
 
 Policy context: functions/compat.py "Residual risk — transcendentals".
 If this test EVER fails after a testdata regeneration, the prescribed
@@ -179,3 +180,49 @@ def test_length_kl_terms_clear_boundaries(con):
         q = float(n_b) / float(n_total)
         terms.append(p * math.log(p / q))
     _assert_all_safe(terms, Q9, "source_length_kl")
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS,
+                         ids=lambda d: d.split("/")[-1])
+def test_km_log_survival_terms_clear_boundaries(sf_dir):
+    # every distinct (d_churned, n_risk) pair with d < n reproduces
+    # the ln(1 - d/n) terms customer_churn_survival quantizes at 1e6
+    from data_warehouse_project_spark.plans.survival import _CHURN_GAP_DAYS
+    c = duckdb.connect()
+    c.execute("CREATE VIEW orders AS SELECT * FROM "
+              f"read_parquet('{sf_dir}/orders.parquet')")
+    rows = c.execute(f"""
+        WITH per_cust AS (
+            SELECT o_custkey, MIN(o_orderdate) AS first_dt,
+                   MAX(o_orderdate) AS last_dt
+            FROM orders GROUP BY 1
+        ),
+        horizon AS (SELECT MAX(last_dt) AS h FROM per_cust),
+        lifet AS (
+            SELECT DATEDIFF('day', p.last_dt, x.h) > {_CHURN_GAP_DAYS}
+                       AS churned,
+                   CAST(CASE WHEN DATEDIFF('day', p.last_dt, x.h)
+                                  > {_CHURN_GAP_DAYS}
+                        THEN DATEDIFF('day', p.first_dt, p.last_dt)
+                        ELSE DATEDIFF('day', p.first_dt, x.h) END
+                        AS BIGINT) AS t_days
+            FROM per_cust p CROSS JOIN horizon x
+        ),
+        times AS (
+            SELECT t_days,
+                   SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS d,
+                   COUNT(*) AS dc
+            FROM lifet GROUP BY 1
+        ),
+        risk AS (
+            SELECT d, SUM(dc) OVER ()
+                      - COALESCE(SUM(dc) OVER (ORDER BY t_days
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS n
+            FROM times
+        )
+        SELECT DISTINCT d, n FROM risk WHERE d < n AND d > 0
+    """).fetchall()
+    c.close()
+    terms = [math.log(1.0 - float(d) / float(n)) for d, n in rows]
+    _assert_all_safe(terms, Q6, "customer_churn_survival")
