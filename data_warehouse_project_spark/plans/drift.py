@@ -467,7 +467,11 @@ def orders_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     C_0 = 0) turns it into two stock window functions — a running SUM
     and a running MIN — so no iterative or per-row Python path enters
     the plan (tests/test_drift.py pins the identity against the
-    literal recurrence).
+    literal recurrence). Alarm coverage: the alarm=true branch is
+    non-vacuous on driver data at sf0.01 only (617 of 2034 monitored
+    days; 0 alarms at sf0.001/sf0.1 where the series stays inside the
+    allowance) — the planted-shift unit test and the sf0.01 parity
+    row carry the true-branch evidence.
 
     Determinism: daily revenue is exact cents; the baseline mean
     enters only as (total_base, n_base) integers, with the series

@@ -29,7 +29,8 @@ yield NULL fits via explicit variance guards rather than Inf/NaN.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import (Column, DataFrame, SparkSession, Window,
+                         functions as F)
 
 from ..functions.compat import fround, sql_fround
 from ..registry import register
@@ -218,7 +219,6 @@ def revenue_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-sized frame (months never grow with the corpus).
     """
     cat = Catalog(spark, sf_dir)
-    from pyspark.sql import Window
     monthly = (
         cat.orders
         .select(((F.year("o_orderdate") - F.lit(1992)) * F.lit(12)
@@ -235,7 +235,6 @@ def backtest_fold(monthly: DataFrame) -> DataFrame:
     """Core of the rolling-origin backtest over a (t: long, y: long)
     series — split out so planted exact-line and no-leakage tests
     drive it with hand-built frames (tests/test_regression.py)."""
-    from pyspark.sql import Window
     w = (Window.orderBy("t")
          .rowsBetween(Window.unboundedPreceding, -1))
     tr = monthly.select(

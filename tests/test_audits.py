@@ -280,23 +280,27 @@ def test_t_closeness_matches_brute_force_emd(spark, sf_dir):
     n_total = len(pdf)
     glob = [int((pdf["sens"] == b).sum()) for b in range(_N_BANDS)]
     from collections import Counter
+    from fractions import Fraction
     deciles: Counter[int] = Counter()
     mass: Counter[int] = Counter()
     above = 0
     for _, g in pdf.groupby(["c_mktsegment", "c_nationkey"]):
         s = len(g)
         cnt = [int((g["sens"] == b).sum()) for b in range(_N_BANDS)]
-        cum_p = cum_q = 0.0
-        emd = 0.0
+        # exact rational EMD so decile edges and the t-gate can never
+        # flake on float accumulation, independent of the report's
+        # scaled-integer identity
+        cum_p = cum_q = Fraction(0)
+        emd = Fraction(0)
         for b in range(_N_BANDS):
-            cum_p += cnt[b] / s
-            cum_q += glob[b] / n_total
+            cum_p += Fraction(cnt[b], s)
+            cum_q += Fraction(glob[b], n_total)
             emd += abs(cum_p - cum_q)
         emd /= _N_BANDS - 1
-        d = int(emd * 10)  # floats land far from decile edges here
+        d = int(emd * 10)  # exact floor of a rational
         deciles[d] += 1
         mass[d] += s
-        if emd > 0.2:
+        if emd > Fraction(1, 5):
             above += s
     report = {r["emd_decile"]: r
               for r in t_closeness_report(spark, sf_dir).collect()}

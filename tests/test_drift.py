@@ -274,11 +274,16 @@ def test_cusum_planted_shift_fires_after_onset_only(spark):
                       .withColumn("cents", F.col("cents").cast("long")))
            .collect())
     onset = cut + datetime.timedelta(days=60)
-    # mu0 = 1000, k = 50, h = 5*mu0: excess accrues 450/day after the
-    # shift -> S crosses h on the 12th shifted day
+    # mu0 = 1000, k = 50, h = 5*mu0 (scaled h = 300000): excess
+    # accrues 450/day scaled 27000/day after the shift, so
+    # S = 27000*(delta+1) first EXCEEDS h at delta = 11 (324000;
+    # delta = 10 gives 297000) — pin the exact latch day both ways
     for r in out:
+        delta = (r["day"] - onset).days
         if r["day"] < onset:
             assert r["cusum_scaled"] == 0 and not r["alarm"], r
-        elif (r["day"] - onset).days >= 12:
+        elif delta <= 10:
+            assert not r["alarm"], r
+        else:
             assert r["alarm"], r
     assert any(r["alarm"] for r in out)
