@@ -83,7 +83,8 @@ def main(argv: list[str] | None = None) -> int:
         from .llm.dedup import minhash_accuracy_floor
         from .llm.similarity import ann_recall_floor
         from .llm.distributions import pca_projection_floor
-        from .llm.sketches import cms_accuracy_floor, kmv_accuracy_floor
+        from .llm.sketches import (cms_accuracy_floor, kmv_accuracy_floor,
+                                   sketch_fold_identity_floor)
         from .operators.bloom import bloom_filter_floor
         from .plans.warehouse import (approx_quantile_accuracy_floor,
                                       hll_distinct_accuracy_floor)
@@ -97,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
             ("kmv_accuracy_floor", kmv_accuracy_floor),
             ("bloom_filter_floor", bloom_filter_floor),
             ("pca_projection_floor", pca_projection_floor),
+            ("sketch_fold_identity_floor", sketch_fold_identity_floor),
         ]:
             row = gate_fn(spark, args.sf_dir).collect()[0].asDict()
             fails = [k for k, v in row.items() if v is False]
