@@ -49,10 +49,10 @@ def _register_modules() -> None:
                         dashboard, drift, experiment, graph, incremental,
                         poststate, regression, robust, survival, timeseries,
                         tpch, tpch_deep, warehouse)
-    from .streaming import (batch_parity, distinct_users,  # noqa: F401
-                            drift_state, funnel_state, interval_join,
-                            late_sessions, late_transitions, sessions,
-                            transitions, ttl_window)
+    from .streaming import (batch_parity, cusum_state,  # noqa: F401
+                            distinct_users, drift_state, funnel_state,
+                            interval_join, late_sessions, late_transitions,
+                            sessions, transitions, ttl_window)
     from .llm import (bpe, bridge, clusters, compress, dedup,  # noqa: F401
                       distributions, importance, index, langmix, manifest,
                       multimodal, pipeline, quality, refinery, repetition,
@@ -99,8 +99,8 @@ def _register_modules() -> None:
 #:   orders_price_robust_stats, orders_price_median_twopass,
 #:   events_ab_conversion_report, events_ab_cuped_report,
 #:   t_closeness_report, orders_revenue_cusum, cusum_identity_floor,
-#:   revenue_forecast_backtest, customer_churn_survival) join the
-#:   round-9 cohort.
+#:   revenue_forecast_backtest, customer_churn_survival,
+#:   orders_cusum_served) join the round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a

@@ -287,3 +287,87 @@ def test_cusum_planted_shift_fires_after_onset_only(spark):
         else:
             assert r["alarm"], r
     assert any(r["alarm"] for r in out)
+
+
+_ORD_SCHEMA = "o_orderkey long, o_orderdate date, o_totalprice double"
+
+
+def _orders(spark, rows):
+    # rows: (key, iso_date, price_dollars)
+    return spark.createDataFrame(
+        [Row(o_orderkey=int(k),
+             o_orderdate=datetime.date.fromisoformat(d),
+             o_totalprice=float(p))
+         for k, d, p in rows], _ORD_SCHEMA)
+
+
+def test_cusum_fold_replay_is_idempotent(spark, tmp_path):
+    from data_warehouse_project_spark.streaming import cusum_state as C
+
+    state = str(tmp_path / "state")
+    b0 = _orders(spark, [(1, "1995-01-01", 10.0), (2, "1995-01-01", 5.0)])
+    b1 = _orders(spark, [(3, "1995-01-02", 7.0)])
+    assert C.fold_batch_into_state(b0, 0, state) is True
+    assert C.fold_batch_into_state(b1, 1, state) is True
+    assert C.fold_batch_into_state(b1, 1, state) is False
+    assert C.fold_batch_into_state(b0, 0, state) is False
+    daily = {str(r["day"]): r["cents"]
+             for r in spark.read.parquet(state).collect()}
+    assert daily == {"1995-01-01": 1500, "1995-01-02": 700}
+
+
+def test_cusum_merge_absorbs_late_days(spark):
+    # the design argument in cusum_state.py: a late order for an OLD
+    # day folds into that day's total, and the served trajectory is
+    # identical to a one-shot build over everything
+    from data_warehouse_project_spark.streaming import cusum_state as C
+
+    early = _orders(spark, [(k, f"1995-01-{k:02d}", 100.0)
+                            for k in range(1, 20)]
+                    + [(100 + k, f"1996-01-{k:02d}", 100.0)
+                       for k in range(1, 20)])
+    late = _orders(spark, [(999, "1995-01-05", 250.0),   # late baseline day
+                           (998, "1996-01-10", 999.0)])  # late monitored day
+    merged = C.merge_cusum_state(C.cusum_state(early), late)
+    oneshot = C.cusum_state(early.unionByName(late))
+    as_map = lambda df: {str(r["day"]): r["cents"] for r in df.collect()}
+    assert as_map(merged) == as_map(oneshot)
+    served = [r.asDict() for r in C.cusum_report_from_state(merged)
+              .collect()]
+    full = [r.asDict() for r in C.cusum_report_from_state(oneshot)
+            .collect()]
+    assert served == full
+    assert as_map(merged)["1995-01-05"] == 35000  # 100 + 250 dollars
+
+
+def test_cusum_maintainer_restart_matches_full_recompute(spark, tmp_path):
+    from data_warehouse_project_spark.streaming import cusum_state as C
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    def feed(rows):
+        _orders(spark, rows).coalesce(1).write.mode("append") \
+            .parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(_ORD_SCHEMA).parquet(landing)
+        C.run_cusum_maintainer(stream, state, ck)
+
+    feed([(k, f"1995-0{1 + k % 3}-{1 + k % 9:02d}", 50.0 + k)
+          for k in range(30)])
+    run()
+    feed([(100 + k, f"1996-0{1 + k % 3}-{1 + k % 9:02d}", 80.0 + k)
+          for k in range(30)])
+    run()  # restart
+
+    served = [r.asDict() for r in C.cusum_report_from_state(
+        spark.read.parquet(state)).collect()]
+    full = [r.asDict() for r in C.cusum_report_from_state(
+        C.cusum_state(spark.read.parquet(landing))).collect()]
+    assert served == full and len(served) > 0
+    run()  # restart with no new data changes nothing
+    again = [r.asDict() for r in C.cusum_report_from_state(
+        spark.read.parquet(state)).collect()]
+    assert again == served
