@@ -131,7 +131,11 @@ HEADLINE = [
 # orders_revenue_cusum's corpus work is one map-side-combined daily
 # groupBy — the exact shape orders_backlog_timeseries and
 # monthly_revenue_growth already measure; the CUSUM windows run on the
-# bounded ~2k-day calendar frame.
+# bounded ~2k-day calendar frame (orders_cusum_served adds only a
+# second half-table daily groupBy + a days-sized merge on top;
+# revenue_forecast_backtest and customer_churn_survival are likewise
+# one monthly/per-customer map-side aggregate — the q1/user_rfm
+# measured shapes — followed by calendar/duration-bounded windows).
 
 # Log note (VERDICT r5 #8): repeated `WindowExec: No Partition
 # Defined` warnings in this bench's stderr come from the documented
