@@ -489,7 +489,8 @@ def orders_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cat = Catalog(spark, sf_dir)
     daily = (cat.orders
-             .select(F.col("o_orderdate").cast("date").alias("day"),
+             .select(F.col("o_orderdate").cast("date").cast("timestamp")
+                     .alias("day"),
                      F.floor(F.col("o_totalprice") * F.lit(100.0)
                              + F.lit(0.5)).cast("long").alias("cents"))
              .groupBy("day")
@@ -529,7 +530,7 @@ def cusum_fold(daily: DataFrame) -> DataFrame:
 
 ORDERS_REVENUE_CUSUM_SQL = f"""
 WITH daily AS (
-    SELECT CAST(o_orderdate AS DATE) AS day,
+    SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
            CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
                 AS BIGINT) AS cents
     FROM orders GROUP BY 1
@@ -589,7 +590,7 @@ def cusum_identity_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUSUM_IDENTITY_FLOOR_SQL = f"""
 WITH RECURSIVE daily AS (
-    SELECT CAST(o_orderdate AS DATE) AS day,
+    SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
            CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
                 AS BIGINT) AS cents
     FROM orders GROUP BY 1

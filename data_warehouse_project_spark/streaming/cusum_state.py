@@ -39,7 +39,8 @@ from .state_fold import fold_batch, run_maintainer
 def _daily(orders_batch: DataFrame) -> DataFrame:
     """(day, cents) daily revenue partials of one batch of orders."""
     return (orders_batch
-            .select(F.col("o_orderdate").cast("date").alias("day"),
+            .select(F.col("o_orderdate").cast("date").cast("timestamp")
+                    .alias("day"),
                     F.floor(F.col("o_totalprice") * F.lit(100.0)
                             + F.lit(0.5)).cast("long").alias("cents"))
             .groupBy("day")

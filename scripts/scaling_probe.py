@@ -51,6 +51,9 @@ PROBE = [
     "orders_price_median_twopass",  # histogram-refinement median (late r7)
     "events_ab_cuped_report",       # per-user funnel + CUPED solve (late r7)
     "orders_revenue_cusum",         # daily groupBy + calendar CUSUM (late r7)
+    "revenue_forecast_backtest",    # expanding-window OLS eval (late r7)
+    "customer_churn_survival",      # per-customer KM fold (late r7)
+    "orders_cusum_served",          # two-batch state fold + serve (late r7)
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

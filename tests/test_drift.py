@@ -311,7 +311,7 @@ def test_cusum_fold_replay_is_idempotent(spark, tmp_path):
     assert C.fold_batch_into_state(b1, 1, state) is True
     assert C.fold_batch_into_state(b1, 1, state) is False
     assert C.fold_batch_into_state(b0, 0, state) is False
-    daily = {str(r["day"]): r["cents"]
+    daily = {str(r["day"])[:10]: r["cents"]
              for r in spark.read.parquet(state).collect()}
     assert daily == {"1995-01-01": 1500, "1995-01-02": 700}
 
@@ -330,7 +330,8 @@ def test_cusum_merge_absorbs_late_days(spark):
                            (998, "1996-01-10", 999.0)])  # late monitored day
     merged = C.merge_cusum_state(C.cusum_state(early), late)
     oneshot = C.cusum_state(early.unionByName(late))
-    as_map = lambda df: {str(r["day"]): r["cents"] for r in df.collect()}
+    as_map = lambda df: {str(r["day"])[:10]: r["cents"]
+                         for r in df.collect()}
     assert as_map(merged) == as_map(oneshot)
     served = [r.asDict() for r in C.cusum_report_from_state(merged)
               .collect()]
