@@ -931,3 +931,132 @@ FROM emd GROUP BY 1 ORDER BY emd_decile
 """
 
 register("t_closeness_report", t_closeness_report, T_CLOSENESS_SQL)
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (financial-forensics conformance test)
+# --------------------------------------------------------------------------
+
+#: Benford's-law expected first-digit shares, log10(1 + 1/d) for
+#: d = 1..9 PINNED to 9 decimals at authoring time — no transcendental
+#: runs in either engine, the constants are part of the operator spec
+_BENFORD = (0.301029996, 0.176091259, 0.124938737, 0.096910013,
+            0.079181246, 0.06694679, 0.057991947, 0.051152522,
+            0.045757491)
+
+#: chi-square critical value, 8 degrees of freedom, alpha = 0.05
+#: (likewise a pinned spec constant)
+_BENFORD_CHI2_CRIT = 15.507
+
+
+def benford_first_digit_audit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Benford's-law conformance audit of order totals — the
+    financial-forensics screen (Nigrini, "Benford's Law", 2012):
+    naturally occurring multi-magnitude amounts follow
+    P(first digit = d) = log10(1 + 1/d), and fabricated or
+    mechanically generated figures usually don't. Per digit: count,
+    observed share, expected share, and the Pearson chi-square
+    contribution; every row also carries the global statistic
+    N * sum((p-e)^2 / e) and the 8-df alpha=0.05 verdict. On the
+    synthetic driver data the audit correctly REJECTS conformance
+    (uniformly priced orders are exactly the mechanical pattern the
+    screen exists to flag), so both report branches are exercised.
+
+    Determinism: the first digit comes from the decimal string of the
+    exact cents integer (no log10 at runtime); expected shares and the
+    critical value are pinned spec constants; chi-square terms are
+    quantized to integer nano-units before the 9-row sum, so the
+    global statistic is an exact integer sum in both engines.
+
+    Scale: one map-side-combined groupBy over the scan's first-digit
+    expression (9 groups); everything after runs on the 9-row frame.
+    """
+    cat = Catalog(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)) \
+        .cast("long")
+    return benford_fold(cat.orders.select(cents.alias("cents")))
+
+
+def benford_fold(amounts: DataFrame) -> DataFrame:
+    """Core of the Benford audit over an (cents: long) amounts frame —
+    split out so a planted log-uniform cohort exercises the
+    conforms=true branch the (deliberately non-conforming) driver data
+    never reaches (tests/test_audits.py)."""
+    digits = (amounts
+              .select(F.substring(F.col("cents").cast("string"), 1, 1)
+                      .cast("long").alias("digit"))
+              .groupBy("digit")
+              .agg(F.count("*").cast("long").alias("n")))
+    expected = F.lit(None).cast("double")
+    for d, e in enumerate(_BENFORD, start=1):
+        expected = F.when(F.col("digit") == d, F.lit(e)) \
+            .otherwise(expected)
+    w = Window.partitionBy()
+    t = (digits
+         .withColumn("n_total", F.sum("n").over(w).cast("long"))
+         .withColumn("expected", expected))
+    p = F.col("n").cast("double") / F.col("n_total").cast("double")
+    e = F.col("expected")
+    term_q = F.floor((p - e) * (p - e) / e * F.lit(1e9) + F.lit(0.5)) \
+        .cast("long")
+    t = t.withColumn("term_q", term_q) \
+         .withColumn("chi2_q", F.sum("term_q").over(w).cast("long"))
+    stat = F.col("n_total").cast("double") * F.col("chi2_q").cast("double") \
+        / F.lit(1e9)
+    return (t.select(
+                "digit", "n",
+                fround(p, 9).alias("frac"),
+                "expected",
+                fround(F.col("term_q").cast("double") / F.lit(1e9), 9)
+                .alias("chi2_term"),
+                fround(stat, 6).alias("benford_chi2"),
+                (stat <= F.lit(_BENFORD_CHI2_CRIT)).alias("conforms"))
+            .orderBy("digit"))
+
+
+def _benford_case() -> str:
+    return ("CASE digit "
+            + " ".join(f"WHEN {d} THEN {e}"
+                       for d, e in enumerate(_BENFORD, start=1))
+            + " END")
+
+
+BENFORD_AUDIT_SQL = f"""
+WITH digits AS (
+    SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                    AS BIGINT) AS VARCHAR), 1, 1)
+                AS BIGINT) AS digit,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+),
+t AS (
+    SELECT digit, n,
+           CAST(SUM(n) OVER () AS BIGINT) AS n_total,
+           {_benford_case()} AS expected
+    FROM digits
+),
+q AS (
+    SELECT *,
+           CAST(FLOOR((CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                       - expected)
+                      * (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                         - expected)
+                      / expected * 1e9 + 0.5) AS BIGINT) AS term_q
+    FROM t
+),
+g AS (SELECT *, CAST(SUM(term_q) OVER () AS BIGINT) AS chi2_q FROM q)
+SELECT digit, n,
+       {sql_fround('CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)', 9)}
+           AS frac,
+       expected,
+       {sql_fround('CAST(term_q AS DOUBLE) / 1e9', 9)} AS chi2_term,
+       {sql_fround('CAST(n_total AS DOUBLE) * CAST(chi2_q AS DOUBLE)'
+                   ' / 1e9', 6)} AS benford_chi2,
+       CAST(n_total AS DOUBLE) * CAST(chi2_q AS DOUBLE) / 1e9
+           <= {_BENFORD_CHI2_CRIT} AS conforms
+FROM g
+ORDER BY digit
+"""
+
+register("benford_first_digit_audit", benford_first_digit_audit,
+         BENFORD_AUDIT_SQL)

@@ -311,3 +311,31 @@ def test_t_closeness_matches_brute_force_emd(spark, sf_dir):
     assert above == sum(r["n_above_t"] for r in report.values())
     # non-vacuity: the gate actually splits the groups on driver data
     assert len(report) >= 2
+
+
+def test_benford_conforming_and_mechanical_cohorts(spark):
+    # a log-uniform cohort (exactly the multi-magnitude shape
+    # Benford's law describes) must pass the chi-square gate, and a
+    # fixed-first-digit mechanical cohort must fail it loudly
+    from pyspark.sql import Row
+
+    from data_warehouse_project_spark.plans.audits import (
+        _BENFORD, benford_fold)
+
+    def frame(vals):
+        return spark.createDataFrame(
+            [Row(cents=int(v)) for v in vals], "cents long")
+
+    n = 5000
+    log_uniform = [int(10 ** (2 + 4 * i / n)) for i in range(n)]
+    ok = benford_fold(frame(log_uniform)).collect()
+    assert all(r["conforms"] for r in ok)
+    assert {r["digit"] for r in ok} == set(range(1, 10))
+    # observed shares track the pinned expectations
+    for r in ok:
+        assert abs(r["frac"] - _BENFORD[r["digit"] - 1]) < 0.02, r
+
+    mechanical = [50_000 + i for i in range(2000)]  # all start with 5
+    bad = benford_fold(frame(mechanical)).collect()
+    assert not any(r["conforms"] for r in bad)
+    assert len(bad) == 1 and bad[0]["digit"] == 5
