@@ -390,3 +390,121 @@ ORDER BY d.month
 
 register("events_stickiness_monthly", events_stickiness_monthly,
          STICKINESS_SQL)
+
+# --------------------------------------------------------------------------
+# Conversion-latency distribution (time-to-convert SLA percentiles)
+# --------------------------------------------------------------------------
+
+
+def conversion_latency_quantiles(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first click
+    is followed by a purchase inside FUNNEL_WINDOW_HOURS, the
+    click→purchase latency in whole minutes — one-row report with the
+    converter count and exact discrete p50/p90/p99/max. The funnel
+    reports WHETHER users convert; this reports HOW FAST, the product
+    SLA readout (same first-touch windowed semantics as
+    events_ab_conversion_report, so the two readouts agree on who
+    converted).
+
+    Determinism: latencies are exact microsecond-integer differences
+    (unix_micros / epoch_us) integer-DIV'd to minutes — no truncation
+    mismatch between second-resolution engines; quantiles use the
+    cum*K >= n*q integer rank form on the bounded latency histogram
+    (≤ window-hours×60 distinct values), the ship_latency_quantiles
+    discipline.
+
+    Scale: one user-keyed window exchange + per-user collapse (the
+    corpus term), then the minute histogram; the ranking windows see
+    only the bounded histogram.
+    """
+    from pyspark.sql import Window as W
+    cat = Catalog(spark, sf_dir)
+    w = W.partitionBy("user_id")
+    per_user = (
+        cat.events
+        .where(F.col("user_id").isNotNull()
+               & F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "event_type", "ts")
+        .withColumn(
+            "t_click",
+            F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+            .over(w))
+        .where(F.col("t_click").isNotNull())
+        .groupBy("user_id")
+        .agg(F.max("t_click").alias("t_click"),
+             F.min(F.when(
+                 (F.col("event_type") == "purchase")
+                 & (F.col("ts") >= F.col("t_click"))
+                 & (F.col("ts") <= F.col("t_click")
+                    + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")),
+                 F.col("ts"))).alias("t_purchase"))
+        .where(F.col("t_purchase").isNotNull()))
+    hist = (per_user
+            .select((F.unix_micros(F.col("t_purchase").cast("timestamp"))
+                     - F.unix_micros(F.col("t_click").cast("timestamp")))
+                    .alias("lat_us"))
+            .select(F.expr("lat_us DIV 60000000").cast("long")
+                    .alias("lat"))
+            .groupBy("lat")
+            .agg(F.count("*").cast("long").alias("c")))
+    wcum = W.orderBy("lat").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.orderBy("lat").rowsBetween(W.unboundedPreceding,
+                                        W.unboundedFollowing)
+    ranked = hist.select(
+        "lat",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"))
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converters"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("lat")))
+        .cast("long").alias("p50_min"),
+        F.min(F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("lat")))
+        .cast("long").alias("p90_min"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("n") * 99, F.col("lat")))
+        .cast("long").alias("p99_min"),
+        F.max("lat").cast("long").alias("max_min"))
+
+
+CONVERSION_LATENCY_SQL = f"""
+WITH ev AS (
+    SELECT user_id, event_type, ts,
+           MIN(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')
+),
+per_user AS (
+    SELECT user_id, MAX(t_click) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' AND ts >= t_click
+                    AND ts <= t_click + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+               THEN ts END) AS t_purchase
+    FROM ev WHERE t_click IS NOT NULL
+    GROUP BY 1
+),
+hist AS (
+    SELECT CAST((epoch_us(t_purchase) - epoch_us(t_click)) // 60000000
+                AS BIGINT) AS lat,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM per_user WHERE t_purchase IS NOT NULL
+    GROUP BY 1
+),
+ranked AS (
+    SELECT lat,
+           SUM(c) OVER (ORDER BY lat ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(c) OVER () AS n
+    FROM hist
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converters,
+       CAST(MIN(CASE WHEN cum * 2 >= n THEN lat END) AS BIGINT)
+           AS p50_min,
+       CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN lat END) AS BIGINT)
+           AS p90_min,
+       CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN lat END) AS BIGINT)
+           AS p99_min,
+       CAST(MAX(lat) AS BIGINT) AS max_min
+FROM ranked
+"""
+
+register("conversion_latency_quantiles", conversion_latency_quantiles,
+         CONVERSION_LATENCY_SQL)

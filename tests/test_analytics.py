@@ -603,3 +603,38 @@ def test_stickiness_hand_computed(spark, tmp_path):
     assert (feb.n_days, feb.mau) == (29, 1)
     assert feb.avg_dau == round(1 / 29, 4)
     assert feb.stickiness == round(1 / 29 * 1e6) / 1e6
+
+
+def test_conversion_latency_hand_cohort(spark, tmp_path):
+    # A converts in 45.5 min -> 45 whole minutes; B never purchases;
+    # C purchases BEFORE the first click (not a conversion); D
+    # purchases outside the window -> excluded
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from data_warehouse_project_spark.plans.analytics import (
+        FUNNEL_WINDOW_HOURS, conversion_latency_quantiles)
+
+    t0 = dt.datetime(2024, 1, 5, 10, 0, 0)
+
+    def ev(eid, uid, typ, minutes, seconds=0.0):
+        return Row(event_id=eid, ts=t0 + dt.timedelta(minutes=minutes,
+                                                      seconds=seconds),
+                   user_id=uid, event_type=typ, value=1.0, props="{}")
+
+    rows = [
+        ev(1, 1, "click", 0), ev(2, 1, "purchase", 45, 30.5),
+        ev(3, 2, "click", 0),
+        ev(4, 3, "purchase", -10), ev(5, 3, "click", 0),
+        ev(6, 4, "click", 0),
+        ev(7, 4, "purchase", FUNNEL_WINDOW_HOURS * 60 + 1),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite") \
+        .parquet(str(tmp_path / "events.parquet"))
+    out = conversion_latency_quantiles(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_converters"] == 1
+    assert r["p50_min"] == r["p90_min"] == r["p99_min"] == 45
+    assert r["max_min"] == 45
