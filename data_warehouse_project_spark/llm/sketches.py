@@ -718,3 +718,149 @@ SELECT TRUE AS cms_fold_identical,
 
 register("sketch_fold_identity_floor", sketch_fold_identity_floor,
          SKETCH_FOLD_IDENTITY_SQL)
+
+# --------------------------------------------------------------------------
+# Misra-Gries mergeable heavy-hitters summary (deterministic bounds)
+# --------------------------------------------------------------------------
+
+#: Misra-Gries summary size: ≤ MG_K (token, weight) rows survive any
+#: reduce, and every estimate underestimates by at most
+#: (N − S) / (MG_K + 1)
+MG_K = 20
+
+
+def mg_reduce(weights: DataFrame, k: int = MG_K) -> DataFrame:
+    """Misra-Gries reduction of a (token, weight: long) frame to ≤ k
+    rows: subtract the (k+1)-th largest weight (under the total order
+    weight DESC, token ASC) from every token and drop the non-positive
+    — the mergeable-summaries formulation (Agarwal, Cormode,
+    Huang, Phillips, Wei & Yi, PODS 2012): merging two summaries is
+    weight addition followed by this reduce, and the classical MG
+    guarantee 0 ≤ exact − weight ≤ (N − S)/(k+1) survives ANY merge
+    tree (N = total stream mass, S = surviving summary mass).
+
+    Scale: the (k+1)-th order statistic comes from a TakeOrdered
+    limit(k+1) (map-side heaps, no global sort), broadcast back as a
+    scalar onto the count frame — one linear pass."""
+    topk1 = (weights.orderBy(F.col("weight").desc(), F.col("token"))
+             .limit(k + 1))
+    wstar = topk1.agg(
+        F.coalesce(F.when(F.count("*") == k + 1, F.min("weight")),
+                   F.lit(0)).cast("long").alias("wstar"))
+    return (weights.crossJoin(F.broadcast(wstar))
+            .select("token",
+                    (F.col("weight") - F.col("wstar")).cast("long")
+                    .alias("weight"))
+            .where(F.col("weight") > 0))
+
+
+def mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the one-shot Misra-Gries summary of the
+    corpus token stream — ≤ MG_K survivors with their deterministic
+    lower-bound weights beside the exact counts. Unlike the CMS (which
+    overestimates, randomly-hashed) the MG summary underestimates with
+    a DETERMINISTIC bound, so the whole operator is exact integer
+    arithmetic with a full SQL oracle — no rows-only concession. For
+    a one-shot reduce every survivor's underestimate equals the
+    subtracted (k+1)-th weight; the fold gates below prove the bound
+    where it is non-trivial (multi-batch merge trees)."""
+    from ..cache import pin
+    counts = pin(_token_counts(Catalog(spark, sf_dir).documents))
+    summary = mg_reduce(counts.select(
+        "token", F.col("n_exact").alias("weight")))
+    total = counts.agg(F.sum("n_exact").cast("long").alias("n_total"))
+    return (summary
+            .join(counts, "token")
+            .crossJoin(F.broadcast(total))
+            .select("token", "weight", "n_exact",
+                    (F.col("n_exact") - F.col("weight")).cast("long")
+                    .alias("underestimate"),
+                    "n_total")
+            .orderBy(F.col("weight").desc(), "token"))
+
+
+MG_HEAVY_HITTERS_SQL = f"""
+WITH counts AS (
+    SELECT term AS token, CAST(COUNT(*) AS BIGINT) AS n_exact
+    FROM (SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+          FROM documents)
+    GROUP BY 1
+),
+topk1 AS (
+    SELECT n_exact AS weight FROM counts
+    ORDER BY n_exact DESC, token LIMIT {MG_K + 1}
+),
+ws AS (
+    SELECT CAST(COALESCE(CASE WHEN COUNT(*) = {MG_K + 1}
+                         THEN MIN(weight) END, 0) AS BIGINT) AS wstar
+    FROM topk1
+),
+total AS (SELECT CAST(SUM(n_exact) AS BIGINT) AS n_total FROM counts)
+SELECT c.token,
+       CAST(c.n_exact - w.wstar AS BIGINT) AS weight,
+       c.n_exact,
+       CAST(w.wstar AS BIGINT) AS underestimate,
+       t.n_total
+FROM counts c CROSS JOIN ws w CROSS JOIN total t
+WHERE c.n_exact - w.wstar > 0
+ORDER BY weight DESC, token
+"""
+
+
+def mg_fold_bound_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible Misra-Gries quality gate, pinned-constant
+    oracle: fold the corpus through a two-batch merge tree (doc_id
+    parity split — batch counts reduced, merged by weight addition,
+    reduced again) and assert the mergeable-summaries guarantees on
+    the REAL data: (a) ≤ k survivors, (b) every weight is a lower
+    bound of the exact count, (c) every underestimate clears
+    (exact − weight)·(k+1) ≤ N − S in exact integers, (d) every token
+    with exact·(k+1) > N is present (the frequent-item completeness
+    the summary exists for). A one-shot summary satisfies these
+    trivially; the fold is where a merge bug would break them."""
+    from ..cache import pin
+    docs = Catalog(spark, sf_dir).documents
+    counts = pin(_token_counts(docs))
+    c1 = _token_counts(docs.filter(F.col("doc_id") % 2 == 0)) \
+        .select("token", F.col("n_exact").alias("weight"))
+    c2 = _token_counts(docs.filter(F.col("doc_id") % 2 == 1)) \
+        .select("token", F.col("n_exact").alias("weight"))
+    folded = mg_reduce(
+        mg_reduce(c1).unionByName(mg_reduce(c2))
+        .groupBy("token").agg(F.sum("weight").cast("long")
+                              .alias("weight")))
+    total = counts.agg(F.sum("n_exact").cast("long").alias("n_total"))
+    joined = (folded.join(counts, "token")
+              .crossJoin(F.broadcast(total)))
+    s_mass = joined.agg(F.sum("weight").cast("long").alias("s")) \
+        .collect()[0]["s"] or 0
+    checks = joined.agg(
+        F.count("*").alias("n_rows"),
+        F.min(F.col("n_exact") - F.col("weight")).alias("min_under"),
+        F.max((F.col("n_exact") - F.col("weight")) * (MG_K + 1)
+              - (F.col("n_total") - F.lit(s_mass))).alias("worst_slack"),
+        F.max("n_total").alias("n_total"))
+    present = folded.select("token")
+    missing_frequent = (counts.crossJoin(F.broadcast(total))
+                        .where(F.col("n_exact") * (MG_K + 1)
+                               > F.col("n_total"))
+                        .join(present, "token", "left_anti")
+                        .count())
+    return checks.select(
+        F.lit(MG_K).cast("long").alias("k"),
+        (F.col("n_rows") <= MG_K).alias("at_most_k_rows"),
+        (F.col("min_under") >= 0).alias("never_overestimates"),
+        (F.col("worst_slack") <= 0).alias("bound_holds"),
+        F.lit(missing_frequent == 0).alias("frequent_items_present"))
+
+
+MG_FOLD_BOUND_SQL = f"""
+SELECT CAST({MG_K} AS BIGINT) AS k,
+       TRUE AS at_most_k_rows,
+       TRUE AS never_overestimates,
+       TRUE AS bound_holds,
+       TRUE AS frequent_items_present
+"""
+
+register("mg_heavy_hitters", mg_heavy_hitters, MG_HEAVY_HITTERS_SQL)
+register("mg_fold_bound_floor", mg_fold_bound_floor, MG_FOLD_BOUND_SQL)

@@ -101,7 +101,8 @@ def _register_modules() -> None:
 #:   t_closeness_report, orders_revenue_cusum, cusum_identity_floor,
 #:   revenue_forecast_backtest, customer_churn_survival,
 #:   orders_cusum_served, benford_first_digit_audit,
-#:   conversion_latency_quantiles) join the round-9 cohort.
+#:   conversion_latency_quantiles, mg_heavy_hitters,
+#:   mg_fold_bound_floor) join the round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a

@@ -1482,3 +1482,71 @@ def test_kmv_accuracy_floor_gates_true(spark, sf_dir):
     assert row["inter_le_union"] is True
     assert row["dist_err_le_gate"] is True
     assert row["inter_err_le_gate"] is True
+
+
+def test_mg_reduce_hand_computed(spark):
+    # weights {a:5, b:4, c:3, d:1}, k=2: (k+1)-th largest = 3 ->
+    # subtract 3 everywhere -> {a:2, b:1}; d and c drop
+    from pyspark.sql import Row
+
+    from data_warehouse_project_spark.llm.sketches import mg_reduce
+
+    def frame(d):
+        return spark.createDataFrame(
+            [Row(token=t, weight=w) for t, w in sorted(d.items())],
+            "token string, weight long")
+
+    out = {r["token"]: r["weight"]
+           for r in mg_reduce(frame({"a": 5, "b": 4, "c": 3, "d": 1}),
+                              k=2).collect()}
+    assert out == {"a": 2, "b": 1}
+    # fewer than k+1 tokens: reduce is the identity
+    assert {r["token"]: r["weight"]
+            for r in mg_reduce(frame({"a": 5, "b": 4}), k=2).collect()} \
+        == {"a": 5, "b": 4}
+    # total tie at the top: everything cancels, summary goes empty
+    assert mg_reduce(frame({t: 7 for t in "abcd"}), k=2).count() == 0
+
+
+def test_mg_fold_bound_over_three_way_split(spark):
+    # deterministic zipf-ish stream folded through a 3-leaf merge
+    # tree: <= k survivors, never overestimates, every underestimate
+    # clears (N - S)/(k+1), and every token above the N/(k+1)
+    # frequency threshold is present — vs plain Python exact counts
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from data_warehouse_project_spark.llm.sketches import mg_reduce
+
+    K = 5
+    stream = []
+    for i in range(600):
+        stream.append(f"t{i % (3 + (i * 7) % 40)}")
+    exact = Counter(stream)
+    n_total = len(stream)
+    thirds = [stream[0::3], stream[1::3], stream[2::3]]
+
+    def summary(tokens):
+        c = Counter(tokens)
+        return mg_reduce(spark.createDataFrame(
+            [Row(token=t, weight=int(w)) for t, w in sorted(c.items())],
+            "token string, weight long"), k=K)
+
+    merged01 = mg_reduce(
+        summary(thirds[0]).unionByName(summary(thirds[1]))
+        .groupBy("token").agg(F.sum("weight").cast("long")
+                              .alias("weight")), k=K)
+    folded = mg_reduce(
+        merged01.unionByName(summary(thirds[2]))
+        .groupBy("token").agg(F.sum("weight").cast("long")
+                              .alias("weight")), k=K)
+    rows = {r["token"]: r["weight"] for r in folded.collect()}
+    s = sum(rows.values())
+    assert len(rows) <= K
+    for t, w in rows.items():
+        assert 1 <= w <= exact[t]
+        assert (exact[t] - w) * (K + 1) <= n_total - s, (t, w, exact[t])
+    for t, n in exact.items():
+        if n * (K + 1) > n_total:
+            assert t in rows, (t, n)
