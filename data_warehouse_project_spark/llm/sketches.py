@@ -809,26 +809,24 @@ ORDER BY weight DESC, token
 
 def mg_fold_bound_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible Misra-Gries quality gate, pinned-constant
-    oracle: fold the corpus through a two-batch merge tree (doc_id
-    parity split — batch counts reduced, merged by weight addition,
-    reduced again) and assert the mergeable-summaries guarantees on
+    oracle: fold the corpus through a two-batch merge tree — the
+    MAINTAINER'S OWN fold functions (_mg_init/_mg_merge on a doc_id
+    parity split), so the gate exercises the exact code the streaming
+    path runs — and assert the mergeable-summaries guarantees on
     the REAL data: (a) ≤ k survivors, (b) every weight is a lower
     bound of the exact count, (c) every underestimate clears
     (exact − weight)·(k+1) ≤ N − S in exact integers, (d) every token
     with exact·(k+1) > N is present (the frequent-item completeness
-    the summary exists for). A one-shot summary satisfies these
+    the summary exists for), (e) the state's meta row carries exactly
+    the corpus token mass. A one-shot summary satisfies these
     trivially; the fold is where a merge bug would break them."""
     from ..cache import pin
     docs = Catalog(spark, sf_dir).documents
     counts = pin(_token_counts(docs))
-    c1 = _token_counts(docs.filter(F.col("doc_id") % 2 == 0)) \
-        .select("token", F.col("n_exact").alias("weight"))
-    c2 = _token_counts(docs.filter(F.col("doc_id") % 2 == 1)) \
-        .select("token", F.col("n_exact").alias("weight"))
-    folded = mg_reduce(
-        mg_reduce(c1).unionByName(mg_reduce(c2))
-        .groupBy("token").agg(F.sum("weight").cast("long")
-                              .alias("weight")))
+    state = _mg_merge(_mg_init(docs.filter(F.col("doc_id") % 2 == 0)),
+                      docs.filter(F.col("doc_id") % 2 == 1))
+    folded = (state.where(F.col("token").isNotNull())
+              .select("token", "weight"))
     total = counts.agg(F.sum("n_exact").cast("long").alias("n_total"))
     joined = (folded.join(counts, "token")
               .crossJoin(F.broadcast(total)))
@@ -846,12 +844,15 @@ def mg_fold_bound_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
                                > F.col("n_total"))
                         .join(present, "token", "left_anti")
                         .count())
+    meta_mass = state.where(F.col("token").isNull()) \
+        .select("n_total").collect()[0]["n_total"]
     return checks.select(
         F.lit(MG_K).cast("long").alias("k"),
         (F.col("n_rows") <= MG_K).alias("at_most_k_rows"),
         (F.col("min_under") >= 0).alias("never_overestimates"),
         (F.col("worst_slack") <= 0).alias("bound_holds"),
-        F.lit(missing_frequent == 0).alias("frequent_items_present"))
+        F.lit(missing_frequent == 0).alias("frequent_items_present"),
+        (F.col("n_total") == F.lit(meta_mass)).alias("meta_mass_exact"))
 
 
 MG_FOLD_BOUND_SQL = f"""
@@ -859,8 +860,76 @@ SELECT CAST({MG_K} AS BIGINT) AS k,
        TRUE AS at_most_k_rows,
        TRUE AS never_overestimates,
        TRUE AS bound_holds,
-       TRUE AS frequent_items_present
+       TRUE AS frequent_items_present,
+       TRUE AS meta_mass_exact
 """
 
 register("mg_heavy_hitters", mg_heavy_hitters, MG_HEAVY_HITTERS_SQL)
 register("mg_fold_bound_floor", mg_fold_bound_floor, MG_FOLD_BOUND_SQL)
+
+# --- Misra-Gries maintainer (shared idempotent-fold template) ---
+
+
+def _mg_init(batch_docs: DataFrame) -> DataFrame:
+    """MG state from one batch: the reduced summary plus one NULL-token
+    meta row carrying the batch's total token mass (the N the error
+    bound is stated against — it must ride in state because the
+    summary alone can't reconstruct it, and an all-ties reduce can
+    legitimately leave ZERO summary rows)."""
+    counts = _token_counts(batch_docs)
+    total = counts.agg(F.coalesce(F.sum("n_exact"), F.lit(0))
+                       .cast("long").alias("n_total"))
+    summ = mg_reduce(counts.select("token",
+                                   F.col("n_exact").alias("weight")))
+    meta = total.select(F.lit(None).cast("string").alias("token"),
+                        F.lit(0).cast("long").alias("weight"), "n_total")
+    return summ.crossJoin(F.broadcast(total)).unionByName(meta)
+
+
+def _mg_merge(prev: DataFrame, batch_docs: DataFrame) -> DataFrame:
+    """Mergeable-summaries merge: weight addition over the union of
+    the two summaries, then one mg_reduce; total mass adds. The
+    (N − S)/(k+1) guarantee survives this by the PODS'12 argument
+    (each reduce removes ≥ (k+1)·w* of mass, so the per-token
+    cumulative subtraction is bounded by the mass the state lost)."""
+    delta = _mg_init(batch_docs)
+
+    def meta(df: DataFrame) -> DataFrame:
+        return df.where(F.col("token").isNull()).select("n_total")
+
+    def real(df: DataFrame) -> DataFrame:
+        return df.where(F.col("token").isNotNull()) \
+            .select("token", "weight")
+
+    n_tot = (meta(prev).unionByName(meta(delta))
+             .agg(F.sum("n_total").cast("long").alias("n_total")))
+    summ = mg_reduce(
+        real(prev).unionByName(real(delta))
+        .groupBy("token").agg(F.sum("weight").cast("long")
+                              .alias("weight")))
+    new_meta = n_tot.select(F.lit(None).cast("string").alias("token"),
+                            F.lit(0).cast("long").alias("weight"),
+                            "n_total")
+    return summ.crossJoin(F.broadcast(n_tot)).unionByName(new_meta)
+
+
+def mg_fold_batch_into_state(batch_df: DataFrame, batch_id: int,
+                             state_path: str) -> bool:
+    """Idempotent MG fold on the shared template: state is ≤ k+1 rows
+    (summary + meta) regardless of corpus — with the CMS table, the
+    two smallest state tables in the engine."""
+    from ..streaming.state_fold import fold_batch
+    return fold_batch(batch_df, batch_id, state_path,
+                      _mg_init, _mg_merge)
+
+
+def run_mg_maintainer(docs_stream: DataFrame, state_path: str,
+                      checkpoint: str):
+    """foreachBatch MG maintainer over a streaming documents source:
+    an always-current deterministic-bound heavy-hitters list served
+    O(k) from state (the CMS maintainer's counterpart where the
+    consumer needs guaranteed-under rather than guaranteed-over
+    estimates)."""
+    from ..streaming.state_fold import run_maintainer
+    return run_maintainer(docs_stream, state_path, checkpoint,
+                          _mg_init, _mg_merge)

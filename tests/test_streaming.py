@@ -1746,3 +1746,68 @@ def test_enriched_view_fold_replay_restart_and_single_pass(spark, sf_dir,
     assert got.count() == orders.count()
     assert got.exceptAll(single).count() == 0
     orders.unpersist()
+
+
+def test_mg_maintainer_replay_safe_and_bound_through_fold(spark, tmp_path):
+    """Replayed batch ids are skipped; the folded MG state keeps the
+    mergeable-summaries guarantees vs exact Python counts and carries
+    the exact total mass in its meta row."""
+    from collections import Counter
+
+    from data_warehouse_project_spark.llm import sketches
+
+    state = str(tmp_path / "mg_state")
+    schema = "doc_id long, text string"
+    text_a = "alpha " * 30 + "beta " * 9 + "gamma delta epsilon zeta"
+    text_b = "alpha " * 12 + "eta " * 8 + "beta theta iota kappa"
+    a = spark.createDataFrame([(1, text_a)], schema)
+    b = spark.createDataFrame([(2, text_b)], schema)
+
+    assert sketches.mg_fold_batch_into_state(a, 0, state) is True
+    assert sketches.mg_fold_batch_into_state(b, 1, state) is True
+    assert sketches.mg_fold_batch_into_state(b, 1, state) is False
+
+    rows = spark.read.parquet(state).drop("last_batch_id").collect()
+    exact = Counter((text_a + " " + text_b).split())
+    n_total = sum(exact.values())
+    meta = [r for r in rows if r["token"] is None]
+    real = {r["token"]: r["weight"] for r in rows
+            if r["token"] is not None}
+    assert len(meta) == 1 and meta[0]["n_total"] == n_total
+    assert len(real) <= sketches.MG_K
+    s = sum(real.values())
+    for t, w in real.items():
+        assert 1 <= w <= exact[t]
+        assert (exact[t] - w) * (sketches.MG_K + 1) <= n_total - s
+    # alpha is overwhelmingly frequent -> must be present with the
+    # dominant weight
+    assert max(real, key=real.get) == "alpha"
+
+
+def test_mg_streaming_maintainer_restart(spark, tmp_path):
+    from data_warehouse_project_spark.llm import sketches
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        sketches.run_mg_maintainer(stream, state, ck)
+
+    feed([(1, "alpha beta alpha alpha")])
+    run()
+    feed([(2, "beta gamma beta")])
+    run()  # restart of the same checkpoint
+    rows = spark.read.parquet(state).drop("last_batch_id").collect()
+    meta = [r for r in rows if r["token"] is None]
+    assert meta[0]["n_total"] == 7
+    real = {r["token"]: r["weight"] for r in rows
+            if r["token"] is not None}
+    # tiny vocab (< k+1): no reduce fires, weights are exact counts
+    assert real == {"alpha": 3, "beta": 3, "gamma": 1}
