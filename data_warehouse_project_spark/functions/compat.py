@@ -47,6 +47,16 @@ after a testdata regeneration, or a driver mismatch appears on a
 transcendental-fed query, widen that query's quantization guard (drop
 to 1e4) or switch its oracle to a tolerance compare rather than
 touching this module's exact-integer policy.
+
+Output dtype convention — day/date columns: emit them as
+day-truncated TIMESTAMP, never Spark DateType. Value-hash harnesses
+(the driver's and tests/oracle_utils.py) normalize pandas Timestamps
+but a Spark DateType column collects as python ``datetime.date``,
+which slips through normalization and hash-mismatches the DuckDB
+side even when the values agree (bitten once in round 7:
+orders_revenue_cusum). Pattern:
+``F.col(ts).cast("date").cast("timestamp")`` ↔ SQL
+``CAST(CAST(x AS DATE) AS TIMESTAMP)``.
 """
 
 from __future__ import annotations
