@@ -741,7 +741,10 @@ def mg_reduce(weights: DataFrame, k: int = MG_K) -> DataFrame:
 
     Scale: the (k+1)-th order statistic comes from a TakeOrdered
     limit(k+1) (map-side heaps, no global sort), broadcast back as a
-    scalar onto the count frame — one linear pass."""
+    scalar onto the count frame. The input is evaluated twice (order
+    statistic + subtraction passes): callers feeding corpus-scale
+    frames pin them first (mg_heavy_hitters and the fold floor do);
+    the maintainers' micro-batch frames re-evaluate cheaply."""
     topk1 = (weights.orderBy(F.col("weight").desc(), F.col("token"))
              .limit(k + 1))
     wstar = topk1.agg(
@@ -823,8 +826,8 @@ def mg_fold_bound_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import pin
     docs = Catalog(spark, sf_dir).documents
     counts = pin(_token_counts(docs))
-    state = _mg_merge(_mg_init(docs.filter(F.col("doc_id") % 2 == 0)),
-                      docs.filter(F.col("doc_id") % 2 == 1))
+    state = pin(_mg_merge(_mg_init(docs.filter(F.col("doc_id") % 2 == 0)),
+                          docs.filter(F.col("doc_id") % 2 == 1)))
     folded = (state.where(F.col("token").isNotNull())
               .select("token", "weight"))
     total = counts.agg(F.sum("n_exact").cast("long").alias("n_total"))

@@ -404,8 +404,8 @@ def conversion_latency_quantiles(spark: SparkSession,
     converter count and exact discrete p50/p90/p99/max. The funnel
     reports WHETHER users convert; this reports HOW FAST, the product
     SLA readout (same first-touch windowed semantics as
-    events_ab_conversion_report, so the two readouts agree on who
-    converted).
+    events_ab_conversion_report — including the NULL-user exclusion —
+    so the two readouts agree on who converted).
 
     Determinism: latencies are exact microsecond-integer differences
     (unix_micros / epoch_us) integer-DIV'd to minutes — no truncation
@@ -456,7 +456,8 @@ def conversion_latency_quantiles(spark: SparkSession,
         F.sum("c").over(wcum).alias("cum"),
         F.sum("c").over(wall).alias("n"))
     return ranked.agg(
-        F.max("n").cast("long").alias("n_converters"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("long")
+        .alias("n_converters"),
         F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("lat")))
         .cast("long").alias("p50_min"),
         F.min(F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("lat")))
@@ -495,7 +496,7 @@ ranked AS (
            SUM(c) OVER () AS n
     FROM hist
 )
-SELECT CAST(MAX(n) AS BIGINT) AS n_converters,
+SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) AS n_converters,
        CAST(MIN(CASE WHEN cum * 2 >= n THEN lat END) AS BIGINT)
            AS p50_min,
        CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN lat END) AS BIGINT)

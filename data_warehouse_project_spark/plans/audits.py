@@ -981,12 +981,22 @@ def benford_fold(amounts: DataFrame) -> DataFrame:
     """Core of the Benford audit over an (cents: long) amounts frame —
     split out so a planted log-uniform cohort exercises the
     conforms=true branch the (deliberately non-conforming) driver data
-    never reaches (tests/test_audits.py)."""
-    digits = (amounts
-              .select(F.substring(F.col("cents").cast("string"), 1, 1)
-                      .cast("long").alias("digit"))
-              .groupBy("digit")
-              .agg(F.count("*").cast("long").alias("n")))
+    never reaches (tests/test_audits.py). Non-positive amounts are
+    excluded (no first digit); the digit domain is completed to the
+    full 1..9 so ABSENT digits contribute their (0-e)^2/e = e
+    chi-square mass — dropping them understates the statistic exactly
+    on the fabricated inputs the screen exists to flag (review
+    finding, round 7)."""
+    observed = (amounts
+                .where(F.col("cents") > 0)
+                .select(F.substring(F.col("cents").cast("string"), 1, 1)
+                        .cast("long").alias("digit"))
+                .groupBy("digit")
+                .agg(F.count("*").cast("long").alias("n")))
+    dom = (amounts.sparkSession.range(1, 10)
+           .select(F.col("id").cast("long").alias("digit")))
+    digits = (dom.join(observed, "digit", "left")
+              .na.fill({"n": 0}))
     expected = F.lit(None).cast("double")
     for d, e in enumerate(_BENFORD, start=1):
         expected = F.when(F.col("digit") == d, F.lit(e)) \
@@ -1022,12 +1032,19 @@ def _benford_case() -> str:
 
 
 BENFORD_AUDIT_SQL = f"""
-WITH digits AS (
+WITH observed AS (
     SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
                                     AS BIGINT) AS VARCHAR), 1, 1)
                 AS BIGINT) AS digit,
            CAST(COUNT(*) AS BIGINT) AS n
-    FROM orders GROUP BY 1
+    FROM orders
+    WHERE CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) > 0
+    GROUP BY 1
+),
+dom AS (SELECT CAST(range AS BIGINT) AS digit FROM range(1, 10)),
+digits AS (
+    SELECT d.digit, CAST(COALESCE(o.n, 0) AS BIGINT) AS n
+    FROM dom d LEFT JOIN observed o ON d.digit = o.digit
 ),
 t AS (
     SELECT digit, n,

@@ -488,14 +488,23 @@ def orders_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitoring cardinality, independent of corpus size).
     """
     cat = Catalog(spark, sf_dir)
-    daily = (cat.orders
-             .select(F.col("o_orderdate").cast("date").cast("timestamp")
-                     .alias("day"),
-                     F.floor(F.col("o_totalprice") * F.lit(100.0)
-                             + F.lit(0.5)).cast("long").alias("cents"))
-             .groupBy("day")
-             .agg(F.sum("cents").cast("long").alias("cents")))
-    return cusum_fold(daily)
+    return cusum_fold(daily_revenue_cents(cat.orders))
+
+
+def daily_revenue_cents(orders: DataFrame) -> DataFrame:
+    """(day: day-truncated timestamp, cents: long) daily revenue — the
+    ONE definition of the CUSUM's daily grain, shared by the batch
+    detector and the incremental maintainer (streaming/cusum_state.py)
+    so the state-served = full-rescan hash identity can't be broken by
+    the two paths drifting apart (review finding, round 7: the
+    date→timestamp dtype fix had to be applied twice)."""
+    return (orders
+            .select(F.col("o_orderdate").cast("date").cast("timestamp")
+                    .alias("day"),
+                    F.floor(F.col("o_totalprice") * F.lit(100.0)
+                            + F.lit(0.5)).cast("long").alias("cents"))
+            .groupBy("day")
+            .agg(F.sum("cents").cast("long").alias("cents")))
 
 
 def cusum_fold(daily: DataFrame) -> DataFrame:

@@ -73,7 +73,8 @@ def events_ab_conversion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id")
     per_user = (
         cat.events
-        .where(F.col("event_type").isin("click", "purchase"))
+        .where(F.col("user_id").isNotNull()
+               & F.col("event_type").isin("click", "purchase"))
         .select("user_id", "event_type", "ts")
         .withColumn(
             "first_click",
@@ -127,7 +128,7 @@ WITH flagged AS (
            MIN(CASE WHEN event_type = 'click' THEN ts END)
                OVER (PARTITION BY user_id) AS first_click
     FROM events
-    WHERE event_type IN ('click', 'purchase')
+    WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')
 ),
 per_user AS (
     SELECT user_id,
@@ -249,6 +250,7 @@ def events_ab_cuped_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = F.col("ts") < F.lit(_PERIOD_SPLIT).cast("timestamp")
     per_user = (
         cat.events
+        .where(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(
             F.coalesce(F.sum(F.when(pre, vq)), F.lit(0))
@@ -320,7 +322,7 @@ WITH per_user AS (
                      AND event_type = 'purchase'
                 THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) END), 0)
                AS BIGINT) AS y
-    FROM events GROUP BY 1
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
 ),
 assigned AS (
     SELECT CASE WHEN substr(sha256('{_SALT}' || CAST(user_id AS VARCHAR)),

@@ -30,21 +30,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..plans.drift import ORDERS_REVENUE_CUSUM_SQL, cusum_fold
+from ..plans.drift import (ORDERS_REVENUE_CUSUM_SQL, cusum_fold,
+                           daily_revenue_cents)
 from ..registry import register
 from ..sources.catalog import Catalog
 from .state_fold import fold_batch, run_maintainer
 
 
 def _daily(orders_batch: DataFrame) -> DataFrame:
-    """(day, cents) daily revenue partials of one batch of orders."""
-    return (orders_batch
-            .select(F.col("o_orderdate").cast("date").cast("timestamp")
-                    .alias("day"),
-                    F.floor(F.col("o_totalprice") * F.lit(100.0)
-                            + F.lit(0.5)).cast("long").alias("cents"))
-            .groupBy("day")
-            .agg(F.sum("cents").cast("long").alias("cents")))
+    """(day, cents) daily revenue partials of one batch of orders —
+    the batch detector's own grain definition, so the two paths can
+    never drift apart (review finding, round 7)."""
+    return daily_revenue_cents(orders_batch)
 
 
 def cusum_state(orders_batch: DataFrame) -> DataFrame:

@@ -336,6 +336,15 @@ def test_benford_conforming_and_mechanical_cohorts(spark):
         assert abs(r["frac"] - _BENFORD[r["digit"] - 1]) < 0.02, r
 
     mechanical = [50_000 + i for i in range(2000)]  # all start with 5
-    bad = benford_fold(frame(mechanical)).collect()
-    assert not any(r["conforms"] for r in bad)
-    assert len(bad) == 1 and bad[0]["digit"] == 5
+    bad = {r["digit"]: r for r in benford_fold(frame(mechanical))
+           .collect()}
+    assert not any(r["conforms"] for r in bad.values())
+    # the digit domain is completed: absent digits carry n = 0 and
+    # STILL contribute their (0-e)^2/e chi-square mass
+    assert set(bad) == set(range(1, 10))
+    assert bad[5]["n"] == 2000
+    assert all(bad[d]["n"] == 0 for d in bad if d != 5)
+    assert all(bad[d]["chi2_term"] > 0 for d in bad)
+    # non-positive amounts carry no first digit and must be excluded
+    with_zero = benford_fold(frame([0, -150] + mechanical)).collect()
+    assert sum(r["n"] for r in with_zero) == 2000
