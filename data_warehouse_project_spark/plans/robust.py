@@ -297,3 +297,128 @@ ORDER BY o_orderpriority
 
 register("orders_price_median_twopass", orders_price_median_twopass,
          ORDERS_MEDIAN_TWOPASS_SQL)
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# --------------------------------------------------------------------------
+
+#: milli-cent quantization of pairwise slopes before the exact
+#: discrete median (floor of an IEEE divide — identical both engines)
+_TS_Q = 1000
+
+
+def theilsen_fold(cells: DataFrame, group_col: str) -> DataFrame:
+    """Theil-Sen estimator over (group, t: long, y: long) cells: the
+    median of all pairwise slopes (y2-y1)/(t2-t1), t1 < t2 — the
+    29%-breakdown robust alternative to OLS (Sen, JASA 1968): a few
+    wild months drag a least-squares slope arbitrarily but cannot move
+    the pairwise-slope median until ~29% of points are corrupted.
+
+    Exactness: each slope quantizes to milli-units via
+    floor((y2-y1)*Q / (t2-t1)) on doubles — (y2-y1)*Q stays well
+    inside the 2^53 exact-integer range and floor-of-identical-IEEE-
+    divide matches across engines regardless of sign (integer DIV
+    would NOT: Spark truncates toward zero, DuckDB floors) — then the
+    median is the exact lower discrete median of the quantized
+    multiset via the cum*2 >= n integer rank form.
+
+    Scale: the pair generator is a per-group self-join over the
+    BOUNDED series frame — months x months per group, calendar-sized
+    both ways, never corpus-sized; the corpus term is whatever
+    aggregation produced the cells."""
+    a = cells.select(F.col(group_col),
+                     F.col("t").alias("t1"), F.col("y").alias("y1"))
+    b = cells.select(F.col(group_col),
+                     F.col("t").alias("t2"), F.col("y").alias("y2"))
+    slopes = (a.join(b, group_col)
+              .where(F.col("t1") < F.col("t2"))
+              .select(F.col(group_col),
+                      F.floor((F.col("y2") - F.col("y1")).cast("double")
+                              * F.lit(float(_TS_Q))
+                              / (F.col("t2") - F.col("t1"))
+                              .cast("double"))
+                      .cast("long").alias("s_q")))
+    hist = (slopes.groupBy(group_col, "s_q")
+            .agg(F.count("*").cast("long").alias("c")))
+    w_cum = (Window.partitionBy(group_col).orderBy("s_q")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(group_col)
+    ranked = hist.select(
+        group_col, "s_q",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"))
+    return (ranked.groupBy(group_col)
+            .agg(F.max("n").cast("long").alias("n_pairs"),
+                 F.min(F.when(F.col("cum") * 2 >= F.col("n"),
+                              F.col("s_q"))).alias("med_q"))
+            .select(group_col, "n_pairs",
+                    fround(F.col("med_q").cast("double")
+                           / F.lit(float(_TS_Q)), 6)
+                    .alias("sen_slope"))
+            .orderBy(group_col))
+
+
+def nation_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Theil-Sen trend of monthly order revenue (cents per
+    month) — the robust twin of nation_revenue_trend_ols over the
+    identical (nation, month) cells, so the two trend readouts are
+    directly comparable."""
+    cat = Catalog(spark, sf_dir)
+    month_idx = ((F.year("o_orderdate") - F.lit(1995)) * F.lit(12)
+                 + F.month("o_orderdate") - F.lit(1)).cast("long")
+    cells = (
+        cat.orders
+        .join(cat.customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"),
+                month_idx.alias("t"),
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("long").alias("cents"))
+        .groupBy("nation", "t")
+        .agg(F.sum("cents").cast("long").alias("y")))
+    return theilsen_fold(cells, "nation")
+
+
+NATION_REVENUE_THEILSEN_SQL = f"""
+WITH cells AS (
+    SELECT n.n_name AS nation,
+           CAST((YEAR(o.o_orderdate) - 1995) * 12
+                + MONTH(o.o_orderdate) - 1 AS BIGINT) AS t,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS y
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+),
+slopes AS (
+    SELECT a.nation,
+           CAST(FLOOR(CAST(b.y - a.y AS DOUBLE) * {float(_TS_Q)}
+                      / CAST(b.t - a.t AS DOUBLE)) AS BIGINT) AS s_q
+    FROM cells a JOIN cells b
+      ON a.nation = b.nation AND a.t < b.t
+),
+hist AS (
+    SELECT nation, s_q, CAST(COUNT(*) AS BIGINT) AS c
+    FROM slopes GROUP BY 1, 2
+),
+ranked AS (
+    SELECT nation, s_q,
+           SUM(c) OVER (PARTITION BY nation ORDER BY s_q
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(c) OVER (PARTITION BY nation) AS n
+    FROM hist
+)
+SELECT nation,
+       CAST(MAX(n) AS BIGINT) AS n_pairs,
+       {sql_fround(f'CAST(MIN(CASE WHEN cum * 2 >= n THEN s_q END)'
+                   f' AS DOUBLE) / {float(_TS_Q)}', 6)} AS sen_slope
+FROM ranked
+GROUP BY nation
+ORDER BY nation
+"""
+
+register("nation_revenue_theilsen", nation_revenue_theilsen,
+         NATION_REVENUE_THEILSEN_SQL)

@@ -102,7 +102,8 @@ def _register_modules() -> None:
 #:   revenue_forecast_backtest, customer_churn_survival,
 #:   orders_cusum_served, benford_first_digit_audit,
 #:   conversion_latency_quantiles, mg_heavy_hitters,
-#:   mg_fold_bound_floor) join the round-9 cohort.
+#:   mg_fold_bound_floor, nation_revenue_theilsen) join the round-9
+#:   cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a

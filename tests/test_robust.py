@@ -111,3 +111,51 @@ def test_median_twopass_heavy_ties_across_cut(spark):
     r = median_twopass(_vals(spark, cents), "g").collect()[0]
     # n=25, k1=k2=13 -> value 200
     assert r["median"] == 2.0 and r["n_rows"] == 25
+
+
+def _cells(spark, pts):
+    from pyspark.sql import Row
+    return spark.createDataFrame(
+        [Row(g="g", t=int(t), y=int(y)) for t, y in pts],
+        "g string, t long, y long")
+
+
+def test_theilsen_exact_line_recovery(spark):
+    from data_warehouse_project_spark.plans.robust import theilsen_fold
+
+    rows = theilsen_fold(
+        _cells(spark, [(t, 100 + 250 * t) for t in range(20)]),
+        "g").collect()
+    assert len(rows) == 1
+    assert rows[0]["n_pairs"] == 20 * 19 // 2
+    assert rows[0]["sen_slope"] == 250.0
+
+
+def test_theilsen_shrugs_off_outliers_where_ols_cannot(spark):
+    # 20 on-line months + 2 wild spikes: the pairwise-slope median
+    # stays within 2% of the true slope while OLS is dragged >20% off
+    from data_warehouse_project_spark.plans.regression import ols_fit
+    from data_warehouse_project_spark.plans.robust import theilsen_fold
+
+    pts = [(t, 10_000 + 500 * t) for t in range(20)]
+    pts[3] = (3, 900_000)   # corrupted months
+    pts[16] = (16, 1)
+    sen = theilsen_fold(_cells(spark, pts), "g").collect()[0]["sen_slope"]
+    ols = ols_fit(_cells(spark, pts), ["g"]).collect()[0]["slope"]
+    assert abs(sen - 500.0) <= 10.0, sen
+    assert abs(ols - 500.0) > 100.0, ols
+
+
+def test_theilsen_negative_slope_floor_semantics(spark):
+    # a falling exact line with a slope that is not milli-exact:
+    # floor (not truncate-toward-zero) semantics must hold for
+    # negative quantized slopes in both engines (the DIV-vs-// trap)
+    from data_warehouse_project_spark.plans.robust import theilsen_fold
+
+    # y = 1000 - t*1/3 scaled: use y = 1000 - (t // 3) pattern ->
+    # pairwise slopes cluster around -1/3; all quantized via floor
+    pts = [(t, 1000 - t // 3) for t in range(12)]
+    r = theilsen_fold(_cells(spark, pts), "g").collect()[0]
+    # floor(-1/3 * 1000) = -334 when a pair spans a step boundary
+    # fractionally; the median must land in [-0.334, -0.25]
+    assert -0.334 <= r["sen_slope"] <= -0.25, r
