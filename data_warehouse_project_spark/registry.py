@@ -47,8 +47,8 @@ def _register_modules() -> None:
                             relational, skew)
     from .plans import (analytics, attribution, audits, cdc,  # noqa: F401
                         dashboard, drift, experiment, graph, incremental,
-                        poststate, regression, robust, survival, timeseries,
-                        tpch, tpch_deep, warehouse)
+                        linkage, poststate, regression, robust, survival,
+                        timeseries, tpch, tpch_deep, warehouse)
     from .streaming import (batch_parity, cusum_state,  # noqa: F401
                             distinct_users, drift_state, funnel_state,
                             interval_join, late_sessions, late_transitions,
