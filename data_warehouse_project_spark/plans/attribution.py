@@ -228,3 +228,277 @@ WHERE COALESCE(f.n_first, 0) + COALESCE(l.n_last, 0)
 """
 
 register("events_attribution", events_attribution, EVENTS_ATTRIBUTION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain removal-effect attribution (round 7)
+# ---------------------------------------------------------------------------
+# The data-driven attribution model the position-based family above
+# cannot express (public methodology: first-order Markov journeys,
+# Anderl et al. 2014 "Mapping the customer journey"): estimate a
+# transition matrix over per-user event journeys, then credit each
+# channel by its REMOVAL EFFECT — how much the journey-level
+# conversion probability drops when the channel's state is deleted
+# from the chain (transitions into it become lost mass).
+#
+# Journey semantics (identical in both engines):
+# - NULL-user events are excluded (same convention as the
+#   position-based report above).
+# - per user, events order by (ts, event_id) — a total order;
+#   the journey TRUNCATES at the first 'purchase' (the conversion);
+#   its states are START -> touches... -> CONV (converted) / NULL.
+# - transitions: (START, first touch), consecutive touch pairs, and
+#   (last touch | START, CONV | NULL).
+#
+# Exactness: transition probabilities quantize to parts-per-million
+# via cnt*SCALE // total (positive integer floor division, identical
+# both engines); conversion probability is a fixed-horizon absorbing
+# recurrence v_{k+1}(s) = p(s,CONV) + (Σ_t p(s,t)·v_k(t)) // SCALE —
+# all int64-exact (p ≤ 1e6, v ≤ 1e6, Σ of ≤ 4 terms ≤ 4e12).
+#
+# Scale design (100 TB): the corpus term is ONE user-keyed window
+# pass (seq + first-purchase in the same exchange) plus a
+# states²-bounded transition aggregate. The chain solve consumes
+# that ≤ (|states|+1)² ≈ 30-row matrix — corpus-INDEPENDENT bounded
+# state, solved driver-side in exact Python ints (the same
+# distributed-aggregate / driver-solve split as the covariance →
+# eigendecomposition PCA path in llm/distributions.py, with an even
+# smaller state). The oracle unrolls the identical recurrence as SQL
+# CTEs, so the whole model — journeys, matrix, recurrence, shares —
+# is hash-checked end to end.
+
+#: the non-absorbing channel states (the events vocabulary minus the
+#: conversion event), fixed so both engines iterate the same grid
+TOUCH_STATES = ("click", "error", "signup", "view")
+
+#: parts-per-million probability quantization
+_MK_SCALE = 1_000_000
+
+#: recurrence updates after v0 = p(s, CONV) — conversion horizon 6
+_MK_UPDATES = 5
+
+
+def journey_transitions(events: DataFrame) -> DataFrame:
+    """Distributed part: (src, dst, n) journey-transition counts.
+
+    One user-keyed window exchange computes the per-user sequence
+    number and first-purchase position together; the lag pass and the
+    last-touch aggregate reuse the same hash partitioning."""
+    ev = events.where(F.col("user_id").isNotNull())
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    seqd = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("seq", F.row_number().over(wseq).cast("long"))
+        .withColumn(
+            "first_p",
+            F.min(F.when(F.col("event_type") == "purchase", F.col("seq")))
+            .over(wall))
+    )
+    touches = seqd.where(F.col("first_p").isNull()
+                         | (F.col("seq") < F.col("first_p")))
+    wlag = Window.partitionBy("user_id").orderBy("seq")
+    t1 = touches.select(
+        F.coalesce(F.lag("event_type").over(wlag), F.lit("START"))
+        .alias("src"),
+        F.col("event_type").alias("dst"))
+    last_touch = (touches.groupBy("user_id")
+                  .agg(F.max_by("event_type", "seq").alias("last_touch")))
+    per_user = (seqd.groupBy("user_id")
+                .agg(F.max("first_p").alias("first_p"))
+                .join(last_touch, "user_id", "left"))
+    t2 = per_user.select(
+        F.coalesce(F.col("last_touch"), F.lit("START")).alias("src"),
+        F.when(F.col("first_p").isNotNull(), F.lit("CONV"))
+        .otherwise(F.lit("NULL")).alias("dst"))
+    return (t1.unionByName(t2)
+            .groupBy("src", "dst")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def markov_solve(trans: list[tuple[str, str, int]]) -> list[dict]:
+    """Exact-integer chain solve over the bounded transition counts.
+
+    Returns one dict per channel: removal_conv_q, base_conv_q,
+    removal_effect_q (ppm longs) and attribution_share (double,
+    fround-6 of effect / Σ effects)."""
+    import math
+
+    cnt: dict[tuple[str, str], int] = {}
+    for s, d, n in trans:
+        cnt[(s, d)] = cnt.get((s, d), 0) + int(n)
+    states = ("START",) + TOUCH_STATES
+    dsts = TOUCH_STATES + ("CONV",)
+    tot = {s: sum(n for (a, _), n in cnt.items() if a == s)
+           for s in states}
+    p = {(s, d): (cnt.get((s, d), 0) * _MK_SCALE) // tot[s]
+         if tot[s] else 0
+         for s in states for d in dsts}
+
+    def conv_prob(removed: str | None) -> int:
+        keep = [t for t in TOUCH_STATES if t != removed]
+        sts = ["START"] + keep
+        v = {s: p[(s, "CONV")] for s in sts}
+        for _ in range(_MK_UPDATES):
+            v = {s: p[(s, "CONV")]
+                 + sum(p[(s, t)] * v[t] for t in keep) // _MK_SCALE
+                 for s in sts}
+        return v["START"]
+
+    base = conv_prob(None)
+    removal = {r: conv_prob(r) for r in TOUCH_STATES}
+    effects = {r: (_MK_SCALE - (cr * _MK_SCALE) // base
+                   if base > 0 else 0)
+               for r, cr in removal.items()}
+    tot_eff = sum(effects.values())
+    out = []
+    for r in TOUCH_STATES:
+        share = (math.floor(effects[r] / tot_eff * 1e6 + 0.5) / 1e6
+                 if tot_eff > 0 else None)
+        out.append({"channel": r,
+                    "removal_conv_q": removal[r],
+                    "base_conv_q": base,
+                    "removal_effect_q": effects[r],
+                    "attribution_share": share})
+    return out
+
+
+def events_markov_attribution(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Registered query: Markov removal-effect attribution over the
+    events journeys. The collect below is the documented bounded-state
+    read: the transition matrix is ≤ (|states|+1)² rows regardless of
+    corpus size (see the family note above)."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+    cat = Catalog(spark, sf_dir)
+    trans = [(r["src"], r["dst"], r["n"])
+             for r in journey_transitions(cat.events).collect()]
+    schema = StructType([
+        StructField("channel", StringType()),
+        StructField("removal_conv_q", LongType()),
+        StructField("base_conv_q", LongType()),
+        StructField("removal_effect_q", LongType()),
+        StructField("attribution_share", DoubleType()),
+    ])
+    return (spark.createDataFrame(markov_solve(trans), schema)
+            .orderBy("channel"))
+
+
+def _mk_iter_sql(prev: str, i: int) -> str:
+    return f"""
+v{i} AS (
+    SELECT vs.rm, vs.state,
+           COALESCE(MAX(pc.pq), 0)
+           + COALESCE(CAST(SUM(pv.pq * vp.v) AS BIGINT) // {_MK_SCALE}, 0)
+               AS v
+    FROM vst vs
+    LEFT JOIN pv pc ON pc.rm = vs.rm AND pc.src = vs.state
+                   AND pc.dst = 'CONV'
+    LEFT JOIN pv ON pv.rm = vs.rm AND pv.src = vs.state
+                AND pv.dst <> 'CONV'
+    LEFT JOIN {prev} vp ON vp.rm = pv.rm AND vp.state = pv.dst
+    GROUP BY vs.rm, vs.state
+)"""
+
+
+def _markov_sql() -> str:
+    iters = ",".join(_mk_iter_sql(f"v{i - 1}", i)
+                     for i in range(1, _MK_UPDATES + 1))
+    touch_vals = ",".join(f"('{t}')" for t in TOUCH_STATES)
+    share = sql_fround(
+        "CAST(removal_effect_q AS DOUBLE)"
+        " / CAST(SUM(removal_effect_q) OVER () AS DOUBLE)", 6)
+    return f"""
+WITH ev AS (
+    SELECT user_id, event_type, ts, event_id FROM events
+    WHERE user_id IS NOT NULL
+),
+seq0 AS (
+    SELECT user_id, event_type,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT) AS seq
+    FROM ev
+),
+seqd AS (
+    SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN seq END)
+                  OVER (PARTITION BY user_id) AS first_p
+    FROM seq0
+),
+touches AS (
+    SELECT * FROM seqd WHERE first_p IS NULL OR seq < first_p
+),
+t1 AS (
+    SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY seq), 'START') AS src,
+           event_type AS dst
+    FROM touches
+),
+lastt AS (
+    SELECT user_id, arg_max(event_type, seq) AS last_touch
+    FROM touches GROUP BY 1
+),
+pu AS (
+    SELECT user_id, MAX(first_p) AS first_p FROM seqd GROUP BY 1
+),
+t2 AS (
+    SELECT COALESCE(l.last_touch, 'START') AS src,
+           CASE WHEN p.first_p IS NOT NULL THEN 'CONV'
+                ELSE 'NULL' END AS dst
+    FROM pu p LEFT JOIN lastt l USING (user_id)
+),
+trans AS (SELECT src, dst FROM t1 UNION ALL SELECT src, dst FROM t2),
+cnt AS (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+    FROM trans GROUP BY 1, 2
+),
+tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+sts AS (SELECT * FROM (VALUES ('START'),{touch_vals}) AS s(state)),
+dsts AS (SELECT * FROM (VALUES {touch_vals},('CONV')) AS d(dst)),
+p AS (
+    SELECT s.state AS src, d.dst,
+           CASE WHEN COALESCE(t.t, 0) = 0 THEN 0
+                ELSE (COALESCE(c.n, 0) * {_MK_SCALE}) // t.t
+           END AS pq
+    FROM sts s
+    CROSS JOIN dsts d
+    LEFT JOIN cnt c ON c.src = s.state AND c.dst = d.dst
+    LEFT JOIN tot t ON t.src = s.state
+),
+vars AS (SELECT * FROM (VALUES ('none'),{touch_vals}) AS v(rm)),
+vst AS (SELECT v.rm, s.state FROM vars v JOIN sts s ON s.state <> v.rm),
+pv AS (
+    SELECT v.rm, p.src, p.dst, p.pq
+    FROM vars v JOIN p ON p.src <> v.rm AND p.dst <> v.rm
+),
+v0 AS (
+    SELECT vs.rm, vs.state, COALESCE(pc.pq, 0) AS v
+    FROM vst vs
+    LEFT JOIN pv pc ON pc.rm = vs.rm AND pc.src = vs.state
+                   AND pc.dst = 'CONV'
+),
+{iters},
+base AS (SELECT v FROM v{_MK_UPDATES} WHERE rm = 'none' AND state = 'START'),
+fin AS (
+    SELECT v.rm AS channel, v.v AS removal_conv_q, b.v AS base_conv_q,
+           CASE WHEN b.v > 0
+                THEN {_MK_SCALE} - (v.v * {_MK_SCALE}) // b.v
+                ELSE 0 END AS removal_effect_q
+    FROM v{_MK_UPDATES} v CROSS JOIN base b
+    WHERE v.rm <> 'none' AND v.state = 'START'
+)
+SELECT channel,
+       CAST(removal_conv_q AS BIGINT) AS removal_conv_q,
+       CAST(base_conv_q AS BIGINT) AS base_conv_q,
+       CAST(removal_effect_q AS BIGINT) AS removal_effect_q,
+       CASE WHEN SUM(removal_effect_q) OVER () > 0
+            THEN {share} END AS attribution_share
+FROM fin
+ORDER BY channel
+"""
+
+
+EVENTS_MARKOV_ATTRIBUTION_SQL = _markov_sql()
+
+register("events_markov_attribution", events_markov_attribution,
+         EVENTS_MARKOV_ATTRIBUTION_SQL)

@@ -1,0 +1,107 @@
+"""Semantic unit tests for Markov removal-effect attribution
+(plans/attribution.py, round 7): a fully hand-computed chain, the
+journey-truncation and edge-journey semantics of the distributed
+transition miner, NULL-user exclusion, and the zero-conversion
+degenerate case.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import Row
+
+from data_warehouse_project_spark.plans.attribution import (
+    _MK_SCALE, journey_transitions, markov_solve)
+
+_T0 = datetime(2024, 1, 1)
+
+
+def _events(spark, rows):
+    """rows: (user_id, event_type, minute_offset, event_id)."""
+    return spark.createDataFrame(
+        [Row(user_id=u, event_type=t, ts=_T0 + timedelta(minutes=m),
+             event_id=i, value=1.0, props=None)
+         for (u, t, m, i) in rows],
+        "user_id long, event_type string, ts timestamp, event_id long,"
+        " value double, props string")
+
+
+def _cnt(df):
+    return {(r["src"], r["dst"]): r["n"] for r in df.collect()}
+
+
+def test_transitions_hand_built(spark):
+    # A: view -> click -> purchase; B: view (never converts)
+    ev = _events(spark, [
+        (1, "view", 0, 10), (1, "click", 1, 11), (1, "purchase", 2, 12),
+        (2, "view", 0, 20),
+    ])
+    assert _cnt(journey_transitions(ev)) == {
+        ("START", "view"): 2, ("view", "click"): 1,
+        ("click", "CONV"): 1, ("view", "NULL"): 1,
+    }
+
+
+def test_transitions_truncate_at_first_purchase(spark):
+    # events AFTER the first purchase never enter the journey
+    ev = _events(spark, [
+        (1, "view", 0, 1), (1, "purchase", 1, 2),
+        (1, "click", 2, 3), (1, "purchase", 3, 4),
+    ])
+    assert _cnt(journey_transitions(ev)) == {
+        ("START", "view"): 1, ("view", "CONV"): 1,
+    }
+
+
+def test_transitions_purchase_first_and_null_user(spark):
+    # purchase as the very first event -> START -> CONV directly;
+    # NULL-user rows are excluded entirely
+    ev = _events(spark, [
+        (1, "purchase", 0, 1),
+        (None, "view", 0, 2), (None, "purchase", 1, 3),
+    ])
+    assert _cnt(journey_transitions(ev)) == {("START", "CONV"): 1}
+
+
+def test_markov_solve_hand_computed():
+    # the worked chain: p(START,view)=1, p(view,click)=.5,
+    # p(click,CONV)=1 -> base = .5; removing click or view kills all
+    # conversion (effect 1.0 each); error/signup carry nothing
+    trans = [("START", "view", 2), ("view", "click", 1),
+             ("click", "CONV", 1), ("view", "NULL", 1)]
+    out = {r["channel"]: r for r in markov_solve(trans)}
+    assert out["click"]["base_conv_q"] == _MK_SCALE // 2
+    assert out["click"]["removal_conv_q"] == 0
+    assert out["click"]["removal_effect_q"] == _MK_SCALE
+    assert out["view"]["removal_effect_q"] == _MK_SCALE
+    assert out["error"]["removal_effect_q"] == 0
+    assert out["signup"]["removal_effect_q"] == 0
+    assert out["click"]["attribution_share"] == 0.5
+    assert out["view"]["attribution_share"] == 0.5
+    assert out["error"]["attribution_share"] == 0.0
+
+
+def test_markov_solve_no_conversions():
+    # no CONV anywhere -> base 0, all effects 0, shares NULL
+    trans = [("START", "view", 3), ("view", "NULL", 3)]
+    for r in markov_solve(trans):
+        assert r["base_conv_q"] == 0
+        assert r["removal_effect_q"] == 0
+        assert r["attribution_share"] is None
+
+
+def test_markov_removal_monotone():
+    # removal can only LOSE probability mass: every removal_conv_q
+    # <= base (guards the floor-arithmetic claim in the module note)
+    trans = [("START", "view", 5), ("START", "click", 5),
+             ("view", "click", 3), ("view", "CONV", 1),
+             ("view", "NULL", 1), ("click", "CONV", 4),
+             ("click", "view", 2), ("click", "NULL", 2),
+             ("START", "signup", 2), ("signup", "view", 1),
+             ("signup", "NULL", 1)]
+    out = markov_solve(trans)
+    base = out[0]["base_conv_q"]
+    assert base > 0
+    for r in out:
+        assert 0 <= r["removal_conv_q"] <= base
