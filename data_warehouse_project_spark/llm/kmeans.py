@@ -1,0 +1,198 @@
+"""Pinned Lloyd's k-means over the embedding corpus — the
+ORACLE-CHECKED iterative-clustering twin of the model-dependent MLlib
+fit behind ``semantic_dedup`` (llm/similarity.py): deterministic
+init, exact integer geometry, fixed iteration count, so the full
+recurrence hash-matches an unrolled SQL oracle the way the integer
+PageRank does for graph analytics (plans/graph.py).
+
+Exactness contract (both engines, bit-identical):
+- components quantize to ppm longs: q = floor(x·1e6 + 0.5);
+- init: centroids = the K smallest vec_ids (j = rank order);
+- distance: Σ (q_i − c_i)² — int64-exact on the Spark side
+  (|q| ≤ ~1e6 ⇒ per-dim square ≤ 1e12, 64-dim sum ≤ 6.4e13); the
+  oracle computes the same integer via double dot products
+  (q·q + c·c − 2·q·c — every intermediate is an integer < 2^53, so
+  IEEE addition is exact and the CAST back to BIGINT is lossless);
+- assignment tie-break: smallest centroid index;
+- update: c'_i = floor(Σ q_i / n) via floor-of-IEEE-divide (sums
+  may be negative — integer DIV truncates toward zero in Spark and
+  floors in DuckDB, so the double form is the portable one; Σ q_i
+  stays < 2^53 exact). An EMPTY cluster keeps its previous centroid;
+- fixed KM_ITERS update rounds, then one final assignment feeding
+  the per-cluster report (cluster, n_members, wcss_q,
+  centroid_sq_norm). Clusters empty at the end emit no row.
+
+Scale design (100 TB): the corpus work per round is one broadcast-
+centroid map stage (K×dim literals compiled into the plan — no join,
+no shuffle) plus one (cluster, pos)-keyed aggregate whose result is
+K×dim rows — the classic MLlib KMeans exchange. The driver holds
+only K×dim integers between rounds (the three collects here are that
+bounded state, corpus-independent). wcss_q sums int64-exactly
+through ~1e5 corpus rows per cluster × 6.4e13 max distance; a
+deployment beyond ~1e4 × that headroom widens the report column to
+DECIMAL(38,0) — documented, not needed at driver scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..cache import pin
+from ..registry import register
+from ..sources.catalog import Catalog
+
+#: cluster count (also the init prefix length)
+KM_K = 8
+
+#: centroid-update rounds before the final assignment
+KM_ITERS = 2
+
+#: embedding dimensionality (driver testdata contract, TESTDATA.md)
+KM_DIM = 64
+
+#: ppm component quantization
+_KM_SCALE = 1_000_000.0
+
+
+def _quant(col):
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(_KM_SCALE)
+                               + F.lit(0.5)).cast("long"))
+
+
+def _dist(qcol, cent: list[int]):
+    lit_arr = F.array(*[F.lit(int(c)).cast("long") for c in cent])
+    return F.aggregate(
+        F.zip_with(qcol, lit_arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """vec_id, q, cluster, dist — argmin over the centroid literals,
+    ties to the smallest index (struct array_min is lexicographic)."""
+    structs = F.array(*[
+        F.struct(_dist(F.col("q"), c).alias("d"),
+                 F.lit(j).cast("int").alias("j"))
+        for j, c in enumerate(cents)])
+    best = F.array_min(structs)
+    return q.select("vec_id", "q",
+                    best["j"].alias("cluster"),
+                    best["d"].alias("dist"))
+
+
+def kmeans_pinned_report(emb: DataFrame, k: int = KM_K,
+                         iters: int = KM_ITERS) -> DataFrame:
+    """Per-cluster report after ``iters`` pinned Lloyd rounds + final
+    assignment: (cluster, n_members, wcss_q, centroid_sq_norm)."""
+    q = pin(emb.select("vec_id", _quant(F.col("embedding")).alias("q")))
+    init = q.orderBy("vec_id").limit(k).collect()     # K×dim bounded
+    cents = [list(r["q"]) for r in init]
+    dim = len(cents[0])
+    for _ in range(iters):
+        comp = (_assign(q, cents)
+                .select("cluster", F.posexplode("q").alias("pos", "comp"))
+                .groupBy("cluster", "pos")
+                .agg(F.floor(F.sum("comp").cast("double")
+                             / F.count("comp")).cast("long").alias("c")))
+        new: dict[int, dict[int, int]] = {}
+        for r in comp.collect():                      # K×dim bounded
+            new.setdefault(r["cluster"], {})[r["pos"]] = r["c"]
+        cents = [[new[j][i] for i in range(dim)] if j in new else cents[j]
+                 for j in range(len(cents))]
+    sqn = [sum(c * c for c in cent) for cent in cents]
+    sqn_arr = F.array(*[F.lit(int(s)).cast("long") for s in sqn])
+    return (_assign(q, cents)
+            .groupBy("cluster")
+            .agg(F.count("*").cast("long").alias("n_members"),
+                 F.sum("dist").cast("long").alias("wcss_q"))
+            .withColumn("centroid_sq_norm",
+                        F.element_at(sqn_arr, F.col("cluster") + 1))
+            .select("cluster", "n_members", "wcss_q", "centroid_sq_norm")
+            .orderBy("cluster"))
+
+
+def embedding_kmeans_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the pinned Lloyd report over the embeddings
+    table (K=8, 2 update rounds, final assignment)."""
+    cat = Catalog(spark, sf_dir)
+    return kmeans_pinned_report(cat.embeddings)
+
+
+_DDOT = ("CAST(list_dot_product(qq.q::DOUBLE[], qq.q::DOUBLE[])"
+         " + list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[])"
+         " - 2 * list_dot_product(qq.q::DOUBLE[], c.c::DOUBLE[])"
+         " AS BIGINT)")
+
+
+def _km_round_sql(t: int, dim: int) -> str:
+    """CTEs for one Lloyd round: assign with c{t}, update into c{t+1}."""
+    return f"""
+d{t} AS (
+    SELECT qq.vec_id, c.j, {_DDOT} AS dist
+    FROM q qq CROSS JOIN c{t} c
+),
+a{t} AS (
+    SELECT vec_id, j, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, j) AS rn
+        FROM d{t})
+    WHERE rn = 1
+),
+m{t + 1} AS (
+    SELECT a.j, r.pos,
+           CAST(FLOOR(CAST(SUM(qq.q[r.pos]) AS DOUBLE) / COUNT(*))
+                AS BIGINT) AS comp
+    FROM a{t} a JOIN q qq USING (vec_id)
+    CROSS JOIN (SELECT CAST(range AS INTEGER) AS pos
+                FROM range(1, {dim + 1})) r
+    GROUP BY a.j, r.pos
+),
+c{t + 1} AS (
+    SELECT c0_.j, COALESCE(m.c, c0_.c) AS c
+    FROM c{t} c0_ LEFT JOIN (SELECT j, list(comp ORDER BY pos) AS c
+                             FROM m{t + 1} GROUP BY j) m USING (j)
+)"""
+
+
+def _kmeans_sql(k: int = KM_K, iters: int = KM_ITERS,
+                dim: int = KM_DIM) -> str:
+    rounds = ",".join(_km_round_sql(t, dim) for t in range(iters))
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+               x -> CAST(FLOOR(x * {_KM_SCALE} + 0.5) AS BIGINT)) AS q
+    FROM embeddings
+),
+c0 AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j,
+           q AS c
+    FROM q ORDER BY vec_id LIMIT {k}
+),
+{rounds},
+d{iters} AS (
+    SELECT qq.vec_id, c.j, {_DDOT} AS dist
+    FROM q qq CROSS JOIN c{iters} c
+),
+a{iters} AS (
+    SELECT vec_id, j, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, j) AS rn
+        FROM d{iters})
+    WHERE rn = 1
+)
+SELECT a.j AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(a.dist) AS BIGINT) AS wcss_q,
+       CAST(MAX(CAST(list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[])
+                     AS BIGINT)) AS BIGINT) AS centroid_sq_norm
+FROM a{iters} a JOIN c{iters} c USING (j)
+GROUP BY a.j
+ORDER BY cluster
+"""
+
+
+EMBEDDING_KMEANS_SQL = _kmeans_sql()
+
+register("embedding_kmeans_pinned", embedding_kmeans_pinned,
+         EMBEDDING_KMEANS_SQL)

@@ -54,10 +54,10 @@ def _register_modules() -> None:
                             interval_join, late_sessions, late_transitions,
                             sessions, transitions, ttl_window)
     from .llm import (bpe, bridge, clusters, compress, dedup,  # noqa: F401
-                      distributions, importance, index, langmix, manifest,
-                      multimodal, pipeline, quality, refinery, repetition,
-                      retrieval, sampling, similarity, sketches, spans,
-                      textstats)
+                      distributions, importance, index, kmeans, langmix,
+                      manifest, multimodal, pipeline, quality, refinery,
+                      repetition, retrieval, sampling, similarity, sketches,
+                      spans, textstats)
     from .functions import crypto  # noqa: F401
 
 
