@@ -60,21 +60,25 @@ def _quant(col):
                                + F.lit(0.5)).cast("long"))
 
 
-def _dist(qcol, cent: list[int]):
-    lit_arr = F.array(*[F.lit(int(c)).cast("long") for c in cent])
-    return F.aggregate(
-        F.zip_with(qcol, lit_arr, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-
-
 def _assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
-    """vec_id, q, cluster, dist — argmin over the centroid literals,
-    ties to the smallest index (struct array_min is lexicographic)."""
-    structs = F.array(*[
-        F.struct(_dist(F.col("q"), c).alias("d"),
-                 F.lit(j).cast("int").alias("j"))
-        for j, c in enumerate(cents)])
-    best = F.array_min(structs)
+    """vec_id, q, cluster, dist — argmin over a literal centroid
+    MATRIX via one nested higher-order-function expression (transform
+    with index over array-of-arrays), ties to the smallest index
+    (struct array_min is lexicographic). One compact expression tree
+    instead of K unrolled distance trees keeps plan compile time flat
+    in K — the assignment stays a shuffle-free map stage either way."""
+    matrix = F.array(*[
+        F.array(*[F.lit(int(c)).cast("long") for c in cent])
+        for cent in cents])
+    best = F.array_min(F.transform(
+        matrix,
+        lambda cent, j: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("q"), cent,
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x).alias("d"),
+            j.cast("int").alias("j"))))
     return q.select("vec_id", "q",
                     best["j"].alias("cluster"),
                     best["d"].alias("dist"))
