@@ -395,3 +395,140 @@ FROM t
 
 register("events_ab_cuped_report", events_ab_cuped_report,
          EVENTS_AB_CUPED_SQL)
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U — the nonparametric member of the experimentation
+# family. The two-proportion z (conversion) and CUPED (means) both
+# lean on normal-ish aggregates; purchase VALUES are heavy-tailed, and
+# the rank-sum test is the standard robust readout for "did arm B
+# shift the spend distribution?" without a distributional assumption.
+# --------------------------------------------------------------------------
+
+def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row Mann-Whitney U (Wilcoxon rank-sum) report on
+    per-purchase spend by experiment arm, with the tie-corrected
+    normal approximation.
+
+    Exact-integer rank algebra: spend is bucketed to whole dollars
+    (cents DIV 100 — deliberate: real spend data is tie-heavy, and
+    bucketing keeps the tie-correction branch non-vacuous on every
+    scale factor), then ranks are computed PER DISTINCT VALUE from
+    the grouped histogram, never per row. With cb = count of rows
+    below a value and c its tie-group size, every row in the group
+    has average rank (cb+1 + cb+c)/2, so the DOUBLED average rank
+    d = 2*cb + c + 1 is an exact BIGINT and the doubled rank sum
+    2*R_B = sum(cnt_b * d) stays exact — no half-integer ever
+    materializes. U_B follows as 2*U_B = 2*R_B - n_b*(n_b+1).
+
+    Tie-corrected variance (Lehmann): sigma^2 = n_a*n_b/12 *
+    ((N+1) - T/(N*(N-1))) with T = sum over tie groups of (c^3 - c);
+    z = (2U_B - n_a*n_b) / (2*sigma). The integer aggregates (n_a,
+    n_b, 2R_B, T) are exact longs; z is a fixed dag of IEEE ops
+    (* / - sqrt, all correctly rounded — no transcendental), fround'd
+    to 6dp (compat.py policy). No continuity correction (documented
+    choice, applied identically on both engines).
+
+    Integer headroom: c^3 caps the tie cube at (rows per dollar
+    value)^3 — ~1e5 rows/value at sf100 is 1e15, safe; past ~2e6
+    rows/value widen T to DECIMAL(38,0) (compat.py escape hatch).
+
+    Scale design (100 TB): one events scan filtered to purchases ->
+    groupBy(dollar value): the shuffle is keyed on the VALUE DOMAIN
+    (bounded — spend in whole dollars), not on rows; the rank window
+    then runs over that bounded histogram (same discipline as the
+    length-band / quantile families), and the final fold is a
+    single-row aggregation. Nothing after the histogram scales with
+    the corpus.
+    """
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    hist = (cat.events
+            .where(F.col("event_type") == "purchase")
+            .select(F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)"
+                           " DIV 100").alias("v"),
+                    _arm().alias("arm"))
+            .groupBy("v")
+            .agg(F.count("*").cast("long").alias("cnt"),
+                 F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+                 .cast("long").alias("cnt_b")))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = hist.select(
+        "cnt", "cnt_b",
+        (F.sum("cnt").over(w) - F.col("cnt")).cast("long").alias("cb"))
+    d = F.lit(2) * F.col("cb") + F.col("cnt") + F.lit(1)
+    t = (ranked.agg(
+            (F.sum("cnt") - F.sum("cnt_b")).cast("long").alias("n_a"),
+            F.sum("cnt_b").cast("long").alias("n_b"),
+            F.sum(F.col("cnt_b") * d).cast("long").alias("r_b_doubled"),
+            F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt")
+                  - F.col("cnt")).cast("long").alias("tie_term")))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nn = na + nb
+    u2 = (F.col("r_b_doubled") - F.col("n_b") * (F.col("n_b") + F.lit(1))
+          ).cast("long")
+    sigma2 = (na * nb / F.lit(12.0)
+              * ((nn + F.lit(1.0))
+                 - F.col("tie_term").cast("double")
+                 / (nn * (nn - F.lit(1.0)))))
+    z = ((u2.cast("double") - na * nb)
+         / (F.lit(2.0) * F.sqrt(sigma2)))
+    return (t.select(
+                "n_a", "n_b", "r_b_doubled",
+                u2.alias("u_b_doubled"), "tie_term",
+                fround(z, 6).alias("z"),
+                (F.abs(z) > F.lit(_Z_CRIT)).alias("significant")))
+
+
+EVENTS_AB_MANNWHITNEY_SQL = f"""
+WITH hist AS (
+    SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) // 100 AS v,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CASE WHEN substr(sha256('{_SALT}'
+                         || CAST(user_id AS VARCHAR)), 64, 1)
+                         IN ({", ".join("'" + c + "'" for c in _A_NIBBLES)})
+                    THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+),
+ranked AS (
+    SELECT cnt, cnt_b,
+           CAST(SUM(cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - cnt AS BIGINT) AS cb
+    FROM hist
+),
+t AS (
+    SELECT CAST(SUM(cnt) - SUM(cnt_b) AS BIGINT) AS n_a,
+           CAST(SUM(cnt_b) AS BIGINT) AS n_b,
+           CAST(SUM(cnt_b * (2 * cb + cnt + 1)) AS BIGINT)
+               AS r_b_doubled,
+           CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+    FROM ranked
+),
+s AS (
+    SELECT n_a, n_b, r_b_doubled, tie_term,
+           CAST(r_b_doubled - n_b * (n_b + 1) AS BIGINT) AS u_b_doubled,
+           CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+             * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+                - CAST(tie_term AS DOUBLE)
+                  / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                     * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                        - 1.0))) AS sigma2
+    FROM t
+)
+SELECT n_a, n_b, r_b_doubled, u_b_doubled, tie_term,
+       {sql_fround('(CAST(u_b_doubled AS DOUBLE)'
+                   ' - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))'
+                   ' / (2.0 * SQRT(sigma2))', 6)} AS z,
+       ABS((CAST(u_b_doubled AS DOUBLE)
+            - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           / (2.0 * SQRT(sigma2))) > {_Z_CRIT} AS significant
+FROM s
+"""
+
+register("events_ab_mannwhitney", events_ab_mannwhitney,
+         EVENTS_AB_MANNWHITNEY_SQL)

@@ -174,3 +174,79 @@ def test_cuped_degenerate_constant_covariate(spark, tmp_path):
     assert r["theta"] is None
     assert r["mean_y_a_adj"] == r["mean_y_a"]
     assert r["mean_y_b_adj"] == r["mean_y_b"]
+
+
+def _write_valued_events(spark, tmp_path, rows):
+    """rows: (user_id, event_type, ts, value)"""
+    df = spark.createDataFrame(
+        [(i, ts, u, et, float(v), "{}")
+         for i, (u, et, ts, v) in enumerate(rows)],
+        _EV_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def _mw_brute(a_vals, b_vals):
+    """Doubled U_B by pair counting: 2*U_B = 2*#(b>a) + #(b==a)."""
+    u2 = 0
+    for b in b_vals:
+        for a in a_vals:
+            u2 += 2 if b > a else (1 if b == a else 0)
+    return u2
+
+
+def test_mannwhitney_matches_pair_counting(spark, tmp_path):
+    from data_warehouse_project_spark.plans.experiment import (
+        events_ab_mannwhitney)
+    t0 = dt.datetime(2024, 1, 5, 12, 0)
+    a_users = [u for u in range(1, 200) if _arm_of(u) == "A"][:8]
+    b_users = [u for u in range(1, 200) if _arm_of(u) == "B"][:8]
+    # whole-dollar spends with deliberate cross-arm and in-arm ties
+    a_vals = [10, 12, 12, 15, 20, 20, 33, 40]
+    b_vals = [12, 18, 20, 25, 25, 25, 41, 55]
+    rows = ([(u, "purchase", t0, v) for u, v in zip(a_users, a_vals)]
+            + [(u, "purchase", t0, v) for u, v in zip(b_users, b_vals)]
+            # non-purchase noise must be ignored
+            + [(a_users[0], "click", t0, 999.0)])
+    sf = _write_valued_events(spark, tmp_path, rows)
+    r = events_ab_mannwhitney(spark, sf).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (8, 8)
+    assert r["u_b_doubled"] == _mw_brute(a_vals, b_vals)
+    # tie groups: 12x3, 20x3, 25x3 -> T = 3*(27-3) = 72
+    assert r["tie_term"] == 72
+    # doubled rank-sum identity: 2R_B = 2U_B + n_b*(n_b+1)
+    assert r["r_b_doubled"] == r["u_b_doubled"] + 8 * 9
+
+
+def test_mannwhitney_symmetric_samples_z_zero(spark, tmp_path):
+    from data_warehouse_project_spark.plans.experiment import (
+        events_ab_mannwhitney)
+    t0 = dt.datetime(2024, 1, 5, 12, 0)
+    a_users = [u for u in range(1, 200) if _arm_of(u) == "A"][:6]
+    b_users = [u for u in range(1, 200) if _arm_of(u) == "B"][:6]
+    vals = [5, 9, 14, 22, 30, 47]   # identical samples -> U = mu
+    rows = ([(u, "purchase", t0, v) for u, v in zip(a_users, vals)]
+            + [(u, "purchase", t0, v) for u, v in zip(b_users, vals)])
+    sf = _write_valued_events(spark, tmp_path, rows)
+    r = events_ab_mannwhitney(spark, sf).collect()[0]
+    assert r["u_b_doubled"] == 6 * 6   # 2*U_B = n_a*n_b exactly
+    assert r["z"] == 0.0
+    assert not r["significant"]
+
+
+def test_mannwhitney_planted_shift_is_significant(spark, tmp_path):
+    from data_warehouse_project_spark.plans.experiment import (
+        events_ab_mannwhitney)
+    t0 = dt.datetime(2024, 1, 5, 12, 0)
+    a_users = [u for u in range(1, 600) if _arm_of(u) == "A"][:20]
+    b_users = [u for u in range(1, 600) if _arm_of(u) == "B"][:20]
+    # B strictly dominates A -> 2U_B = 2*n_a*n_b, z > 1.96
+    rows = ([(u, "purchase", t0, 10 + i)
+             for i, u in enumerate(a_users)]
+            + [(u, "purchase", t0, 1000 + i)
+               for i, u in enumerate(b_users)])
+    sf = _write_valued_events(spark, tmp_path, rows)
+    r = events_ab_mannwhitney(spark, sf).collect()[0]
+    assert r["u_b_doubled"] == 2 * 20 * 20
+    assert r["z"] > 1.96 and r["significant"]
