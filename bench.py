@@ -94,6 +94,7 @@ HEADLINE = [
     "nation_revenue_trend_ols",    # sufficient-statistics OLS over a 3-table join (new r7)
     "orders_price_median_twopass",  # histogram-refinement exact median, no group sort (new r7)
     "events_ab_conversion_report",  # hash-bucketed per-user A/B funnel + z-test (new r7)
+    "embedding_kmeans_pinned",     # pinned Lloyd's k-means, 3 assignment rounds (new r7)
 ]
 # doc_zipf_fit is deliberately NOT in the headline: its corpus-scale
 # work is the same explode→term-count shuffle vocab_top_terms already
@@ -136,6 +137,35 @@ HEADLINE = [
 # revenue_forecast_backtest and customer_churn_survival are likewise
 # one monthly/per-customer map-side aggregate — the q1/user_rfm
 # measured shapes — followed by calendar/duration-bounded windows).
+# The serial-correlation pair shares the same argument:
+# orders_revenue_acf is the CUSUM's daily groupBy followed by a
+# 14-lag window over the bounded day frame, and
+# events_click_purchase_xcorr is events_value_drift_daily's
+# scan+daily-agg shape with a ±7-lag window tail.
+# events_ab_mannwhitney's corpus work is one purchase-filtered events
+# scan into a value-domain histogram — the measured
+# orders_price_median_twopass discipline on the same events scan
+# events_ab_conversion_report already measures; the rank window runs
+# over the bounded dollar histogram. The same argument covers the
+# rank-association pair: orders_priority_kruskal is one orders scan
+# into the identical dollar histogram (plus a fixed 5-way pivot), and
+# customer_value_spearman's corpus work is the per-customer collapse
+# user_rfm_segments already measures, followed by bounded joint-
+# histogram algebra. Of the round-7 close-out quartet:
+# embedding_kmeans_pinned IS in the headline (the iterative-clustering
+# shape — broadcast-centroid map stages + K×dim aggregates — is a
+# workload class nothing else measures); nation_revenue_theilsen's
+# corpus work is nation_revenue_trend_ols' measured join+monthly-agg
+# (the pairwise-slope fan-out is months²-bounded per nation);
+# part_name_fuzzy_linkage is a part-dimension-sized blocked join (the
+# entity_dedup_parts exclusion argument); events_markov_attribution's
+# corpus work is the sessionized transition mining events_top_paths /
+# events_attribution already measure — the absorbing-chain solve runs
+# on the bounded state×state matrix. The AQP pair is likewise
+# excluded: orders_aqp_monthly_revenue is a hash-filtered orders scan
+# + monthly agg (the measured monthly_revenue_growth shape at 1/8 the
+# rows), and aqp_error_floor adds only the exact total q1-style scan
+# beside it.
 
 # Log note (VERDICT r5 #8): repeated `WindowExec: No Partition
 # Defined` warnings in this bench's stderr come from the documented

@@ -45,10 +45,10 @@ def _register_modules() -> None:
     """Import every module that self-registers queries."""
     from .operators import (bloom, extended, quarantine,  # noqa: F401
                             relational, skew)
-    from .plans import (analytics, attribution, audits, cdc,  # noqa: F401
-                        dashboard, drift, experiment, graph, incremental,
-                        linkage, poststate, regression, robust, survival,
-                        timeseries, tpch, tpch_deep, warehouse)
+    from .plans import (acf, analytics, aqp, attribution, audits,  # noqa: F401
+                        cdc, dashboard, drift, experiment, graph, incremental,
+                        linkage, poststate, rankcorr, regression, robust,
+                        survival, timeseries, tpch, tpch_deep, warehouse)
     from .streaming import (batch_parity, cusum_state,  # noqa: F401
                             distinct_users, drift_state, funnel_state,
                             interval_join, late_sessions, late_transitions,
@@ -102,8 +102,13 @@ def _register_modules() -> None:
 #:   revenue_forecast_backtest, customer_churn_survival,
 #:   orders_cusum_served, benford_first_digit_audit,
 #:   conversion_latency_quantiles, mg_heavy_hitters,
-#:   mg_fold_bound_floor, nation_revenue_theilsen) join the round-9
-#:   cohort.
+#:   mg_fold_bound_floor, nation_revenue_theilsen,
+#:   orders_revenue_acf, events_click_purchase_xcorr,
+#:   events_ab_mannwhitney, part_name_fuzzy_linkage,
+#:   events_markov_attribution, embedding_kmeans_pinned,
+#:   customer_value_spearman, orders_priority_kruskal,
+#:   orders_aqp_monthly_revenue, aqp_error_floor) join the
+#:   round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
 #:   old — acknowledged cost of the 50-slot window against a
