@@ -422,3 +422,111 @@ ORDER BY nation
 
 register("nation_revenue_theilsen", nation_revenue_theilsen,
          NATION_REVENUE_THEILSEN_SQL)
+
+
+# --------------------------------------------------------------------------
+# Distribution-free confidence interval for the median
+# --------------------------------------------------------------------------
+
+#: two-sided 95% normal critical value for the binomial rank bounds
+_CI_Z = 1.96
+
+
+def median_ci_fold(vals: DataFrame) -> DataFrame:
+    """Distribution-free 95% CI for the median of a (v: long) column
+    via binomial order-statistic ranks (the sign-test inversion,
+    Conover "Practical Nonparametric Statistics" §3.2): with n rows,
+    rank_lo = max(1, floor((n - z*sqrt(n))/2)), rank_hi = n-rank_lo+1,
+    and the interval [x_(rank_lo), x_(rank_hi)] covers the true
+    median with >= 95% probability WHATEVER the distribution — the
+    error-bar the exact-median family (median_twopass) reports
+    without. The median itself uses the lower discrete rank
+    (n+1) DIV 2, matching the repo's discrete-order-statistic
+    convention.
+
+    Everything is integers except z*sqrt(n) (multiply + sqrt:
+    correctly-rounded IEEE, then floor) — so all seven output columns
+    are exact BIGINTs and the oracle hash-match is unconditional.
+
+    Scale: one map-side-combined value-domain histogram (the MW /
+    median-twopass discipline), a prefix window over the bounded
+    histogram, and three conditional-min rank lookups in ONE
+    aggregation pass.
+    """
+    hist = (vals.groupBy("v")
+            .agg(F.count("*").cast("long").alias("cnt")))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.select("v", F.sum("cnt").over(w).cast("long").alias("cum"))
+    n_row = vals.agg(F.count("*").cast("long").alias("n"))
+    nd = F.col("n").cast("double")
+    lo = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor((nd - F.lit(_CI_Z) * F.sqrt(nd)) / F.lit(2.0))
+        .cast("long"))
+    joined = (cum.crossJoin(F.broadcast(n_row))
+              .withColumn("rank_lo", lo)
+              .withColumn("rank_med",
+                          F.expr("(n + 1) DIV 2").cast("long"))
+              .withColumn("rank_hi",
+                          (F.col("n") - lo + F.lit(1)).cast("long")))
+    return joined.agg(
+        F.max("n").alias("n"),
+        F.max("rank_lo").alias("rank_lo"),
+        F.max("rank_med").alias("rank_med"),
+        F.max("rank_hi").alias("rank_hi"),
+        F.min(F.when(F.col("cum") >= F.col("rank_lo"), F.col("v")))
+        .cast("long").alias("ci_lo"),
+        F.min(F.when(F.col("cum") >= F.col("rank_med"), F.col("v")))
+        .cast("long").alias("median_lo"),
+        F.min(F.when(F.col("cum") >= F.col("rank_hi"), F.col("v")))
+        .cast("long").alias("ci_hi"))
+
+
+def orders_price_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% distribution-free CI for the median order value (whole
+    dollars) — the companion error-bar to orders_price_median_twopass:
+    one row (n, rank_lo, rank_med, rank_hi, ci_lo, median_lo, ci_hi),
+    all exact BIGINTs."""
+    cat = Catalog(spark, sf_dir)
+    return median_ci_fold(cat.orders.select(
+        F.expr("CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+               " DIV 100").alias("v")))
+
+
+ORDERS_MEDIAN_CI_SQL = f"""
+WITH vals AS (
+    SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) // 100 AS v
+    FROM orders
+),
+cum AS (
+    SELECT v, CAST(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+    FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY v)
+),
+nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+ranks AS (
+    SELECT n,
+           GREATEST(CAST(1 AS BIGINT),
+                    CAST(FLOOR((CAST(n AS DOUBLE)
+                                - {_CI_Z} * SQRT(CAST(n AS DOUBLE)))
+                               / 2.0) AS BIGINT)) AS rank_lo,
+           CAST((n + 1) // 2 AS BIGINT) AS rank_med
+    FROM nrow
+)
+SELECT MAX(r.n) AS n,
+       MAX(r.rank_lo) AS rank_lo,
+       MAX(r.rank_med) AS rank_med,
+       MAX(r.n - r.rank_lo + 1) AS rank_hi,
+       CAST(MIN(CASE WHEN c.cum >= r.rank_lo THEN c.v END) AS BIGINT)
+           AS ci_lo,
+       CAST(MIN(CASE WHEN c.cum >= r.rank_med THEN c.v END) AS BIGINT)
+           AS median_lo,
+       CAST(MIN(CASE WHEN c.cum >= r.n - r.rank_lo + 1 THEN c.v END)
+            AS BIGINT) AS ci_hi
+FROM cum c CROSS JOIN ranks r
+"""
+
+register("orders_price_median_ci", orders_price_median_ci,
+         ORDERS_MEDIAN_CI_SQL)

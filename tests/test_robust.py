@@ -159,3 +159,41 @@ def test_theilsen_negative_slope_floor_semantics(spark):
     # floor(-1/3 * 1000) = -334 when a pair spans a step boundary
     # fractionally; the median must land in [-0.334, -0.25]
     assert -0.334 <= r["sen_slope"] <= -0.25, r
+
+
+def test_median_ci_hand_ranks(spark):
+    from data_warehouse_project_spark.plans.robust import median_ci_fold
+
+    # n = 25 known values (1-indexed sorted = 10,20,...,250):
+    # rank_lo = floor((25 - 1.96*5)/2) = floor(7.6) = 7
+    # rank_med = 13, rank_hi = 25 - 7 + 1 = 19
+    vals = list(range(10, 251, 10))
+    df = spark.createDataFrame([Row(v=v) for v in reversed(vals)],
+                               "v long")
+    r = median_ci_fold(df).collect()[0]
+    assert (r["n"], r["rank_lo"], r["rank_med"], r["rank_hi"]) == (
+        25, 7, 13, 19)
+    assert (r["ci_lo"], r["median_lo"], r["ci_hi"]) == (70, 130, 190)
+
+
+def test_median_ci_tiny_n_clamps_to_extremes(spark):
+    from data_warehouse_project_spark.plans.robust import median_ci_fold
+
+    # n = 3: floor((3 - 1.96*sqrt(3))/2) = floor(-0.197) = -1 -> clamp
+    # to rank 1; CI collapses to [min, max]
+    df = spark.createDataFrame([Row(v=v) for v in (5, 11, 2)], "v long")
+    r = median_ci_fold(df).collect()[0]
+    assert (r["rank_lo"], r["rank_med"], r["rank_hi"]) == (1, 2, 3)
+    assert (r["ci_lo"], r["median_lo"], r["ci_hi"]) == (2, 5, 11)
+
+
+def test_median_ci_ties_resolve_by_cumulative_mass(spark):
+    from data_warehouse_project_spark.plans.robust import median_ci_fold
+
+    # heavy tie block straddling every rank: all three lookups must
+    # land inside the tied value by cumulative mass, not row identity
+    df = spark.createDataFrame(
+        [Row(v=v) for v in [1] * 5 + [7] * 20 + [9] * 5], "v long")
+    r = median_ci_fold(df).collect()[0]
+    assert r["n"] == 30
+    assert (r["ci_lo"], r["median_lo"], r["ci_hi"]) == (7, 7, 7)
