@@ -1077,3 +1077,120 @@ ORDER BY digit
 
 register("benford_first_digit_audit", benford_first_digit_audit,
          BENFORD_AUDIT_SQL)
+
+
+# --------------------------------------------------------------------------
+# Differential-privacy release (deterministic-seed Laplace mechanism)
+# --------------------------------------------------------------------------
+# Completes the privacy-release ladder: k-anonymity / l-diversity /
+# t-closeness AUDIT a proposed release; the Laplace mechanism is the
+# modern alternative — publish noisy aggregates with a formal
+# epsilon budget (Dwork et al. 2006). What is implemented here is the
+# full mechanism PLUMBING — sensitivity-1 counting query, epsilon
+# calibration b = sensitivity/epsilon, inverse-CDF Laplace draw —
+# with the uniform draw taken DETERMINISTICALLY from a salted sha256
+# of the group key so both engines draw identical noise and the
+# release is oracle-checkable. A production release swaps that one
+# line for a CSPRNG draw (and then provides real privacy; the
+# deterministic seed here provides NONE — it is the testable twin of
+# the mechanism, stated plainly, the multimodal-stub honesty rule).
+
+#: privacy budget for the released counting query
+_DP_EPSILON = 0.5
+
+#: Laplace scale b = sensitivity / epsilon (counting query: 1)
+_DP_SCALE = 1.0 / _DP_EPSILON
+
+#: salt for the deterministic per-group uniform draw
+_DP_SALT = "dp-v1:"
+
+#: hex prefix length for the uniform: 8 nibbles = 32 bits, exact in
+#: a double (u = (h32 + 0.5) / 2^32 is never exactly 0.5, so the
+#: sign/log pair below is always finite)
+_DP_HEX = 8
+
+
+def _dp_uniform(key_sql: str = "g"):
+    """u in (0,1) from the first 8 hex nibbles of sha256(salt||key):
+    the nibble->int sum uses only instr/substr arithmetic available
+    identically in both engines (key_sql names the key column in the
+    enclosing frame)."""
+    h = f"sha2(concat('{_DP_SALT}', {key_sql}), 256)"
+    h32 = None
+    for i in range(_DP_HEX):
+        nib = ((F.expr(f"instr('0123456789abcdef',"
+                       f" substr({h}, {i + 1}, 1))")
+                - F.lit(1)).cast("long")
+               * F.lit(16 ** (_DP_HEX - 1 - i)))
+        h32 = nib if h32 is None else h32 + nib
+    return (h32.cast("double") + F.lit(0.5)) / F.lit(float(2 ** 32))
+
+
+def orders_priority_dp_release(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Laplace-mechanism release of per-priority order counts at
+    epsilon = 0.5: (priority, epsilon, scale, noise, noisy_count) —
+    noise = -b * sign(u - 1/2) * ln(1 - 2|u - 1/2|), the inverse-CDF
+    Laplace draw. The true count never appears in the output (it is
+    what the mechanism protects); the unit test validates the noise
+    against an independent Python computation of the same draw.
+
+    Transcendental note: ln is outside the correctly-rounded IEEE
+    set (compat.py policy), but the five u values depend ONLY on the
+    five fixed priority strings — corpus-independent — so
+    tests/test_quantization_margin.py can pin their distance from
+    every fround boundary once and for all (the integer true count
+    shifts noisy_count by whole units, leaving the fractional part,
+    and hence the rounding decision, fixed at every scale factor).
+
+    Scale: one map-side-combined count per priority (bounded domain);
+    the noise attaches as a scalar expression — nothing here grows
+    with the corpus.
+    """
+    cat = Catalog(spark, sf_dir)
+    counts = (cat.orders
+              .select(F.col("o_orderpriority").alias("g"))
+              .groupBy("g")
+              .agg(F.count("*").cast("long").alias("n_true")))
+    u = _dp_uniform("g")
+    noise = (F.lit(-_DP_SCALE) * F.signum(u - F.lit(0.5))
+             * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))))
+    return (counts
+            .select(F.col("g").alias("priority"),
+                    F.lit(_DP_EPSILON).alias("epsilon"),
+                    F.lit(_DP_SCALE).alias("scale"),
+                    fround(noise, 6).alias("noise"),
+                    fround(F.col("n_true").cast("double") + noise, 6)
+                    .alias("noisy_count"))
+            .orderBy("priority"))
+
+
+def _dp_sql() -> str:
+    h32 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+        f" * {16 ** (_DP_HEX - 1 - i)}"
+        for i in range(_DP_HEX))
+    u = f"(({h32}) + 0.5) / 4294967296.0"
+    noise = (f"(-{_DP_SCALE} * SIGN({u} - 0.5)"
+             f" * LN(1 - 2 * ABS({u} - 0.5)))")
+    return f"""
+WITH counts AS (
+    SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS n_true
+    FROM orders GROUP BY 1
+),
+seeded AS (
+    SELECT g, n_true, sha256('{_DP_SALT}' || g) AS h FROM counts
+)
+SELECT g AS priority,
+       {_DP_EPSILON} AS epsilon,
+       {_DP_SCALE} AS scale,
+       {sql_fround(noise, 6)} AS noise,
+       {sql_fround(f'CAST(n_true AS DOUBLE) + {noise}', 6)}
+           AS noisy_count
+FROM seeded
+ORDER BY priority
+"""
+
+
+register("orders_priority_dp_release", orders_priority_dp_release,
+         _dp_sql())

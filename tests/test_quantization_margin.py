@@ -226,3 +226,26 @@ def test_km_log_survival_terms_clear_boundaries(sf_dir):
     c.close()
     terms = [math.log(1.0 - float(d) / float(n)) for d, n in rows]
     _assert_all_safe(terms, Q6, "customer_churn_survival")
+
+
+def test_dp_noise_terms_clear_boundaries():
+    # orders_priority_dp_release quantizes ln-fed Laplace noise at
+    # 1e6 (fround). The five u draws depend ONLY on the five fixed
+    # priority strings — corpus-independent — so this pin holds at
+    # every scale factor and survives any testdata regeneration. The
+    # integer true count shifts noisy_count by whole units, leaving
+    # the fractional part (and hence the rounding decision) equal to
+    # the noise term's.
+    import hashlib
+
+    from data_warehouse_project_spark.plans.audits import (
+        _DP_HEX, _DP_SALT, _DP_SCALE)
+    from data_warehouse_project_spark.plans.rankcorr import _PRIORITIES
+
+    terms = []
+    for g in _PRIORITIES:
+        h = hashlib.sha256(f"{_DP_SALT}{g}".encode()).hexdigest()
+        u = (int(h[:_DP_HEX], 16) + 0.5) / 2.0 ** (4 * _DP_HEX)
+        terms.append(-_DP_SCALE * math.copysign(1.0, u - 0.5)
+                     * math.log(1.0 - 2.0 * abs(u - 0.5)))
+    _assert_all_safe(terms, Q6, "orders_priority_dp_release")
