@@ -69,6 +69,38 @@ def test_pagerank_symmetric_triangle_ties_break_by_key(spark):
     assert abs(rows[0].pagerank_scaled - PR_SCALE) <= 2
 
 
+def test_label_propagation_disjoint_cliques_converge_to_min_id(spark):
+    from data_warehouse_project_spark.plans.graph import (
+        label_propagation_communities)
+
+    # two disjoint triangles: a clique converges to its min id within
+    # 3 synchronous rounds (r1: min other; r2/r3: plurality of min)
+    # every basket twice: LP_MIN_WEIGHT = 2 keeps only repeat
+    # co-purchases, so single-occurrence pairs must NOT form edges —
+    # basket 400 appears once and its parts must be absent entirely
+    li = _lineitem(spark, [(100, [1, 2, 3]), (101, [1, 2, 3]),
+                           (200, [10, 11, 12]), (201, [10, 11, 12]),
+                           (400, [90, 91])])
+    rows = {(r["community"], r["n_members"], r["min_member"])
+            for r in label_propagation_communities(li).collect()}
+    assert rows == {(1, 3, 1), (10, 3, 10)}
+
+
+def test_label_propagation_star_oscillation_is_pinned(spark):
+    from data_warehouse_project_spark.plans.graph import (
+        label_propagation_communities)
+
+    # star 5-(6,7): synchronous LPA oscillates; after exactly 3
+    # pinned rounds the labels are {5: 6, 6: 5, 7: 5} — the point of
+    # pinned-round semantics is that this is DETERMINISTIC, and the
+    # oracle unrolls the same 3 rounds
+    li = _lineitem(spark, [(300, [5, 6]), (301, [5, 6]),
+                           (302, [5, 7]), (303, [5, 7])])
+    rows = {(r["community"], r["n_members"], r["min_member"])
+            for r in label_propagation_communities(li).collect()}
+    assert rows == {(5, 2, 6), (6, 1, 5)}
+
+
 def _events(spark, rows):
     df = spark.createDataFrame(
         [Row(event_id=i, ts=ts, user_id=1, event_type=t,
