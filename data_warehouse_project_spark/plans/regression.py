@@ -311,3 +311,171 @@ ORDER BY t
 
 register("revenue_forecast_backtest", revenue_forecast_backtest,
          REVENUE_FORECAST_BACKTEST_SQL)
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction interval for the revenue forecast
+# --------------------------------------------------------------------------
+
+#: conformal miscoverage level: 1 - alpha = 90% target coverage,
+#: carried as the exact rational 9/10 so the conformal rank
+#: k = ceil((n+1) * 9/10) stays in integer arithmetic
+_CONF_ALPHA = 0.1
+_CONF_NUM, _CONF_DEN = 9, 10
+
+#: scale for the quantized absolute residuals: err_cents is fround'd
+#: to 4dp, so x1e4 recovers an exact integer (lossless)
+_CONF_Q = 10_000
+
+
+def conformal_fold(bt: DataFrame) -> DataFrame:
+    """Split-conformal interval over a backtest frame (the
+    backtest_fold output: t, n_train, actual_cents, pred_cents,
+    err_cents, ape): calibrate on every scored month EXCEPT the last,
+    deploy on the last.
+
+    The conformal quantile is the k-th smallest absolute residual
+    with k = ceil((n_cal + 1) * (1 - alpha)) (clamped to n_cal for
+    tiny calibration sets, documented) — the distribution-free
+    finite-sample guarantee P(|err| <= q) >= 1 - alpha holds for ANY
+    error distribution if the residuals are exchangeable (Vovk et
+    al.; Lei et al. JASA 2018). Rolling-origin errors are not exactly
+    exchangeable (documented caveat — the standard practical
+    protocol), so the query also reports the EMPIRICAL calibration
+    coverage beside the guarantee.
+
+    Exactness: err_cents is already quantized to 4dp, so the
+    x1e4-scaled absolute residuals are exact BIGINTs; the rank pick
+    is a row_number over the bounded month frame with (ae, t)
+    tie-break — a total order, hence engine-identical.
+    """
+    from ..cache import pin
+
+    bt = pin(bt)
+    last_t = bt.agg(F.max("t").alias("last_t"))
+    cal = (bt.crossJoin(F.broadcast(last_t))
+           # degenerate-window months score NULL errors (backtest
+           # guard); exclude them explicitly — NULL ordering differs
+           # between engines, so they must never reach the rank
+           .where((F.col("t") < F.col("last_t"))
+                  & F.col("err_cents").isNotNull())
+           .select("t",
+                   F.floor(F.abs(F.col("err_cents")) * F.lit(float(_CONF_Q))
+                           + F.lit(0.5)).cast("long").alias("ae")))
+    cal = pin(cal)
+    # k = ceil((n+1)*(1-alpha)) in EXACT integer arithmetic:
+    # ceil(x*9/10) = (x*9 + 9) DIV 10 — a float product here would
+    # diverge between double (Spark) and decimal (DuckDB) whenever
+    # (n+1)*0.9 lands on an integer (e.g. n_cal = 89)
+    sizes = (cal.agg(F.count("*").cast("long").alias("n_cal"))
+             .select("n_cal",
+                     F.least(
+                         F.expr(f"((n_cal + 1) * {_CONF_NUM} "
+                                f"+ {_CONF_NUM}) DIV {_CONF_DEN}"),
+                         F.col("n_cal")).cast("long").alias("k")))
+    w = Window.orderBy("ae", "t")
+    ranked = cal.select("ae", F.row_number().over(w).alias("rn"))
+    q = (ranked.crossJoin(F.broadcast(sizes))
+         .where(F.col("rn") == F.col("k"))
+         .select("n_cal", "k", F.col("ae").alias("q_scaled")))
+    cov = (cal.crossJoin(F.broadcast(q))
+           .agg(F.max("n_cal").alias("n_cal"),
+                F.max("k").alias("k"),
+                F.max("q_scaled").alias("q_scaled"),
+                F.sum(F.when(F.col("ae") <= F.col("q_scaled"), 1)
+                      .otherwise(0)).cast("long").alias("n_covered_cal")))
+    last = (bt.crossJoin(F.broadcast(last_t))
+            .where(F.col("t") == F.col("last_t"))
+            .select(F.col("t").alias("last_t"),
+                    F.col("actual_cents").alias("last_actual_cents"),
+                    F.col("pred_cents").alias("last_pred_cents"),
+                    F.col("err_cents").alias("last_err_cents")))
+    qd = F.col("q_scaled").cast("double") / F.lit(float(_CONF_Q))
+    return (cov.crossJoin(F.broadcast(last))
+            .select(
+                "n_cal", "k", "q_scaled", "n_covered_cal",
+                "last_t", "last_actual_cents", "last_pred_cents",
+                fround(qd, 4).alias("q_cents"),
+                fround(F.col("last_pred_cents") - qd, 4).alias("lo_cents"),
+                fround(F.col("last_pred_cents") + qd, 4).alias("hi_cents"),
+                (F.floor(F.abs(F.col("last_err_cents"))
+                         * F.lit(float(_CONF_Q)) + F.lit(0.5))
+                 .cast("long") <= F.col("q_scaled"))
+                .alias("last_covered")))
+
+
+def revenue_forecast_conformal(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """90% split-conformal prediction interval for the latest
+    month's revenue forecast, calibrated on the rolling-origin
+    backtest residuals — the distribution-free error bar the point
+    forecast (revenue_forecast_backtest) ships without. One row:
+    calibration size, conformal rank k, quantile, empirical
+    calibration coverage, and the deployed month's interval +
+    covered flag."""
+    bt = revenue_forecast_backtest(spark, sf_dir)
+    # the series' final month is calendar-PARTIAL (orders end
+    # mid-month), so its "error" is a truncation artifact, not a
+    # model miss — drop it before calibration/deployment and deploy
+    # on the last COMPLETE month (standard forecasting practice)
+    mx = bt.agg(F.max("t").alias("mx"))
+    bt_full = (bt.crossJoin(F.broadcast(mx))
+               .where(F.col("t") < F.col("mx"))
+               .drop("mx"))
+    return conformal_fold(bt_full)
+
+
+REVENUE_FORECAST_CONFORMAL_SQL = f"""
+WITH bt0 AS ({REVENUE_FORECAST_BACKTEST_SQL}),
+bt AS (
+    SELECT * FROM bt0 WHERE t < (SELECT MAX(t) FROM bt0)
+),
+cal AS (
+    SELECT t, CAST(FLOOR(ABS(err_cents) * {_CONF_Q}.0 + 0.5) AS BIGINT)
+               AS ae
+    FROM bt
+    WHERE t < (SELECT MAX(t) FROM bt) AND err_cents IS NOT NULL
+),
+sizes AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+           LEAST(CAST(((COUNT(*) + 1) * {_CONF_NUM} + {_CONF_NUM})
+                      // {_CONF_DEN} AS BIGINT),
+                 CAST(COUNT(*) AS BIGINT)) AS k
+    FROM cal
+),
+ranked AS (
+    SELECT ae, ROW_NUMBER() OVER (ORDER BY ae, t) AS rn FROM cal
+),
+q AS (
+    SELECT s.n_cal, s.k, r.ae AS q_scaled
+    FROM ranked r JOIN sizes s ON r.rn = s.k
+),
+cov AS (
+    SELECT q.n_cal, q.k, q.q_scaled,
+           CAST(SUM(CASE WHEN c.ae <= q.q_scaled THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered_cal
+    FROM cal c CROSS JOIN q
+    GROUP BY q.n_cal, q.k, q.q_scaled
+),
+last AS (
+    SELECT t AS last_t, actual_cents AS last_actual_cents,
+           pred_cents AS last_pred_cents, err_cents AS last_err_cents
+    FROM bt WHERE t = (SELECT MAX(t) FROM bt)
+)
+SELECT n_cal, k, q_scaled, n_covered_cal,
+       last_t, last_actual_cents, last_pred_cents,
+       {sql_fround(f'CAST(q_scaled AS DOUBLE) / {_CONF_Q}.0', 4)}
+           AS q_cents,
+       {sql_fround(
+           f'last_pred_cents - CAST(q_scaled AS DOUBLE) / {_CONF_Q}.0',
+           4)} AS lo_cents,
+       {sql_fround(
+           f'last_pred_cents + CAST(q_scaled AS DOUBLE) / {_CONF_Q}.0',
+           4)} AS hi_cents,
+       CAST(FLOOR(ABS(last_err_cents) * {_CONF_Q}.0 + 0.5) AS BIGINT)
+           <= q_scaled AS last_covered
+FROM cov CROSS JOIN last
+"""
+
+register("revenue_forecast_conformal", revenue_forecast_conformal,
+         REVENUE_FORECAST_CONFORMAL_SQL)

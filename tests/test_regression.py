@@ -103,3 +103,56 @@ def test_backtest_never_leaks_future_months(spark):
         if t in a:
             assert a[t] == b[t], t
     assert any(t > 25 and a[t] != b[t] for t in b)  # future did change
+
+
+def _bt_frame(spark, errs, deploy_err):
+    """Hand-built backtest frame: calibration months with the given
+    signed errors, then one deployment month."""
+    rows = []
+    for i, e in enumerate(errs):
+        rows.append((i, 12 + i, 1000 + i, 1000.0 + i - e, float(e), 0.0))
+    rows.append((len(errs), 12 + len(errs), 5000,
+                 5000.0 - deploy_err, float(deploy_err), 0.0))
+    return spark.createDataFrame(
+        rows, "t long, n_train long, actual_cents long, "
+              "pred_cents double, err_cents double, ape double")
+
+
+def test_conformal_rank_quantile_and_coverage(spark):
+    from data_warehouse_project_spark.plans.regression import conformal_fold
+
+    # 11 calibration errors 10..110 -> k = ceil(12*0.9) = 11 -> q is
+    # the LARGEST |err| = 110; every cal month is covered; the
+    # deployment month's |err| = 50 <= 110 -> covered
+    errs = [10 * i for i in range(1, 12)]
+    r = conformal_fold(_bt_frame(spark, errs, 50)).collect()[0]
+    assert (r["n_cal"], r["k"]) == (11, 11)
+    assert r["q_scaled"] == 110 * 10_000
+    assert r["q_cents"] == 110.0
+    assert r["n_covered_cal"] == 11
+    assert r["last_covered"]
+    assert r["lo_cents"] == r["last_pred_cents"] - 110.0
+    assert r["hi_cents"] == r["last_pred_cents"] + 110.0
+
+
+def test_conformal_k_is_exact_integer_ceiling(spark):
+    from data_warehouse_project_spark.plans.regression import conformal_fold
+
+    # the float trap: (89+1)*0.9 = 81.0 exactly in rationals but
+    # 81.000000000000014 in doubles — the integer form must give 81
+    errs = list(range(1, 90))           # n_cal = 89
+    r = conformal_fold(_bt_frame(spark, errs, 40)).collect()[0]
+    assert (r["n_cal"], r["k"]) == (89, 81)
+    assert r["q_scaled"] == 81 * 10_000   # 81st smallest of 1..89
+    assert r["n_covered_cal"] == 81
+    assert r["last_covered"]              # 40 <= 81
+
+
+def test_conformal_tiny_calibration_clamps_k(spark):
+    from data_warehouse_project_spark.plans.regression import conformal_fold
+
+    # n_cal = 3: ceil(4*0.9) = 4 > n_cal -> clamped to 3 (q = max)
+    r = conformal_fold(_bt_frame(spark, [5, -7, 3], 100)).collect()[0]
+    assert (r["n_cal"], r["k"]) == (3, 3)
+    assert r["q_scaled"] == 7 * 10_000    # max |err|
+    assert not r["last_covered"]          # 100 > 7
