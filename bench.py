@@ -95,6 +95,7 @@ HEADLINE = [
     "orders_price_median_twopass",  # histogram-refinement exact median, no group sort (new r7)
     "events_ab_conversion_report",  # hash-bucketed per-user A/B funnel + z-test (new r7)
     "embedding_kmeans_pinned",     # pinned Lloyd's k-means, 3 assignment rounds (new r7)
+    "part_label_propagation",      # plurality-vote LPA communities, 3 rounds (new r7)
 ]
 # doc_zipf_fit is deliberately NOT in the headline: its corpus-scale
 # work is the same explode→term-count shuffle vocab_top_terms already
@@ -165,7 +166,17 @@ HEADLINE = [
 # excluded: orders_aqp_monthly_revenue is a hash-filtered orders scan
 # + monthly agg (the measured monthly_revenue_growth shape at 1/8 the
 # rows), and aqp_error_floor adds only the exact total q1-style scan
-# beside it.
+# beside it. orders_price_median_ci is one dollar-histogram pass (the
+# measured median-twopass discipline, single group), and
+# orders_priority_dp_release is a 5-group count with scalar noise
+# expressions — both sub-second shapes already represented.
+# revenue_forecast_conformal's corpus work IS
+# revenue_forecast_backtest's monthly groupBy (documented excluded
+# above); the conformal tail ranks ~80 quantized residuals.
+# part_label_propagation IS in the headline: its per-round
+# (dst, label) plurality-count shuffle is a heavier exchange than
+# PageRank's (dst, contrib) sum and no other headline query measures
+# a vote-style iteration.
 
 # Log note (VERDICT r5 #8): repeated `WindowExec: No Partition
 # Defined` warnings in this bench's stderr come from the documented

@@ -107,7 +107,9 @@ def _register_modules() -> None:
 #:   events_ab_mannwhitney, part_name_fuzzy_linkage,
 #:   events_markov_attribution, embedding_kmeans_pinned,
 #:   customer_value_spearman, orders_priority_kruskal,
-#:   orders_aqp_monthly_revenue, aqp_error_floor) join the
+#:   orders_aqp_monthly_revenue, aqp_error_floor,
+#:   orders_price_median_ci, orders_priority_dp_release,
+#:   part_label_propagation, revenue_forecast_conformal) join the
 #:   round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
