@@ -86,15 +86,7 @@ def orders_aqp_monthly_revenue(spark: SparkSession,
     cheaper than the exact rollup; the floor query quantifies what
     that costs in accuracy."""
     cat = Catalog(spark, sf_dir)
-    return (_sampled(cat.orders)
-            .groupBy(F.date_trunc("month", F.col("o_orderdate"))
-                     .alias("month"))
-            .agg(F.count("*").cast("long").alias("n_sampled"),
-                 (F.count("*") * F.lit(_AQP_WEIGHT)).cast("long")
-                 .alias("est_orders"),
-                 (F.sum("cents") * F.lit(_AQP_WEIGHT)).cast("long")
-                 .alias("est_cents"))
-            .orderBy("month"))
+    return estimates_from_sample(_sampled(cat.orders))
 
 
 _SAMPLED_SQL = f"""
@@ -181,3 +173,80 @@ FROM exact CROSS JOIN est
 """
 
 register("aqp_error_floor", aqp_error_floor, AQP_ERROR_FLOOR_SQL)
+
+
+# --------------------------------------------------------------------------
+# Incremental sample maintainer — the production path made real
+# --------------------------------------------------------------------------
+# The module docstring's scale argument ("materialize the sample once,
+# append incrementally") as working code on the shared fold template
+# (streaming/state_fold.py): because membership is a PURE ROW FUNCTION
+# of the key, sample(A ∪ B) = sample(A) ∪ sample(B) — the mergeability
+# lemma is set algebra, so the maintainer is a filtered append with
+# the template's batch-id replay guard and atomic staged swap. Every
+# AQP consumer then reads the always-current 1/8 sample instead of
+# re-hashing the corpus.
+
+
+def make_aqp_sample_fns():
+    """(init_fn, merge_fn) for the shared fold template: state rows
+    ARE the sampled order rows (key, date, exact cents)."""
+    def init(batch_orders: DataFrame) -> DataFrame:
+        return _sampled(batch_orders)
+
+    def merge(prev: DataFrame, batch_orders: DataFrame) -> DataFrame:
+        return prev.unionByName(_sampled(batch_orders))
+
+    return init, merge
+
+
+def aqp_sample_fold(batch_df: DataFrame, batch_id: int,
+                    state_path: str) -> bool:
+    """Idempotent sample fold (batch-id replay guard, staged swap)."""
+    from ..streaming.state_fold import fold_batch
+    init, merge = make_aqp_sample_fns()
+    return fold_batch(batch_df, batch_id, state_path, init, merge)
+
+
+def run_aqp_sample_maintainer(orders_stream: DataFrame, state_path: str,
+                              checkpoint: str):
+    """foreachBatch sample maintainer (restart-safe, replay-safe)."""
+    from ..streaming.state_fold import run_maintainer
+    init, merge = make_aqp_sample_fns()
+    return run_maintainer(orders_stream, state_path, checkpoint,
+                          init, merge)
+
+
+def estimates_from_sample(sampled: DataFrame) -> DataFrame:
+    """Monthly HT estimates from a (o_orderkey, o_orderdate, cents)
+    sample frame — shared by the batch query above and the
+    state-served path so the two can never drift apart."""
+    return (sampled
+            .groupBy(F.date_trunc("month", F.col("o_orderdate"))
+                     .alias("month"))
+            .agg(F.count("*").cast("long").alias("n_sampled"),
+                 (F.count("*") * F.lit(_AQP_WEIGHT)).cast("long")
+                 .alias("est_orders"),
+                 (F.sum("cents") * F.lit(_AQP_WEIGHT)).cast("long")
+                 .alias("est_cents"))
+            .orderBy("month"))
+
+
+def orders_aqp_sample_incremental(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Registry entry (EXACT oracle — the batch estimate SQL): fold
+    orders in two batches by key parity, then serve the monthly
+    estimates FROM THE FOLDED SAMPLE; by the mergeability lemma the
+    folded sample equals the one-shot sample row-for-row, so the
+    served estimates hash-match the full-recompute oracle with no
+    knowledge that increments ever happened."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders
+    first = orders.filter(F.col("o_orderkey") % 2 == 0)
+    second = orders.filter(F.col("o_orderkey") % 2 == 1)
+    init, merge = make_aqp_sample_fns()
+    return estimates_from_sample(merge(init(first), second))
+
+
+register("orders_aqp_sample_incremental", orders_aqp_sample_incremental,
+         ORDERS_AQP_MONTHLY_SQL)

@@ -65,3 +65,53 @@ def test_floor_error_algebra_hand_check(spark, tmp_path):
     # constant prices -> both errors identical
     assert r["count_rel_err"] == r["revenue_rel_err"]
     assert r["count_ok"] == (err <= 0.20)
+
+
+def test_aqp_sample_fold_replay_restart_and_merge_lemma(spark, sf_dir,
+                                                        tmp_path):
+    """sample(A ∪ B) = sample(A) ∪ sample(B): the folded sample must
+    equal the one-shot sample row-for-row, a replayed batch must not
+    double-append, the streaming maintainer must survive a restart,
+    and the estimates served FROM state must equal the batch query's."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_project_spark.plans import aqp as AQP
+    from data_warehouse_project_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders.limit(400).cache()
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    state = str(tmp_path / "aqp_state")
+    assert AQP.aqp_sample_fold(b1, 0, state) is True
+    assert AQP.aqp_sample_fold(b2, 1, state) is True
+    assert AQP.aqp_sample_fold(b2, 1, state) is False     # replay
+    folded = spark.read.parquet(state).drop("last_batch_id")
+    single = AQP._sampled(orders)
+    assert folded.exceptAll(single).count() == 0
+    assert single.exceptAll(folded).count() == 0
+
+    # estimates served from state == batch estimates over the sample
+    served = AQP.estimates_from_sample(folded).collect()
+    batch = AQP.estimates_from_sample(single).collect()
+    assert served == batch
+
+    # streaming restart on the same checkpoint
+    landing = str(tmp_path / "landing")
+    st2 = str(tmp_path / "st2")
+    ck = str(tmp_path / "ck")
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    sch = spark.read.parquet(landing).schema
+
+    def run():
+        stream = spark.readStream.schema(sch).parquet(landing)
+        AQP.run_aqp_sample_maintainer(stream, st2, ck)
+
+    run()
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    run()
+    got = spark.read.parquet(st2).drop("last_batch_id")
+    assert got.exceptAll(single).count() == 0
+    assert single.exceptAll(got).count() == 0
+    orders.unpersist()
