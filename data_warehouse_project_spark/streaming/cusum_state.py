@@ -34,6 +34,7 @@ from ..plans.drift import (ORDERS_REVENUE_CUSUM_SQL, cusum_fold,
                            daily_revenue_cents)
 from ..registry import register
 from ..sources.catalog import Catalog
+from ..plans.acf import _acf_sql, acf_fold
 from .state_fold import fold_batch, run_maintainer
 
 
@@ -92,3 +93,32 @@ def orders_cusum_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("orders_cusum_served", orders_cusum_served,
          ORDERS_REVENUE_CUSUM_SQL)
+
+
+def acf_report_from_state(state: DataFrame) -> DataFrame:
+    """Serve the autocorrelation diagnostic from the SAME maintained
+    daily-sums state the CUSUM reads — one state table, every
+    day-grain monitor served O(state): the detector (CUSUM), the
+    memory diagnostic (ACF), and any future daily-series consumer.
+    Shared fold math with the batch path (plans/acf.acf_fold on the
+    identical dollars projection), so state-served is
+    indistinguishable from a full rescan by construction."""
+    return acf_fold(state.select(
+        "day", F.expr("cents DIV 100").cast("long").alias("v")))
+
+
+def orders_acf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the lag-1..14 revenue ACF served from a
+    two-batch incremental state build (key-parity split — both halves
+    span all days, so the merge exercises per-day addition on every
+    state row). Oracle = the batch ACF's full-recompute SQL from raw
+    orders: state-served must be hash-identical to rescanning
+    history."""
+    orders = Catalog(spark, sf_dir).orders
+    first = orders.filter(F.col("o_orderkey") % 2 == 0)
+    second = orders.filter(F.col("o_orderkey") % 2 == 1)
+    state = merge_cusum_state(cusum_state(first), second)
+    return acf_report_from_state(state)
+
+
+register("orders_acf_served", orders_acf_served, _acf_sql())

@@ -372,3 +372,21 @@ def test_cusum_maintainer_restart_matches_full_recompute(spark, tmp_path):
     again = [r.asDict() for r in C.cusum_report_from_state(
         spark.read.parquet(state)).collect()]
     assert again == served
+
+
+def test_acf_served_from_folded_state_equals_oneshot(spark):
+    # the second consumer of the daily-sums state: the ACF served
+    # from a late-day-absorbing merge must equal the one-shot build's
+    from data_warehouse_project_spark.streaming import cusum_state as C
+
+    early = _orders(spark, [(k, f"1995-01-{k:02d}", 100.0 + 7 * k)
+                            for k in range(1, 25)])
+    late = _orders(spark, [(999, "1995-01-05", 250.0)])
+    merged = C.merge_cusum_state(C.cusum_state(early), late)
+    oneshot = C.cusum_state(early.unionByName(late))
+    served = [r.asDict() for r in C.acf_report_from_state(merged)
+              .collect()]
+    full = [r.asDict() for r in C.acf_report_from_state(oneshot)
+            .collect()]
+    assert served == full
+    assert len(served) == 14 and served[0]["lag"] == 1
