@@ -173,6 +173,11 @@ HEADLINE = [
 # revenue_forecast_conformal's corpus work IS
 # revenue_forecast_backtest's monthly groupBy (documented excluded
 # above); the conformal tail ranks ~80 quantized residuals.
+# orders_aqp_sample_incremental's engine work is two half-table
+# hash-filtered scans (the measured orders_aqp_monthly_revenue shape)
+# plus a union — the maintainer's cost profile is the batch query's.
+# orders_acf_served is orders_cusum_served's two-batch daily fold
+# (documented excluded above) feeding the ACF's bounded lag windows.
 # part_label_propagation IS in the headline: its per-round
 # (dst, label) plurality-count shuffle is a heavier exchange than
 # PageRank's (dst, contrib) sum and no other headline query measures
