@@ -1138,3 +1138,99 @@ ORDER BY t.nation
 
 register("supplier_hhi_by_nation", supplier_hhi_by_nation,
          SUPPLIER_HHI_SQL)
+
+
+# --------------------------------------------------------------------------
+# Month-over-month revenue bridge (contribution decomposition)
+# --------------------------------------------------------------------------
+
+def nation_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "what moved the number" query: decompose the month-over-
+    month change in total revenue into per-nation contributions —
+    the additive identity Δtotal = Σ_nation Δ_nation makes the report
+    self-auditing (the share column sums to 1 by construction).
+    Compares the last two COMPLETE months (the trailing calendar-
+    partial month is excluded, the revenue_forecast_conformal rule).
+
+    Exactness: everything is integer cents except each nation's
+    share-of-change, one IEEE divide of exact longs (NULL when the
+    total delta is zero). Scale: the max-month probe is a one-row
+    broadcast; the month filter prunes the fact BEFORE the customer
+    join; the bridge frame is nations x 2 months.
+    """
+    cat = Catalog(spark, sf_dir)
+    midx = ((F.year("o_orderdate") - F.lit(1992)) * F.lit(12)
+            + F.month("o_orderdate") - F.lit(1)).cast("long")
+    o = cat.orders.select(
+        "o_custkey", midx.alias("m"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"))
+    mx = o.agg(F.max("m").alias("mx"))
+    two = (o.crossJoin(F.broadcast(mx))
+           .where((F.col("m") == F.col("mx") - 1)
+                  | (F.col("m") == F.col("mx") - 2)))
+    cells = (two
+             .join(cat.customer.select("c_custkey", "c_nationkey"),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .join(F.broadcast(cat.nation
+                               .select("n_nationkey", "n_name")),
+                   F.col("c_nationkey") == F.col("n_nationkey"))
+             .groupBy("n_name")
+             .agg(F.sum(F.when(F.col("m") == F.col("mx") - 2,
+                               F.col("cents")).otherwise(0))
+                  .cast("long").alias("prev_cents"),
+                  F.sum(F.when(F.col("m") == F.col("mx") - 1,
+                               F.col("cents")).otherwise(0))
+                  .cast("long").alias("cur_cents")))
+    delta = (F.col("cur_cents") - F.col("prev_cents")).cast("long")
+    tot = cells.agg(F.sum(delta).cast("long").alias("total_delta"))
+    return (cells.crossJoin(F.broadcast(tot))
+            .select(F.col("n_name").alias("nation"),
+                    "prev_cents", "cur_cents",
+                    delta.alias("delta_cents"),
+                    "total_delta",
+                    fround(F.when(F.col("total_delta") != 0,
+                                  delta.cast("double")
+                                  / F.col("total_delta").cast("double")),
+                           6).alias("share_of_change"))
+            .orderBy(F.desc("delta_cents"), "nation"))
+
+
+NATION_REVENUE_BRIDGE_SQL = f"""
+WITH o AS (
+    SELECT o_custkey,
+           CAST((YEAR(o_orderdate) - 1992) * 12
+                + MONTH(o_orderdate) - 1 AS BIGINT) AS m,
+           CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM orders
+),
+mx AS (SELECT MAX(m) AS mx FROM o),
+cells AS (
+    SELECT n.n_name,
+           CAST(SUM(CASE WHEN o.m = x.mx - 2 THEN o.cents ELSE 0 END)
+                AS BIGINT) AS prev_cents,
+           CAST(SUM(CASE WHEN o.m = x.mx - 1 THEN o.cents ELSE 0 END)
+                AS BIGINT) AS cur_cents
+    FROM o CROSS JOIN mx x
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.m = x.mx - 1 OR o.m = x.mx - 2
+    GROUP BY n.n_name
+),
+tot AS (
+    SELECT CAST(SUM(cur_cents - prev_cents) AS BIGINT) AS total_delta
+    FROM cells
+)
+SELECT n_name AS nation, prev_cents, cur_cents,
+       CAST(cur_cents - prev_cents AS BIGINT) AS delta_cents,
+       total_delta,
+       {sql_fround('CASE WHEN total_delta <> 0 THEN'
+                   ' CAST(cur_cents - prev_cents AS DOUBLE)'
+                   ' / CAST(total_delta AS DOUBLE) END', 6)}
+           AS share_of_change
+FROM cells CROSS JOIN tot
+ORDER BY delta_cents DESC, nation
+"""
+
+register("nation_revenue_bridge", nation_revenue_bridge,
+         NATION_REVENUE_BRIDGE_SQL)
