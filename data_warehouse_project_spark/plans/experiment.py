@@ -532,3 +532,122 @@ FROM s
 
 register("events_ab_mannwhitney", events_ab_mannwhitney,
          EVENTS_AB_MANNWHITNEY_SQL)
+
+
+# --------------------------------------------------------------------------
+# General r x c chi-square independence test (type x arm)
+# --------------------------------------------------------------------------
+
+#: chi-square upper critical value at p = 0.05 with (5-1)(2-1) = 4
+#: dof (five event types x two arms) — pinned spec constant
+_CHI2_CRIT_4DOF = 9.488
+
+#: nano-unit quantization of the per-cell chi-square terms: each term
+#: is a deterministic double from exact longs; quantizing before the
+#: cell sum keeps the 10-cell aggregation order-independent (the
+#: Benford audit's discipline)
+_CHI2_Q = 1_000_000_000
+
+
+def events_type_arm_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is event TYPE independent of experiment ARM? The general r x c
+    contingency chi-square beside the 2-cell SRM gate: under the
+    salted-hash bucketing the answer must be yes (the null branch is
+    live on driver data — a significant result here would mean the
+    bucketing correlates with behavior, the alarm every experiment
+    platform monitors).
+
+    The contingency grid is COMPLETED before testing: a (type, arm)
+    cell with zero observations still contributes (0-E)^2/E —
+    dropping absent cells understates the statistic exactly on the
+    most dependent inputs (the Benford-audit review finding applied
+    here from the start). Expected counts E = row_total*col_total/N
+    are deterministic doubles from exact longs; each cell's term is
+    quantized to nano-units before the order-independent integer sum.
+
+    Scale: one events scan -> (type, arm) counts (bounded grid);
+    marginals and the grid completion are grid-sized broadcasts.
+    """
+    from ..cache import pin
+
+    cat = Catalog(spark, sf_dir)
+    cells = pin(cat.events
+                .select("event_type", _arm().alias("arm"))
+                .groupBy("event_type", "arm")
+                .agg(F.count("*").cast("long").alias("o")))
+    rt = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("rt"))
+    ct = cells.groupBy("arm").agg(F.sum("o").cast("long").alias("ct"))
+    nrow = cells.agg(F.sum("o").cast("long").alias("n"))
+    grid = (rt.crossJoin(ct)
+            .join(cells, ["event_type", "arm"], "left")
+            .select("event_type", "arm", "rt", "ct",
+                    F.coalesce(F.col("o"), F.lit(0)).cast("long")
+                    .alias("o"))
+            .crossJoin(F.broadcast(nrow)))
+    e = (F.col("rt").cast("double") * F.col("ct").cast("double")
+         / F.col("n").cast("double"))
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double")
+                                              - e) / e
+    termq = F.floor(term * F.lit(float(_CHI2_Q)) + F.lit(0.5)).cast("long")
+    agg = grid.agg(
+        F.max("n").alias("n"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(termq).cast("long").alias("chi2_scaled"))
+    chi2 = F.col("chi2_scaled").cast("double") / F.lit(float(_CHI2_Q))
+    return agg.select(
+        "n", "n_cells",
+        (F.lit(4)).cast("int").alias("dof"),
+        "chi2_scaled",
+        fround(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(_CHI2_CRIT_4DOF)).alias("significant"))
+
+
+EVENTS_TYPE_ARM_CHI2_SQL = f"""
+WITH cells AS (
+    SELECT event_type,
+           CASE WHEN substr(sha256('{_SALT}' || CAST(user_id AS VARCHAR)),
+                            64, 1) IN
+                ({", ".join("'" + c + "'" for c in _A_NIBBLES)})
+                THEN 'A' ELSE 'B' END AS arm,
+           CAST(COUNT(*) AS BIGINT) AS o
+    FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt
+       FROM cells GROUP BY 1),
+ct AS (SELECT arm, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+nrow AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+grid AS (
+    SELECT r.event_type, c.arm, r.rt, c.ct,
+           CAST(COALESCE(x.o, 0) AS BIGINT) AS o, w.n
+    FROM rt r CROSS JOIN ct c
+    LEFT JOIN cells x ON x.event_type = r.event_type AND x.arm = c.arm
+    CROSS JOIN nrow w
+),
+terms AS (
+    SELECT n,
+           CAST(FLOOR(
+               (CAST(o AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * {_CHI2_Q}.0 + 0.5) AS BIGINT) AS termq
+    FROM grid
+)
+SELECT MAX(n) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(4 AS INT) AS dof,
+       CAST(SUM(termq) AS BIGINT) AS chi2_scaled,
+       {sql_fround(f'CAST(CAST(SUM(termq) AS BIGINT) AS DOUBLE)'
+                   f' / {_CHI2_Q}.0', 6)} AS chi2,
+       CAST(CAST(SUM(termq) AS BIGINT) AS DOUBLE) / {_CHI2_Q}.0
+           > {_CHI2_CRIT_4DOF} AS significant
+FROM terms
+"""
+
+register("events_type_arm_chi2", events_type_arm_chi2,
+         EVENTS_TYPE_ARM_CHI2_SQL)
