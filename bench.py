@@ -178,6 +178,9 @@ HEADLINE = [
 # plus a union — the maintainer's cost profile is the batch query's.
 # orders_acf_served is orders_cusum_served's two-batch daily fold
 # (documented excluded above) feeding the ACF's bounded lag windows.
+# nation_revenue_bridge is nation_revenue_trend_ols' measured
+# join+agg shape with the fact pruned to TWO months before the join;
+# events_type_arm_chi2 is one events scan into a 10-cell grid.
 # part_label_propagation IS in the headline: its per-round
 # (dst, label) plurality-count shuffle is a heavier exchange than
 # PageRank's (dst, contrib) sum and no other headline query measures

@@ -110,7 +110,8 @@ def _register_modules() -> None:
 #:   orders_aqp_monthly_revenue, aqp_error_floor,
 #:   orders_price_median_ci, orders_priority_dp_release,
 #:   part_label_propagation, revenue_forecast_conformal,
-#:   orders_aqp_sample_incremental, orders_acf_served) join the
+#:   orders_aqp_sample_incremental, orders_acf_served,
+#:   nation_revenue_bridge, events_type_arm_chi2) join the
 #:   round-9 cohort.
 #: - Round 9: the 49 queries last checked in round 5 + the r7-new
 #:   dedup_bridge_survivors (their rows will then be up to 4 rounds
