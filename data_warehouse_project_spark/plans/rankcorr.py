@@ -126,7 +126,8 @@ def customer_value_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("s_y").cast("double") * F.col("s_y").cast("double")
     return t.select(
         "n", "s_x", "s_y", "s_xy", "s_xx", "s_yy",
-        fround(num / F.sqrt(var_x * var_y), 6).alias("rho"))
+        fround(F.when((var_x > F.lit(0.0)) & (var_y > F.lit(0.0)),
+                      num / F.sqrt(var_x * var_y)), 6).alias("rho"))
 
 
 CUSTOMER_VALUE_SPEARMAN_SQL = f"""
@@ -165,12 +166,17 @@ t AS (
 )
 SELECT n, s_x, s_y, s_xy, s_xx, s_yy,
        {sql_fround(
-           '(CAST(n AS DOUBLE) * CAST(s_xy AS DOUBLE)'
+           'CASE WHEN (CAST(n AS DOUBLE) * CAST(s_xx AS DOUBLE)'
+           '           - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE)) > 0'
+           ' AND (CAST(n AS DOUBLE) * CAST(s_yy AS DOUBLE)'
+           '      - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE)) > 0 THEN'
+           ' (CAST(n AS DOUBLE) * CAST(s_xy AS DOUBLE)'
            ' - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))'
            ' / SQRT((CAST(n AS DOUBLE) * CAST(s_xx AS DOUBLE)'
            '         - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))'
            '        * (CAST(n AS DOUBLE) * CAST(s_yy AS DOUBLE)'
-           '           - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE)))',
+           '           - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE)))'
+           ' END',
            6)} AS rho
 FROM t
 """
@@ -208,9 +214,11 @@ def kw_fold(vals: DataFrame, groups: list[str]) -> DataFrame:
     nd = F.col("n").cast("double")
     sum_terms = None
     for i in range(len(groups)):
-        term = (F.col(f"r_{i}_d").cast("double")
-                * F.col(f"r_{i}_d").cast("double")
-                / F.col(f"n_{i}").cast("double"))
+        term = F.when(
+            F.col(f"n_{i}") > 0,
+            F.col(f"r_{i}_d").cast("double")
+            * F.col(f"r_{i}_d").cast("double")
+            / F.col(f"n_{i}").cast("double")).otherwise(F.lit(0.0))
         sum_terms = term if sum_terms is None else sum_terms + term
     h = (F.lit(3.0) / (nd * (nd + F.lit(1.0))) * sum_terms
          - F.lit(3.0) * (nd + F.lit(1.0)))
@@ -253,8 +261,9 @@ def _kw_sql() -> str:
         f"CAST(SUM(cnt_{i} * d) AS BIGINT) AS r_{i}_d" for i in range(k))
     out_pairs = ", ".join(f"n_{i}, r_{i}_d" for i in range(k))
     sum_terms = "\n             + ".join(
-        f"CAST(r_{i}_d AS DOUBLE) * CAST(r_{i}_d AS DOUBLE)"
-        f" / CAST(n_{i} AS DOUBLE)" for i in range(k))
+        f"(CASE WHEN n_{i} > 0 THEN"
+        f" CAST(r_{i}_d AS DOUBLE) * CAST(r_{i}_d AS DOUBLE)"
+        f" / CAST(n_{i} AS DOUBLE) ELSE 0.0 END)" for i in range(k))
     h = (f"(3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
          f" * ({sum_terms})"
          f" - 3.0 * (CAST(n AS DOUBLE) + 1.0))")

@@ -137,3 +137,30 @@ def test_kruskal_planted_shift_is_significant(spark):
     r = kw_fold(_vals_frame(spark, rows), _PRIORITIES).collect()[0]
     assert r["h_tie_corrected"] > _KW_CHI2_CRIT_4DOF
     assert r["significant"]
+
+
+def test_spearman_degenerate_variance_yields_null(spark, tmp_path):
+    # every customer identical (one order, same price): both marginal
+    # variances are zero -> rho must be NULL, never NaN/Inf
+    profiles = [(1, 50)] * 4
+    sf = _write_orders(spark, tmp_path, profiles)
+    r = customer_value_spearman(spark, sf).collect()[0]
+    assert r["n"] == 4
+    assert r["rho"] is None
+
+
+def test_kruskal_absent_group_contributes_nothing(spark):
+    # only two of the five priorities present: the absent groups'
+    # terms must drop out (never NaN-poison H), and H reduces to the
+    # two-sample statistic on the present groups
+    rows = ([("1-URGENT", v) for v in (1, 2, 3)]
+            + [("5-LOW", v) for v in (10, 11, 12)])
+    r = kw_fold(_vals_frame(spark, rows), _PRIORITIES).collect()[0]
+    assert r["n"] == 6
+    assert r["n_1"] == r["n_2"] == r["n_3"] == 0
+    import math
+    assert not math.isnan(r["h"])
+    # doubled rank sums: R0_d = 2+4+6 = 12, R4_d = 8+10+12 = 30;
+    # H = 3/(6*7) * (12^2/3 + 30^2/3) - 3*7
+    expect = 3.0 / 42 * (144 / 3 + 900 / 3) - 21.0
+    assert abs(r["h"] - expect) < 1e-6
