@@ -105,32 +105,43 @@ def test_registry_complete_regardless_of_import_order():
     assert int(out.stdout.strip()) >= 125
 
 
-def test_priority_window_covers_round7_rotation():
-    # the driver checks the first 50 registered queries; the round-7
-    # window (VERDICT r6 #1) must carry the flagship canary plus 49
-    # of the 58 round-6-new queries that have never had a driver row
-    # (the other 9 + the r4-stale family are the documented round-8
-    # cohort, registry.py _PRIORITY comment)
+def test_priority_window_rotation():
+    # The driver checks the first 50 registered queries, so
+    # registration order is coverage policy. This test recomputes
+    # the never-checked pool from the CORRECTNESS_r0*.json artifacts
+    # on disk and asserts the window honors the standing rotation
+    # contract (VERDICT r7 #1/#2 and "what's wrong" #3: the comment's
+    # arithmetic must not drift from the executed window):
+    #   slot 1 = the flagship canary;
+    #   slots 2-50 = queries that have never had a driver row, as
+    #   long as any remain (never-checked carries the only real
+    #   environment-difference risk; stale-but-once-green does not).
+    import glob
     import json
-    import os
 
     from data_warehouse_project_spark import registry
     window = list(registry.queries())[:50]
     assert window[0] == "flagship_my_registrations"
-    # every non-flagship window slot is a query with NO driver row in
-    # any CORRECTNESS_r0{1..6}.json
     seen: set = set()
-    for r in range(1, 7):
-        path = f"/root/repo/CORRECTNESS_r0{r}.json"
-        if os.path.exists(path):
-            seen |= set(json.load(open(path)))
-    never = [q for q in window[1:] if q not in seen]
-    assert len(never) == 49, sorted(set(window[1:]) & seen)
-    # spot-pin the least-SQL-like families the verdict prioritized
-    for name in ("part_copurchase_pagerank", "events_funnel_incremental",
-                 "events_distinct_users_incremental",
-                 "gdpr_erasure_post_state", "cdc_changelog",
-                 "hll_distinct_accuracy_floor", "multimodal_blob_dedup"):
+    for path in glob.glob("/root/repo/CORRECTNESS_r0*.json"):
+        seen |= set(json.load(open(path)))
+    never_pool = [q for q in registry.queries() if q not in seen]
+    # while the never-checked pool can fill the window, it must:
+    # every non-flagship slot is never-checked, and no never-checked
+    # query is displaced by a stale one.
+    stale_in_window = [q for q in window[1:] if q in seen]
+    if len(never_pool) >= 49:
+        assert not stale_in_window, stale_in_window
+    else:
+        assert len(stale_in_window) <= 50 - 1 - len(never_pool), (
+            stale_in_window)
+    # spot-pin the least-SQL-like r8 families the verdict prioritized
+    for name in ("events_transitions_late_tolerant",
+                 "events_sessions_late_tolerant",
+                 "sketch_fold_identity_floor", "cms_accuracy_floor",
+                 "embedding_kmeans_pinned", "dedup_bridge_survivors",
+                 "events_markov_attribution",
+                 "part_triangle_participation"):
         assert name in window, name
 
 
