@@ -93,8 +93,14 @@ def acf_fold(daily: DataFrame, max_lag: int = _ACF_MAX_LAG) -> DataFrame:
             .crossJoin(F.broadcast(den))
             .select(F.col("lag").cast("int").alias("lag"),
                     "n_pairs", "num", "den",
-                    fround(F.col("num").cast("double")
-                           / F.col("den").cast("double"), 6).alias("acf"))
+                    # den = 0 iff the series is constant (every
+                    # residual 0): NULL acf, not 0/0 (ADVICE r7),
+                    # matching the OLS/Spearman variance-guard
+                    # convention
+                    fround(F.when(F.col("den") > 0,
+                                  F.col("num").cast("double")
+                                  / F.col("den").cast("double")), 6)
+                    .alias("acf"))
             .orderBy("lag"))
 
 
@@ -157,8 +163,9 @@ SELECT CAST(p.lag AS INT) AS lag,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(SUM(p.prod) AS BIGINT) AS num,
        d.den,
-       {sql_fround('CAST(CAST(SUM(p.prod) AS BIGINT) AS DOUBLE)'
-                   ' / CAST(d.den AS DOUBLE)', 6)} AS acf
+       {sql_fround('CASE WHEN d.den > 0 THEN'
+                   ' CAST(CAST(SUM(p.prod) AS BIGINT) AS DOUBLE)'
+                   ' / CAST(d.den AS DOUBLE) END', 6)} AS acf
 FROM pairs p CROSS JOIN den d
 GROUP BY p.lag, d.den
 ORDER BY lag
@@ -217,10 +224,14 @@ def xcorr_fold(daily: DataFrame, max_lag: int = _XCORR_MAX_LAG) -> DataFrame:
             .crossJoin(F.broadcast(den))
             .select(F.col("lag").cast("int").alias("lag"),
                     "n_pairs", "num", "den_x", "den_y",
-                    fround(F.col("num").cast("double")
-                           / F.sqrt(F.col("den_x").cast("double")
-                                    * F.col("den_y").cast("double")),
-                           6).alias("xcorr"))
+                    # either series constant -> its den is 0: NULL
+                    # xcorr, not 0/0 (ADVICE r7)
+                    fround(F.when(
+                        (F.col("den_x") > 0) & (F.col("den_y") > 0),
+                        F.col("num").cast("double")
+                        / F.sqrt(F.col("den_x").cast("double")
+                                 * F.col("den_y").cast("double"))),
+                        6).alias("xcorr"))
             .orderBy("lag"))
 
 
@@ -311,9 +322,10 @@ SELECT CAST(p.lag AS INT) AS lag,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(SUM(p.prod) AS BIGINT) AS num,
        d.den_x, d.den_y,
-       {sql_fround('CAST(CAST(SUM(p.prod) AS BIGINT) AS DOUBLE)'
+       {sql_fround('CASE WHEN d.den_x > 0 AND d.den_y > 0 THEN'
+                   ' CAST(CAST(SUM(p.prod) AS BIGINT) AS DOUBLE)'
                    ' / SQRT(CAST(d.den_x AS DOUBLE)'
-                   ' * CAST(d.den_y AS DOUBLE))', 6)} AS xcorr
+                   ' * CAST(d.den_y AS DOUBLE)) END', 6)} AS xcorr
 FROM pairs p CROSS JOIN den d
 GROUP BY p.lag, d.den_x, d.den_y
 ORDER BY lag

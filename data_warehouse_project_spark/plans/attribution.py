@@ -26,11 +26,16 @@ Determinism notes:
   ``(sec − epoch0)·1e10 + event_id·2 + is_click`` — min/max over
   longs is engine-identical, ties inside one second break by
   event_id then type; this avoids struct-ordering semantics in
-  window frames, which DuckDB and Spark don't share. Bounds: sec −
-  epoch0 < 2^31 for dates through ~2085 and event_id < 5·10^9 keep
-  the encoding inside int64 (asserted generously vs driver data; a
-  100 TB deployment with wider ids would switch to the struct form
-  on the Spark side and keep the oracle on a sampled slice).
+  window frames, which DuckDB and Spark don't share. Bounds:
+  |sec − epoch0|·1e10 stays inside int64 for |sec − epoch0| <
+  ~9.2·10^8 s, i.e. dates within ~29 years of epoch0 (≈1988–2046),
+  and event_id < 5·10^9 keeps the low digits exact (asserted
+  generously vs driver data, which is 2024; a 100 TB deployment
+  with wider ids or dates would switch to the struct form on the
+  Spark side and keep the oracle on a sampled slice). The parity
+  decode below uses ``% 2 <> 0`` rather than ``= 1`` so pre-epoch0
+  keys (negative, where both engines yield −1 for odd dividends)
+  still decode as clicks.
 - the RANGE frame is (−LOOKBACK_S, −1) on whole seconds: a touch in
   the purchase's own second is NOT in its lookback (sub-second order
   isn't portable across engines).
@@ -90,7 +95,7 @@ def attribution_frame(events: DataFrame) -> DataFrame:
 
     def _key_type(key):
         return (F.when(key.isNull(), F.lit("(none)"))
-                .when(key % 2 == 1, F.lit("click"))
+                .when(key % 2 != 0, F.lit("click"))
                 .otherwise(F.lit("view")))
 
     from ..cache import pin
@@ -175,10 +180,10 @@ p AS (
     SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
            n_view, n_click, n_view + n_click AS n_total,
            CASE WHEN first_key IS NULL THEN '(none)'
-                WHEN first_key % 2 = 1 THEN 'click' ELSE 'view' END
+                WHEN first_key % 2 <> 0 THEN 'click' ELSE 'view' END
                AS first_type,
            CASE WHEN last_key IS NULL THEN '(none)'
-                WHEN last_key % 2 = 1 THEN 'click' ELSE 'view' END
+                WHEN last_key % 2 <> 0 THEN 'click' ELSE 'view' END
                AS last_type
     FROM scored WHERE event_type = 'purchase'
 ),

@@ -445,7 +445,12 @@ def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     hist = (cat.events
+            # NULL-user rows carry no arm assignment — exclude them,
+            # matching the rest of the experiment family's population
+            # (ADVICE r7: the CASE ELSE would otherwise bucket them
+            # into arm B)
             .where(F.col("event_type") == "purchase")
+            .where(F.col("user_id").isNotNull())
             .select(F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)"
                            " DIV 100").alias("v"),
                     _arm().alias("arm"))
@@ -491,7 +496,7 @@ WITH hist AS (
                          IN ({", ".join("'" + c + "'" for c in _A_NIBBLES)})
                     THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
     FROM events
-    WHERE event_type = 'purchase'
+    WHERE event_type = 'purchase' AND user_id IS NOT NULL
     GROUP BY 1
 ),
 ranked AS (
@@ -538,9 +543,17 @@ register("events_ab_mannwhitney", events_ab_mannwhitney,
 # General r x c chi-square independence test (type x arm)
 # --------------------------------------------------------------------------
 
-#: chi-square upper critical value at p = 0.05 with (5-1)(2-1) = 4
-#: dof (five event types x two arms) — pinned spec constant
-_CHI2_CRIT_4DOF = 9.488
+#: chi-square upper critical values at p = 0.05 by degrees of
+#: freedom — pinned spec constants. dof is computed from the OBSERVED
+#: marginals, (n_types-1)*(n_arms-1) (ADVICE r7: a reduced grid, e.g.
+#: 2x2, must test against its own dof, not the full 5x2 grid's 4).
+#: Arms are structurally <= 2 and TPC-H-ish event types <= 5, so
+#: dof <= 4 on driver data; the table extends to 9 for headroom, and
+#: dof outside it yields NULL significance rather than a wrong gate.
+_CHI2_CRIT: dict[int, float] = {
+    1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
+    6: 12.592, 7: 14.067, 8: 15.507, 9: 16.919,
+}
 
 #: nano-unit quantization of the per-cell chi-square terms: each term
 #: is a deterministic double from exact longs; quantizing before the
@@ -593,14 +606,20 @@ def events_type_arm_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = grid.agg(
         F.max("n").alias("n"),
         F.count("*").cast("long").alias("n_cells"),
+        F.countDistinct("event_type").cast("int").alias("n_types"),
+        F.countDistinct("arm").cast("int").alias("n_arms"),
         F.sum(termq).cast("long").alias("chi2_scaled"))
     chi2 = F.col("chi2_scaled").cast("double") / F.lit(float(_CHI2_Q))
+    dof = ((F.col("n_types") - 1) * (F.col("n_arms") - 1)).cast("int")
+    crit = F.lit(None).cast("double")
+    for d, c in _CHI2_CRIT.items():
+        crit = F.when(dof == d, F.lit(c)).otherwise(crit)
     return agg.select(
         "n", "n_cells",
-        (F.lit(4)).cast("int").alias("dof"),
+        dof.alias("dof"),
         "chi2_scaled",
         fround(chi2, 6).alias("chi2"),
-        (chi2 > F.lit(_CHI2_CRIT_4DOF)).alias("significant"))
+        (chi2 > crit).alias("significant"))
 
 
 EVENTS_TYPE_ARM_CHI2_SQL = f"""
@@ -625,7 +644,7 @@ grid AS (
     CROSS JOIN nrow w
 ),
 terms AS (
-    SELECT n,
+    SELECT n, event_type, arm,
            CAST(FLOOR(
                (CAST(o AS DOUBLE)
                 - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
@@ -640,12 +659,17 @@ terms AS (
 )
 SELECT MAX(n) AS n,
        CAST(COUNT(*) AS BIGINT) AS n_cells,
-       CAST(4 AS INT) AS dof,
+       CAST((COUNT(DISTINCT event_type) - 1)
+            * (COUNT(DISTINCT arm) - 1) AS INT) AS dof,
        CAST(SUM(termq) AS BIGINT) AS chi2_scaled,
        {sql_fround(f'CAST(CAST(SUM(termq) AS BIGINT) AS DOUBLE)'
                    f' / {_CHI2_Q}.0', 6)} AS chi2,
        CAST(CAST(SUM(termq) AS BIGINT) AS DOUBLE) / {_CHI2_Q}.0
-           > {_CHI2_CRIT_4DOF} AS significant
+           > (CASE CAST((COUNT(DISTINCT event_type) - 1)
+                        * (COUNT(DISTINCT arm) - 1) AS INT)
+              {" ".join(f"WHEN {d} THEN {c}"
+                        for d, c in _CHI2_CRIT.items())}
+              END) AS significant
 FROM terms
 """
 

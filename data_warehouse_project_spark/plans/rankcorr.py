@@ -224,7 +224,11 @@ def kw_fold(vals: DataFrame, groups: list[str]) -> DataFrame:
          - F.lit(3.0) * (nd + F.lit(1.0)))
     corr = (F.lit(1.0)
             - F.col("tie_term").cast("double") / (nd * nd * nd - nd))
-    h_tc = h / corr
+    # corr is exactly 0 when EVERY value ties (one histogram bucket):
+    # T = N^3 - N. Guard the divide (ADVICE r7) — H' and the
+    # significance verdict are NULL on that degenerate input, matching
+    # the zero-variance Spearman convention.
+    h_tc = F.when(corr > 0, h / corr)
     return t.select(
         "n", "tie_term",
         *[c for i in range(len(groups))
@@ -296,8 +300,10 @@ t AS (
 )
 SELECT n, tie_term, {out_pairs},
        {sql_fround(h, 6)} AS h,
-       {sql_fround(f'{h} / {corr}', 6)} AS h_tie_corrected,
-       {h} / {corr} > {_KW_CHI2_CRIT_4DOF} AS significant
+       {sql_fround(f'CASE WHEN {corr} > 0 THEN {h} / {corr} END', 6)}
+           AS h_tie_corrected,
+       CASE WHEN {corr} > 0 THEN {h} / {corr} END
+           > {_KW_CHI2_CRIT_4DOF} AS significant
 FROM t
 """
 

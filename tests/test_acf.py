@@ -89,3 +89,20 @@ def test_xcorr_self_correlation_is_one_at_zero(spark):
            for r in xcorr_fold(_daily2(spark, vals, vals)).collect()}
     assert out[0]["xcorr"] == 1.0
     assert out[0]["den_x"] == out[0]["den_y"] == out[0]["num"]
+
+
+def test_acf_constant_series_yields_null(spark):
+    # a constant series has zero residual variance: den = 0 and the
+    # coefficient is NULL, not 0/0 (ADVICE r7 degenerate-input guard)
+    out = acf_fold(_daily(spark, [7] * 40)).collect()
+    assert out and all(r["den"] == 0 for r in out)
+    assert all(r["acf"] is None for r in out)
+
+
+def test_xcorr_constant_series_yields_null(spark):
+    # either series constant -> its den is 0 -> NULL xcorr everywhere
+    xs = [10, 80, 30, 95, 5, 60, 25, 90, 15, 70, 40, 85, 20, 75, 35]
+    ys = [5] * 15
+    out = xcorr_fold(_daily2(spark, xs, ys)).collect()
+    assert out and all(r["den_y"] == 0 for r in out)
+    assert all(r["xcorr"] is None for r in out)

@@ -118,6 +118,12 @@ def test_chi2_hand_computation_with_zero_cell(spark, tmp_path):
     r = events_type_arm_chi2(spark, sf).collect()[0]
     assert r["n"] == 12
     assert r["n_cells"] == 4          # 2 types x 2 arms, zero included
+    # dof from OBSERVED marginals (ADVICE r7): (2-1)*(2-1) = 1, and
+    # significance tests against the 1-dof critical value 3.841 —
+    # the hand chi2 below is 6.0, significant at 1 dof (it was being
+    # wrongly tested against the 4-dof 9.488 before)
+    assert r["dof"] == 1
+    assert r["significant"] is True
     # hand chi-square: O = [[6,2],[0,4]], rt = [8,4], ct = [6,6]
     import math
     chi2 = 0.0

@@ -250,3 +250,27 @@ def test_mannwhitney_planted_shift_is_significant(spark, tmp_path):
     r = events_ab_mannwhitney(spark, sf).collect()[0]
     assert r["u_b_doubled"] == 2 * 20 * 20
     assert r["z"] > 1.96 and r["significant"]
+
+
+def test_mannwhitney_excludes_null_users(spark, tmp_path):
+    # NULL-user purchases carry no arm assignment; they must be
+    # excluded from the test population (ADVICE r7 — they previously
+    # fell through the CASE ELSE into arm B), matching the rest of
+    # the experiment family's user_id IS NOT NULL convention.
+    from data_warehouse_project_spark.plans.experiment import (
+        events_ab_mannwhitney)
+    t0 = dt.datetime(2024, 1, 5, 12, 0)
+    a_users = [u for u in range(1, 200) if _arm_of(u) == "A"][:6]
+    b_users = [u for u in range(1, 200) if _arm_of(u) == "B"][:6]
+    vals = [5, 9, 14, 22, 30, 47]
+    rows = ([(u, "purchase", t0, v) for u, v in zip(a_users, vals)]
+            + [(u, "purchase", t0, v) for u, v in zip(b_users, vals)]
+            # NULL-user purchases at extreme values: excluded, so the
+            # identical-samples symmetry must survive them
+            + [(None, "purchase", t0, 10_000.0),
+               (None, "purchase", t0, 0.0)])
+    sf = _write_valued_events(spark, tmp_path, rows)
+    r = events_ab_mannwhitney(spark, sf).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (6, 6)
+    assert r["u_b_doubled"] == 6 * 6
+    assert r["z"] == 0.0

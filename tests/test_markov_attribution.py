@@ -105,3 +105,29 @@ def test_markov_removal_monotone():
     assert base > 0
     for r in out:
         assert 0 <= r["removal_conv_q"] <= base
+
+
+def test_attribution_pre_epoch0_click_decodes_as_click(spark):
+    # events BEFORE the encoding epoch (2017-07-14) produce NEGATIVE
+    # touch keys; odd negative dividends give key % 2 == -1 in both
+    # engines, so the decode must test % 2 <> 0, not = 1 (ADVICE r7).
+    # One user, one pre-epoch click then a purchase inside the
+    # 72h lookback: first AND last touch must decode as 'click'.
+    from data_warehouse_project_spark.plans.attribution import (
+        attribution_frame)
+
+    t0 = datetime(2016, 6, 1)  # unix ~1.464e9 < epoch0 1.5e9
+    ev = spark.createDataFrame(
+        [Row(user_id=1, event_type="click", ts=t0, event_id=10,
+             value=0.0, props=None),
+         Row(user_id=1, event_type="purchase",
+             ts=t0 + timedelta(hours=1), event_id=11, value=50.0,
+             props=None)],
+        "user_id long, event_type string, ts timestamp, event_id long,"
+        " value double, props string")
+    rows = {r["touch_type"]: r for r in attribution_frame(ev).collect()}
+    assert "view" not in rows
+    assert rows["click"]["n_first"] == 1
+    assert rows["click"]["n_last"] == 1
+    assert rows["click"]["first_revenue"] == 50.0
+    assert rows["click"]["linear_revenue"] == 50.0

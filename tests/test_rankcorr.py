@@ -164,3 +164,15 @@ def test_kruskal_absent_group_contributes_nothing(spark):
     # H = 3/(6*7) * (12^2/3 + 30^2/3) - 3*7
     expect = 3.0 / 42 * (144 / 3 + 900 / 3) - 21.0
     assert abs(r["h"] - expect) < 1e-6
+
+
+def test_kruskal_all_tied_yields_null(spark):
+    # every observation identical: T = N^3 - N, the tie correction is
+    # exactly 0, and H'/significant are NULL rather than NaN/Inf
+    # (ADVICE r7 degenerate-input guard)
+    rows = [(g, 42) for g in _PRIORITIES for _ in range(4)]
+    r = kw_fold(_vals_frame(spark, rows), _PRIORITIES).collect()[0]
+    n = r["n"]
+    assert r["tie_term"] == n ** 3 - n
+    assert r["h_tie_corrected"] is None
+    assert r["significant"] is None
