@@ -25,10 +25,13 @@ iteration, the same class as CC's convergence probe.
 Determinism: pair counts are exact integer sums; the winner is
 (count DESC, left, right) — total order, no hash involvement.
 Oracle: the whole loop is not SQL-expressible (rows-only registry
-entry); correctness is pinned by a planted hand-computable corpus
-AND a full differential test against a plain-Python reference BPE
-on the real sf0.001 word counts (tests/test_llm_ops.py), the same
-evidence pattern as the integer-PageRank unrolled recurrence.
+entry); correctness is pinned by a planted hand-computable corpus,
+a full differential test against a plain-Python reference BPE
+on the real sf0.001 word counts (tests/test_llm_ops.py), AND the
+driver-visible ``bpe_merge_floor`` gate (VERDICT r7 #6): a
+pinned-constant-oracle query that re-runs the differential against
+``reference_merges`` on a bounded deterministic document slice
+inside the query itself, at whatever scale the driver passes.
 """
 
 from __future__ import annotations
@@ -155,3 +158,85 @@ def bpe_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("bpe_subword_vocab", bpe_subword_vocab, None)
+
+
+#: deterministic corpus slice the merge floor trains on — bounded at
+#: any scale factor (the gate's cost must not grow with the corpus)
+BPE_FLOOR_DOCS = 200
+
+
+def reference_merges(word_counts: list[tuple[str, int]],
+                     n_merges: int = N_MERGES) -> list[dict]:
+    """Plain-Python Sennrich reference trainer over (word, count)
+    pairs — the spec the distributed trainer must reproduce exactly:
+    same winner rule (count DESC, left, right), same greedy
+    left-to-right non-overlapping merge fold."""
+    state = [(tuple(w) + (EOW,), c) for w, c in word_counts]
+    rules: list[dict] = []
+    for step in range(1, n_merges + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in state:
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                pc[pair] = pc.get(pair, 0) + c
+        if not pc:
+            break
+        (left, right), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        rules.append({"step": step, "left": left, "right": right,
+                      "pair_count": c})
+        cat = left + right
+        nxt = []
+        for syms, cnt in state:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = cat
+                else:
+                    out.append(s)
+            nxt.append((tuple(out), cnt))
+        state = nxt
+    return rules
+
+
+def bpe_merge_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible BPE trainer gate (VERDICT r7 #6; pinned-constant
+    oracle, the cms/pca floor pattern) — one row asserting:
+    (a) the DISTRIBUTED trainer's full rule table on a deterministic
+        BPE_FLOOR_DOCS-document slice equals the plain-Python
+        reference trainer's on the same slice's word counts, rule for
+        rule including pair counts (a true differential, stronger
+        than pinned rule constants: it survives driver testdata
+        regeneration);
+    (b) winner pair counts are non-increasing over steps (structural
+        BPE invariant: a merge can only create pairs with count ≤ the
+        merged pair's count, and existing pairs only lose
+        occurrences);
+    (c) exactly N_MERGES rules were learned.
+    The slice (orderBy doc_id, limit) and the collected word counts
+    are bounded at any corpus size, so the gate is O(slice) — the
+    same bounded-cost discipline as the sketch floors."""
+    docs = (Catalog(spark, sf_dir).documents
+            .orderBy("doc_id").limit(BPE_FLOOR_DOCS))
+    rules = learn_merges(docs)
+    wc = [(r["word"], r["n"])
+          for r in word_symbol_state(docs).select("word", "n").collect()]
+    ref = reference_merges(wc, N_MERGES)
+    as_tuples = lambda rs: [(r["step"], r["left"], r["right"],  # noqa: E731
+                             r["pair_count"]) for r in rs]
+    match = as_tuples(rules) == as_tuples(ref)
+    noninc = all(rules[i]["pair_count"] >= rules[i + 1]["pair_count"]
+                 for i in range(len(rules) - 1))
+    return spark.createDataFrame(
+        [(len(rules), match, noninc)],
+        "n_rules long, rules_match_reference boolean,"
+        " counts_nonincreasing boolean")
+
+
+BPE_MERGE_FLOOR_SQL = f"""
+SELECT CAST({N_MERGES} AS BIGINT) AS n_rules,
+       TRUE AS rules_match_reference,
+       TRUE AS counts_nonincreasing
+"""
+
+register("bpe_merge_floor", bpe_merge_floor, BPE_MERGE_FLOOR_SQL)

@@ -1550,3 +1550,20 @@ def test_mg_fold_bound_over_three_way_split(spark):
     for t, n in exact.items():
         if n * (K + 1) > n_total:
             assert t in rows, (t, n)
+
+
+def test_bpe_reference_merges_tiebreak_and_fold():
+    # guard the spec function behind bpe_merge_floor: 4-way count tie
+    # broken (count DESC, left, right); greedy fold can't chain-merge
+    from data_warehouse_project_spark.llm.bpe import (EOW,
+                                                      reference_merges)
+    rules = reference_merges([("ab", 2), ("cd", 2)], 2)
+    assert (rules[0]["left"], rules[0]["right"]) == ("a", "b")
+    assert rules[0]["pair_count"] == 2
+    # after merging (a,b): pairs (ab,EOW)=2, (c,d)=2, (d,EOW)=2 ->
+    # lexicographic left: 'ab' < 'c' < 'd'
+    assert (rules[1]["left"], rules[1]["right"]) == ("ab", EOW)
+    # non-overlapping fold: "aaa" with rule (a,a) segments as [aa, a]
+    r2 = reference_merges([("aaa", 5)], 1)
+    assert (r2[0]["left"], r2[0]["right"], r2[0]["pair_count"]) == (
+        "a", "a", 10)
