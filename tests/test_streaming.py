@@ -1811,3 +1811,64 @@ def test_mg_streaming_maintainer_restart(spark, tmp_path):
             if r["token"] is not None}
     # tiny vocab (< k+1): no reduce fires, weights are exact counts
     assert real == {"alpha": 3, "beta": 3, "gamma": 1}
+
+
+def test_late_fold_driver_action_budget(spark, tmp_path, monkeypatch):
+    """Plan-pin (VERDICT r7 #7): one MERGE fold of each late-tolerant
+    maintainer performs at most 4 driver actions — the batch-id
+    sentinel read, the two watermark_prologue bounded-state reads,
+    and the atomic state write. Their local wall time is driver-
+    action-count bound, so a refactor that silently adds per-batch
+    round-trips is the one regression class the wall-time standings
+    would mask; this budget catches it. Counts every action class:
+    collect / count / toPandas / localCheckpoint / writer save."""
+    import datetime as dt
+
+    import pyspark.sql as psql
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from data_warehouse_project_spark.streaming import (late_sessions as S,
+                                                        late_transitions as T)
+
+    actions = {"n": 0}
+
+    def counting(orig):
+        def wrapped(self, *a, **kw):
+            actions["n"] += 1
+            return orig(self, *a, **kw)
+        return wrapped
+
+    for cls, name in [(psql.DataFrame, "collect"),
+                      (psql.DataFrame, "count"),
+                      (psql.DataFrame, "toPandas"),
+                      (psql.DataFrame, "localCheckpoint"),
+                      (DataFrameWriter, "parquet"),
+                      (DataFrameWriter, "save"),
+                      (DataFrameWriter, "csv"),
+                      (DataFrameWriter, "json")]:
+        monkeypatch.setattr(cls, name, counting(getattr(cls, name)))
+
+    t_schema = "user_id long, event_id long, ts timestamp, event_type string"
+    s_schema = ("user_id long, event_id long, ts timestamp,"
+                " event_type string, value double")
+
+    def t_batch(rows):
+        return spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 1, h), et) for u, e, h, et in rows],
+            t_schema)
+
+    def s_batch(rows):
+        return spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 1, h), et, 1.0)
+             for u, e, h, et in rows], s_schema)
+
+    for mod, batch in [(T, t_batch), (S, s_batch)]:
+        state = str(tmp_path / f"state_{mod.__name__.rsplit('.', 1)[-1]}")
+        b0 = batch([(1, 10, 0, "a"), (1, 11, 10, "c")])
+        b1 = batch([(1, 20, 5, "b")])
+        actions["n"] = 0
+        assert mod.fold_batch_into_state(b0, 0, state) is True
+        assert actions["n"] <= 3, (mod.__name__, "init", actions["n"])
+        actions["n"] = 0
+        assert mod.fold_batch_into_state(b1, 1, state) is True
+        assert actions["n"] <= 4, (mod.__name__, "merge", actions["n"])
