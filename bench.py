@@ -184,7 +184,10 @@ HEADLINE = [
 # part_label_propagation IS in the headline: its per-round
 # (dst, label) plurality-count shuffle is a heavier exchange than
 # PageRank's (dst, contrib) sum and no other headline query measures
-# a vote-style iteration.
+# a vote-style iteration. bpe_merge_floor (new r8) is excluded: it
+# deliberately trains on a BOUNDED 200-document slice (its cost does
+# not scale with the corpus by design); the corpus-scale trainer is
+# the measured bpe_merge_rules.
 
 # Log note (VERDICT r5 #8): repeated `WindowExec: No Partition
 # Defined` warnings in this bench's stderr come from the documented
@@ -203,6 +206,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # 1-min load BEFORE the session spins up: the honest comparator
+    # for warm-host drift (BASELINE.md round-7 notes) — a recorded
+    # bench run is only comparable to the quiet standings when
+    # load1_start is near zero, and stamping it in the artifact
+    # itself lets any reader judge that without a side channel
+    load1_start = round(os.getloadavg()[0], 2)
     spark = get_spark("dwps-bench")
 
     # Warm-up: touch every input table once (JVM/JIT + file metadata),
@@ -250,6 +259,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # ambient-load stamps (VERDICT r7 #3): load1_start is read
+        # before the session exists, so it reflects OTHER work on the
+        # host; load1_end includes this bench's own local[32] tail
+        "load1_start": load1_start,
+        "load1_end": round(os.getloadavg()[0], 2),
     }))
     spark.stop()
 
