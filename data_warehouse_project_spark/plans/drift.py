@@ -90,8 +90,16 @@ def cohort_drift(c: DataFrame) -> DataFrame:
         .withColumn("tot_early", F.sum("n_early").over(w))
         .withColumn("tot_late", F.sum("n_late").over(w))
     )
-    p = F.col("n_early").cast("double") / F.col("tot_early").cast("double")
-    q = F.col("n_late").cast("double") / F.col("tot_late").cast("double")
+    # an entirely-empty cohort (all rows early or all late) would
+    # divide by zero — NULL fractions/terms then, not NaN (the
+    # ADVICE-r7 degenerate-input convention; observed bins always
+    # have n_early + n_late >= 1, so pooled needs no guard)
+    p = F.when(F.col("tot_early") > 0,
+               F.col("n_early").cast("double")
+               / F.col("tot_early").cast("double"))
+    q = F.when(F.col("tot_late") > 0,
+               F.col("n_late").cast("double")
+               / F.col("tot_late").cast("double"))
     pooled = ((F.col("n_early") + F.col("n_late")).cast("double")
               / (F.col("tot_early") + F.col("tot_late")).cast("double"))
     return (
@@ -157,18 +165,28 @@ SELECT CAST(bin AS BIGINT) AS bin,
        {sql_fround('CAST(mn + (bin + 1) * width AS DOUBLE) / 100.0', 2)}
            AS hi,
        n_early, n_late,
-       {sql_fround('CAST(n_early AS DOUBLE) / CAST(tot_early AS DOUBLE)', 9)}
+       {sql_fround('CASE WHEN tot_early > 0 THEN'
+                   ' CAST(n_early AS DOUBLE) / CAST(tot_early AS DOUBLE)'
+                   ' END', 9)}
            AS frac_early,
-       {sql_fround('CAST(n_late AS DOUBLE) / CAST(tot_late AS DOUBLE)', 9)}
+       {sql_fround('CASE WHEN tot_late > 0 THEN'
+                   ' CAST(n_late AS DOUBLE) / CAST(tot_late AS DOUBLE)'
+                   ' END', 9)}
            AS frac_late,
-       {sql_fround('ABS(CAST(n_early AS DOUBLE) / CAST(tot_early AS DOUBLE)'
-                   ' - CAST(n_late AS DOUBLE) / CAST(tot_late AS DOUBLE))'
+       {sql_fround('ABS(CASE WHEN tot_early > 0 THEN'
+                   ' CAST(n_early AS DOUBLE) / CAST(tot_early AS DOUBLE) END'
+                   ' - CASE WHEN tot_late > 0 THEN'
+                   ' CAST(n_late AS DOUBLE) / CAST(tot_late AS DOUBLE) END)'
                    ' / 2.0', 9)} AS tvd_term,
        {sql_fround(
-           '(CAST(n_early AS DOUBLE) / CAST(tot_early AS DOUBLE)'
-           ' - CAST(n_late AS DOUBLE) / CAST(tot_late AS DOUBLE))'
-           ' * (CAST(n_early AS DOUBLE) / CAST(tot_early AS DOUBLE)'
-           ' - CAST(n_late AS DOUBLE) / CAST(tot_late AS DOUBLE))'
+           '(CASE WHEN tot_early > 0 THEN'
+           ' CAST(n_early AS DOUBLE) / CAST(tot_early AS DOUBLE) END'
+           ' - CASE WHEN tot_late > 0 THEN'
+           ' CAST(n_late AS DOUBLE) / CAST(tot_late AS DOUBLE) END)'
+           ' * (CASE WHEN tot_early > 0 THEN'
+           ' CAST(n_early AS DOUBLE) / CAST(tot_early AS DOUBLE) END'
+           ' - CASE WHEN tot_late > 0 THEN'
+           ' CAST(n_late AS DOUBLE) / CAST(tot_late AS DOUBLE) END)'
            ' / (CAST(n_early + n_late AS DOUBLE)'
            '    / CAST(tot_early + tot_late AS DOUBLE))', 9)} AS chi2_term
 FROM t

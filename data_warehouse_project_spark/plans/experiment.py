@@ -474,12 +474,19 @@ def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = na + nb
     u2 = (F.col("r_b_doubled") - F.col("n_b") * (F.col("n_b") + F.lit(1))
           ).cast("long")
-    sigma2 = (na * nb / F.lit(12.0)
-              * ((nn + F.lit(1.0))
-                 - F.col("tie_term").cast("double")
-                 / (nn * (nn - F.lit(1.0)))))
-    z = ((u2.cast("double") - na * nb)
-         / (F.lit(2.0) * F.sqrt(sigma2)))
+    # degenerate-input guards (the kw_fold ADVICE-r7 class applied to
+    # its two-sample sibling): nn <= 1 would divide by zero inside the
+    # tie fraction (guarded to 0 — tie_term is 0 there anyway), and
+    # sigma2 is exactly 0 when every value ties or either arm is empty
+    # — z and the verdict are NULL then, not NaN
+    tie_frac = F.when(
+        nn > F.lit(1.0),
+        F.col("tie_term").cast("double") / (nn * (nn - F.lit(1.0)))
+    ).otherwise(F.lit(0.0))
+    sigma2 = na * nb / F.lit(12.0) * ((nn + F.lit(1.0)) - tie_frac)
+    z = F.when(sigma2 > 0,
+               (u2.cast("double") - na * nb)
+               / (F.lit(2.0) * F.sqrt(sigma2)))
     return (t.select(
                 "n_a", "n_b", "r_b_doubled",
                 u2.alias("u_b_doubled"), "tie_term",
@@ -519,19 +526,23 @@ s AS (
            CAST(r_b_doubled - n_b * (n_b + 1) AS BIGINT) AS u_b_doubled,
            CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
              * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
-                - CAST(tie_term AS DOUBLE)
-                  / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-                     * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
-                        - 1.0))) AS sigma2
+                - CASE WHEN n_a + n_b > 1 THEN
+                    CAST(tie_term AS DOUBLE)
+                    / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                       * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                          - 1.0))
+                  ELSE 0.0 END) AS sigma2
     FROM t
 )
 SELECT n_a, n_b, r_b_doubled, u_b_doubled, tie_term,
-       {sql_fround('(CAST(u_b_doubled AS DOUBLE)'
+       {sql_fround('CASE WHEN sigma2 > 0 THEN'
+                   ' (CAST(u_b_doubled AS DOUBLE)'
                    ' - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))'
-                   ' / (2.0 * SQRT(sigma2))', 6)} AS z,
-       ABS((CAST(u_b_doubled AS DOUBLE)
+                   ' / (2.0 * SQRT(sigma2)) END', 6)} AS z,
+       ABS(CASE WHEN sigma2 > 0 THEN
+           (CAST(u_b_doubled AS DOUBLE)
             - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
-           / (2.0 * SQRT(sigma2))) > {_Z_CRIT} AS significant
+           / (2.0 * SQRT(sigma2)) END) > {_Z_CRIT} AS significant
 FROM s
 """
 

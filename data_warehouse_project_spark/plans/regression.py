@@ -262,8 +262,12 @@ def backtest_fold(monthly: DataFrame) -> DataFrame:
                     F.col("y").alias("actual_cents"),
                     fround(pred, 4).alias("pred_cents"),
                     fround(err, 4).alias("err_cents"),
-                    fround(F.abs(err) / F.col("y").cast("double"), 9)
-                    .alias("ape"))
+                    # y = 0 (possible only in planted frames) would
+                    # make APE 0/0 — NULL, per the degenerate-input
+                    # guard convention
+                    fround(F.when(F.col("y") != 0,
+                                  F.abs(err) / F.col("y").cast("double")),
+                           9).alias("ape"))
             .orderBy("t"))
 
 
@@ -303,7 +307,9 @@ scored AS (
 SELECT t, n AS n_train, y AS actual_cents,
        {sql_fround('pred', 4)} AS pred_cents,
        {sql_fround('CAST(y AS DOUBLE) - pred', 4)} AS err_cents,
-       {sql_fround('ABS(CAST(y AS DOUBLE) - pred) / CAST(y AS DOUBLE)', 9)}
+       {sql_fround('CASE WHEN y <> 0 THEN'
+                   ' ABS(CAST(y AS DOUBLE) - pred) / CAST(y AS DOUBLE)'
+                   ' END', 9)}
            AS ape
 FROM scored
 ORDER BY t

@@ -390,3 +390,17 @@ def test_acf_served_from_folded_state_equals_oneshot(spark):
             .collect()]
     assert served == full
     assert len(served) == 14 and served[0]["lag"] == 1
+
+
+def test_cohort_drift_empty_cohort_yields_null(spark):
+    # an entirely-empty early cohort: frac_early and the drift terms
+    # must be NULL, not NaN/Inf (the ADVICE-r7 degenerate-divide
+    # class); frac_late stays well-defined
+    rows = cohort_drift(_cohort_frame(
+        spark, early_cents=[], late_cents=list(range(20)))).collect()
+    assert rows
+    for r in rows:
+        assert r["frac_early"] is None
+        assert r["tvd_term"] is None
+        assert r["chi2_term"] is None
+        assert r["frac_late"] is not None

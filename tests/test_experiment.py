@@ -274,3 +274,22 @@ def test_mannwhitney_excludes_null_users(spark, tmp_path):
     assert (r["n_a"], r["n_b"]) == (6, 6)
     assert r["u_b_doubled"] == 6 * 6
     assert r["z"] == 0.0
+
+
+def test_mannwhitney_all_tied_yields_null(spark, tmp_path):
+    # every purchase the same whole-dollar value: sigma2 is exactly 0
+    # and z/significant must be NULL, not NaN (the kw_fold ADVICE-r7
+    # guard applied to the two-sample sibling)
+    from data_warehouse_project_spark.plans.experiment import (
+        events_ab_mannwhitney)
+    t0 = dt.datetime(2024, 1, 5, 12, 0)
+    a_users = [u for u in range(1, 200) if _arm_of(u) == "A"][:5]
+    b_users = [u for u in range(1, 200) if _arm_of(u) == "B"][:5]
+    rows = ([(u, "purchase", t0, 25) for u in a_users]
+            + [(u, "purchase", t0, 25) for u in b_users])
+    sf = _write_valued_events(spark, tmp_path, rows)
+    r = events_ab_mannwhitney(spark, sf).collect()[0]
+    n = r["n_a"] + r["n_b"]
+    assert r["tie_term"] == n ** 3 - n
+    assert r["z"] is None
+    assert r["significant"] is None

@@ -156,3 +156,17 @@ def test_conformal_tiny_calibration_clamps_k(spark):
     assert (r["n_cal"], r["k"]) == (3, 3)
     assert r["q_scaled"] == 7 * 10_000    # max |err|
     assert not r["last_covered"]          # 100 > 7
+
+
+def test_backtest_zero_actual_yields_null_ape(spark):
+    # a zero-revenue month (possible only in planted frames) must
+    # yield NULL APE, not 0/0 — err_cents/pred stay defined
+    from data_warehouse_project_spark.plans.regression import (
+        _BT_MIN_TRAIN, backtest_fold)
+    pts = [(t, 100 + 7 * t) for t in range(_BT_MIN_TRAIN)] + [
+        (_BT_MIN_TRAIN, 0)]
+    rows = {r["t"]: r for r in backtest_fold(_series(spark, pts)).collect()}
+    r = rows[_BT_MIN_TRAIN]
+    assert r["actual_cents"] == 0
+    assert r["pred_cents"] is not None
+    assert r["ape"] is None
