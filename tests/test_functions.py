@@ -116,15 +116,24 @@ def test_priority_window_rotation():
     #   slots 2-50 = queries that have never had a driver row, as
     #   long as any remain (never-checked carries the only real
     #   environment-difference risk; stale-but-once-green does not).
-    import glob
     import json
+    import os
 
     from data_warehouse_project_spark import registry
+
+    # the round whose window this registry encodes: the pool is
+    # computed from artifacts of STRICTLY EARLIER rounds, because the
+    # window-8 queries legitimately appear in CORRECTNESS_r08.json
+    # once the driver executes the window — bump this constant when
+    # rotating the window each round
+    window_round = 8
     window = list(registry.queries())[:50]
     assert window[0] == "flagship_my_registrations"
     seen: set = set()
-    for path in glob.glob("/root/repo/CORRECTNESS_r0*.json"):
-        seen |= set(json.load(open(path)))
+    for r in range(1, window_round):
+        path = f"/root/repo/CORRECTNESS_r{r:02d}.json"
+        if os.path.exists(path):
+            seen |= set(json.load(open(path)))
     never_pool = [q for q in registry.queries() if q not in seen]
     # while the never-checked pool can fill the window, it must:
     # every non-flagship slot is never-checked, and no never-checked
