@@ -222,8 +222,15 @@ def kw_fold(vals: DataFrame, groups: list[str]) -> DataFrame:
         sum_terms = term if sum_terms is None else sum_terms + term
     h = (F.lit(3.0) / (nd * (nd + F.lit(1.0))) * sum_terms
          - F.lit(3.0) * (nd + F.lit(1.0)))
-    corr = (F.lit(1.0)
-            - F.col("tie_term").cast("double") / (nd * nd * nd - nd))
+    # corr's own divisor N^3 - N is 0 at N = 1, and Spark-4 ANSI mode
+    # turns that into a runtime DIVIDE_BY_ZERO (a division in a WHEN
+    # *condition* executes unconditionally — found by the hypothesis
+    # property test), so corr itself must be conditional: NULL at
+    # N <= 1, which the outer guard then propagates.
+    corr = F.when(
+        F.col("n") > 1,
+        F.lit(1.0)
+        - F.col("tie_term").cast("double") / (nd * nd * nd - nd))
     # corr is exactly 0 when EVERY value ties (one histogram bucket):
     # T = N^3 - N. Guard the divide (ADVICE r7) — H' and the
     # significance verdict are NULL on that degenerate input, matching
@@ -271,9 +278,9 @@ def _kw_sql() -> str:
     h = (f"(3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
          f" * ({sum_terms})"
          f" - 3.0 * (CAST(n AS DOUBLE) + 1.0))")
-    corr = ("(1.0 - CAST(tie_term AS DOUBLE)"
+    corr = ("(CASE WHEN n > 1 THEN 1.0 - CAST(tie_term AS DOUBLE)"
             " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
-            " * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))")
+            " * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) END)")
     return f"""
 WITH vals AS (
     SELECT o_orderpriority AS g,

@@ -757,3 +757,88 @@ def test_interval_join_any_split_matches_model(spark, events, mask):
                 model.add((cu, ci, pi))
     assert got == model, (events, mask)
     assert IJ.dropped_late_count(state) == 0
+
+
+# ---------------------------------------------------------------------------
+# Property tests for the round-8-window stats family: kw_fold and
+# theilsen_fold vs plain-Python references over arbitrary small inputs
+# (ties, absent groups, constants — the shapes hand fixtures miss)
+# ---------------------------------------------------------------------------
+
+_kw_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 6)),
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_kw_rows)
+def test_kruskal_fold_matches_python_reference(spark, rows):
+    from data_warehouse_project_spark.plans.rankcorr import (_PRIORITIES,
+                                                             kw_fold)
+    data = [(_PRIORITIES[g], v) for g, v in rows]
+    r = kw_fold(
+        spark.createDataFrame(data, "g string, v long"),
+        _PRIORITIES).collect()[0]
+    vals = [v for _, v in data]
+    n = len(vals)
+    # doubled midranks
+    dr = {}
+    for v in set(vals):
+        below = sum(1 for u in vals if u < v)
+        dr[v] = 2 * below + vals.count(v) + 1
+    rg = {g: sum(dr[v] for gg, v in data if gg == g)
+          for g in _PRIORITIES}
+    ng = {g: sum(1 for gg, _ in data if gg == g) for g in _PRIORITIES}
+    assert r["n"] == n
+    for i, g in enumerate(_PRIORITIES):
+        assert r[f"n_{i}"] == ng[g]
+        assert r[f"r_{i}_d"] == rg[g]
+    ties = {v: vals.count(v) for v in set(vals)}
+    t = sum(c ** 3 - c for c in ties.values())
+    assert r["tie_term"] == t
+    h = (3.0 / (n * (n + 1))
+         * sum(rg[g] ** 2 / ng[g] for g in _PRIORITIES if ng[g])
+         - 3.0 * (n + 1))
+    assert abs(r["h"] - h) < 1e-5
+    if t == n ** 3 - n:                      # all values tied
+        assert r["h_tie_corrected"] is None
+        assert r["significant"] is None
+    else:
+        h_tc = h / (1 - t / (n ** 3 - n)) if n > 1 else h
+        assert abs(r["h_tie_corrected"] - h_tc) < 1e-5
+
+
+_ts_rows = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 8),
+              st.integers(-1000, 1000)),
+    min_size=1, max_size=20,
+    unique_by=lambda r: (r[0], r[1]))
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_ts_rows)
+def test_theilsen_fold_matches_python_reference(spark, rows):
+    import math
+
+    from data_warehouse_project_spark.plans.robust import (_TS_Q,
+                                                           theilsen_fold)
+    cells = spark.createDataFrame(
+        [(f"g{g}", t, y) for g, t, y in rows], "grp string, t long, y long")
+    got = {r["grp"]: r for r in theilsen_fold(cells, "grp").collect()}
+    for g in {r[0] for r in rows}:
+        pts = [(t, y) for gg, t, y in rows if gg == g]
+        slopes = sorted(
+            math.floor((y2 - y1) * _TS_Q / (t2 - t1))
+            for i, (t1, y1) in enumerate(pts)
+            for (t2, y2) in pts[i + 1:] if t2 != t1)
+        key = f"g{g}"
+        if not slopes:
+            assert key not in got       # single-point group: no pairs
+            continue
+        n = len(slopes)
+        # exact lower discrete median: smallest s with rank*2 >= n
+        med = slopes[(n - 1) // 2]
+        assert got[key]["n_pairs"] == n
+        assert abs(got[key]["sen_slope"] - med / _TS_Q) < 1e-6
