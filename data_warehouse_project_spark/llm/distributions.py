@@ -69,14 +69,23 @@ def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("qx") * F.col("qx")).alias("sxx"))
     n_d = F.col("n_terms").cast("double")
     sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
-    slope = ((n_d * F.col("sxy").cast("double") - sx_d * sy_d)
-             / (n_d * F.col("sxx").cast("double") - sx_d * sx_d))
+    # a degenerate vocabulary (0 or 1 distinct terms) has zero
+    # log-rank variance: the fit is undefined (NULL), and under
+    # Spark-4 ANSI semantics the unguarded divide would be a runtime
+    # DIVIDE_BY_ZERO crash, not NaN — var_q itself is division-free
+    # so it is safe inside the condition
+    var_q = n_d * F.col("sxx").cast("double") - sx_d * sx_d
+    slope = F.when(
+        var_q > 0,
+        (n_d * F.col("sxy").cast("double") - sx_d * sy_d) / var_q)
     fitted = sums.withColumn("slope_raw", slope)
     return fitted.select(
         "n_terms",
         fround(F.col("slope_raw"), 6).alias("zipf_slope"),
-        fround((sy_d / n_d - F.col("slope_raw") * (sx_d / n_d))
-               / F.lit(_Q), 6).alias("zipf_intercept"))
+        fround(F.when(
+            var_q > 0,
+            (sy_d / n_d - F.col("slope_raw") * (sx_d / n_d))
+            / F.lit(_Q)), 6).alias("zipf_intercept"))
 
 
 ZIPF_SQL = f"""
@@ -109,17 +118,23 @@ sums AS (
 ),
 fitted AS (
     SELECT n_terms, sx, sy,
-           (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_raw
+           CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_q,
+           CASE WHEN CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+               (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           END AS slope_raw
     FROM sums
 )
 SELECT n_terms,
        {sql_fround('slope_raw', 6)} AS zipf_slope,
-       {sql_fround('(CAST(sy AS DOUBLE) / CAST(n_terms AS DOUBLE)'
+       {sql_fround('CASE WHEN var_q > 0 THEN'
+                   ' (CAST(sy AS DOUBLE) / CAST(n_terms AS DOUBLE)'
                    ' - slope_raw * (CAST(sx AS DOUBLE)'
-                   ' / CAST(n_terms AS DOUBLE))) / 1000000.0', 6)}
+                   ' / CAST(n_terms AS DOUBLE))) / 1000000.0 END', 6)}
            AS zipf_intercept
 FROM fitted
 """

@@ -1567,3 +1567,22 @@ def test_bpe_reference_merges_tiebreak_and_fold():
     r2 = reference_merges([("aaa", 5)], 1)
     assert (r2[0]["left"], r2[0]["right"], r2[0]["pair_count"]) == (
         "a", "a", 10)
+
+
+def test_zipf_single_term_corpus_yields_null_fit(spark, tmp_path):
+    # a vocabulary with one distinct term has zero log-rank variance:
+    # the fit must be NULL — and must NOT crash under Spark-4 ANSI
+    # divide-by-zero semantics (the kw_fold property-test finding
+    # applied to the other unconditional variance divide)
+    from data_warehouse_project_spark.llm.distributions import doc_zipf_fit
+    spark.createDataFrame(
+        [(1, "spark spark spark", "en", "web", 17),
+         (2, "spark", "en", "web", 5)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet")
+    r = doc_zipf_fit(spark, str(tmp_path)).collect()[0]
+    assert r["n_terms"] == 1
+    assert r["zipf_slope"] is None
+    assert r["zipf_intercept"] is None
