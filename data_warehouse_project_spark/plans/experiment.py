@@ -288,14 +288,22 @@ def events_ab_cuped_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = n * d("sxy") - sx * sy
     theta = F.when(var_x > 0, cov / var_x)
     rho2 = F.when((var_x > 0) & (var_y > 0), cov * cov / (var_x * var_y))
-    mean_x = sx / n
+    # empty-population guards: n_a/n_b are conditional COUNTS (0 when
+    # an arm is empty, not NULL), so the per-arm mean divisions would
+    # be runtime DIVIDE_BY_ZERO crashes under Spark-4 ANSI semantics
+    # on a corpus whose users all hash to one arm — NULL means/lifts
+    # /SRM instead (the kw_fold ANSI finding applied family-wide)
+    mean_x = F.when(n > 0, sx / n)
     th = F.coalesce(theta, F.lit(0.0))
-    mean_y_a = d("sy_a") / d("n_a")
-    mean_y_b = d("sy_b") / d("n_b")
-    adj_a = mean_y_a - th * (d("sx_a") / d("n_a") - mean_x)
-    adj_b = mean_y_b - th * (d("sx_b") / d("n_b") - mean_x)
+    mean_y_a = F.when(d("n_a") > 0, d("sy_a") / d("n_a"))
+    mean_y_b = F.when(d("n_b") > 0, d("sy_b") / d("n_b"))
+    adj_a = mean_y_a - th * (F.when(d("n_a") > 0, d("sx_a") / d("n_a"))
+                             - mean_x)
+    adj_b = mean_y_b - th * (F.when(d("n_b") > 0, d("sx_b") / d("n_b"))
+                             - mean_x)
     nd = d("n_a") - d("n_b")
-    srm = nd * nd / (d("n_a") + d("n_b"))
+    srm = F.when(d("n_a") + d("n_b") > 0,
+                 nd * nd / (d("n_a") + d("n_b")))
     cur = F.lit(100.0)
     return sums.select(
         "n_a", "n_b",
@@ -360,11 +368,14 @@ m AS (
            (n * sxx - sx * sx) AS var_x,
            (n * syy - sy * sy) AS var_y,
            (n * sxy - sx * sy) AS cov,
-           sx / n AS mean_x,
-           sy_a / CAST(n_a AS DOUBLE) AS mean_y_a,
-           sy_b / CAST(n_b AS DOUBLE) AS mean_y_b,
-           CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
-               / CAST(n_a + n_b AS DOUBLE) AS srm
+           CASE WHEN n > 0 THEN sx / n END AS mean_x,
+           CASE WHEN n_a > 0 THEN sy_a / CAST(n_a AS DOUBLE) END
+               AS mean_y_a,
+           CASE WHEN n_b > 0 THEN sy_b / CAST(n_b AS DOUBLE) END
+               AS mean_y_b,
+           CASE WHEN n_a + n_b > 0 THEN
+               CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+               / CAST(n_a + n_b AS DOUBLE) END AS srm
     FROM sums
 ),
 t AS (
@@ -379,14 +390,18 @@ SELECT n_a, n_b,
        {sql_fround('theta', 9)} AS theta,
        {sql_fround('CASE WHEN var_x > 0 AND var_y > 0'
                    ' THEN cov * cov / (var_x * var_y) END', 9)} AS rho2,
-       {sql_fround('(mean_y_a - th * (sx_a / CAST(n_a AS DOUBLE)'
+       {sql_fround('(mean_y_a - th * (CASE WHEN n_a > 0 THEN'
+                   ' sx_a / CAST(n_a AS DOUBLE) END'
                    ' - mean_x)) / 100.0', 6)} AS mean_y_a_adj,
-       {sql_fround('(mean_y_b - th * (sx_b / CAST(n_b AS DOUBLE)'
+       {sql_fround('(mean_y_b - th * (CASE WHEN n_b > 0 THEN'
+                   ' sx_b / CAST(n_b AS DOUBLE) END'
                    ' - mean_x)) / 100.0', 6)} AS mean_y_b_adj,
        {sql_fround('(mean_y_b - mean_y_a) / 100.0', 6)} AS abs_lift_raw,
-       {sql_fround('((mean_y_b - th * (sx_b / CAST(n_b AS DOUBLE)'
+       {sql_fround('((mean_y_b - th * (CASE WHEN n_b > 0 THEN'
+                   ' sx_b / CAST(n_b AS DOUBLE) END'
                    ' - mean_x))'
-                   ' - (mean_y_a - th * (sx_a / CAST(n_a AS DOUBLE)'
+                   ' - (mean_y_a - th * (CASE WHEN n_a > 0 THEN'
+                   ' sx_a / CAST(n_a AS DOUBLE) END'
                    ' - mean_x))) / 100.0', 6)} AS abs_lift_adj,
        {sql_fround('srm', 9)} AS srm_chi2,
        srm <= {_SRM_CHI2} AS srm_ok

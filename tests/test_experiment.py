@@ -293,3 +293,23 @@ def test_mannwhitney_all_tied_yields_null(spark, tmp_path):
     assert r["tie_term"] == n ** 3 - n
     assert r["z"] is None
     assert r["significant"] is None
+
+
+def test_cuped_empty_arm_yields_null_not_crash(spark, tmp_path):
+    # all users hash to arm B: n_a is a conditional COUNT (0, not
+    # NULL), so the per-arm mean divides would crash under Spark-4
+    # ANSI divide-by-zero semantics without the empty-population
+    # guards — the report must come back with NULL A-side stats
+    from data_warehouse_project_spark.plans.experiment import (
+        events_ab_cuped_report)
+    t0 = dt.datetime(2024, 6, 5, 12, 0)
+    b_users = [u for u in range(1, 300) if _arm_of(u) == "B"][:6]
+    rows = [(u, "purchase", t0, 10 + u) for u in b_users]
+    sf = _write_valued_events(spark, tmp_path, rows)
+    r = events_ab_cuped_report(spark, sf).collect()[0]
+    assert r["n_a"] == 0 and r["n_b"] == 6
+    assert r["mean_y_a"] is None
+    assert r["mean_y_a_adj"] is None
+    assert r["abs_lift_raw"] is None
+    assert r["mean_y_b"] is not None
+    assert r["srm_chi2"] == 6.0           # (0-6)^2 / 6, well-defined
