@@ -131,3 +131,76 @@ def test_attribution_pre_epoch0_click_decodes_as_click(spark):
     assert rows["click"]["n_last"] == 1
     assert rows["click"]["first_revenue"] == 50.0
     assert rows["click"]["linear_revenue"] == 50.0
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_attr_events = st.lists(
+    st.tuples(st.integers(1, 3),                       # user
+              st.sampled_from(["view", "click", "purchase"]),
+              st.integers(0, 100 * 3600),              # second offset
+              st.integers(0, 500)),                    # value dollars
+    min_size=1, max_size=25)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_attr_events)
+def test_attribution_frame_matches_python_model(spark, rows):
+    # brute-force the full window-attribution semantics (72h strict
+    # (-LOOKBACK, -1] second frame, encoded-key first/last tie-break,
+    # cents-exact linear split) against the distributed plan — the
+    # r8-window query's pre-driver differential
+    import math
+
+    from data_warehouse_project_spark.plans.attribution import (
+        _EPOCH0, _KEY_BASE, LOOKBACK_S, attribution_frame)
+
+    base = 1_700_000_000                     # 2023-11, inside headroom
+    ev = [(u, t, base + s, i, float(v))
+          for i, (u, t, s, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        [Row(user_id=u, event_type=t,
+             ts=datetime.utcfromtimestamp(sec), event_id=i, value=v,
+             props=None)
+         for (u, t, sec, i, v) in ev],
+        "user_id long, event_type string, ts timestamp, event_id long,"
+        " value double, props string")
+    got = {r["touch_type"]:
+           (r["n_first"], round(r["first_revenue"], 2),
+            r["n_last"], round(r["last_revenue"], 2),
+            round(r["linear_revenue"], 2))
+           for r in attribution_frame(df).collect()}
+
+    agg = {}                                  # type -> [nf, fc, nl, lc, lin]
+    def acc(t):
+        return agg.setdefault(t, [0, 0, 0, 0, 0])
+    for (u, t, sec, i, v) in ev:
+        if t != "purchase":
+            continue
+        cents = math.floor(v * 100 + 0.5)
+        win = [(uu, tt, ss, ii) for (uu, tt, ss, ii, _) in ev
+               if uu == u and tt in ("view", "click")
+               and sec - LOOKBACK_S <= ss <= sec - 1]
+        keys = [(ss - _EPOCH0) * _KEY_BASE + ii * 2 + (tt == "click")
+                for (_, tt, ss, ii) in win]
+        n_view = sum(1 for (_, tt, _, _) in win if tt == "view")
+        n_click = len(win) - n_view
+        if not win:
+            a = acc("(none)")
+            a[0] += 1; a[1] += cents; a[2] += 1; a[3] += cents
+            a[4] += cents
+            continue
+        first_t = "click" if min(keys) % 2 else "view"
+        last_t = "click" if max(keys) % 2 else "view"
+        fa, la = acc(first_t), acc(last_t)
+        fa[0] += 1; fa[1] += cents
+        la[2] += 1; la[3] += cents
+        tot = n_view + n_click
+        acc("view")[4] += math.floor(cents * n_view / tot + 0.5)
+        acc("click")[4] += math.floor(cents * n_click / tot + 0.5)
+    want = {t: (a[0], round(a[1] / 100, 2), a[2], round(a[3] / 100, 2),
+                round(a[4] / 100, 2))
+            for t, a in agg.items()
+            if a[0] or a[2] or a[4]}
+    assert got == want
