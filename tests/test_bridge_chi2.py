@@ -145,3 +145,60 @@ def test_chi2_planted_dependence_is_significant(spark, tmp_path):
     r = events_type_arm_chi2(spark, sf).collect()[0]
     assert r["chi2"] > 100            # ~N for perfect dependence
     assert r["significant"]
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_chi2_rows = st.lists(
+    st.tuples(st.integers(0, 19),             # index into a user pool
+              st.integers(0, 3)),             # event-type index
+    min_size=1, max_size=40)
+
+_chi2_counter = [0]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_chi2_rows)
+def test_chi2_matches_python_model_on_random_grids(spark, tmp_path, rows):
+    # property version of the hand test: dof from OBSERVED marginals
+    # (new in round 8), completed grid including zero cells, nano-unit
+    # term quantization, and the per-dof significance gate — all vs a
+    # plain-Python model over arbitrary small contingency shapes
+    import math
+
+    from data_warehouse_project_spark.plans.experiment import (
+        _CHI2_CRIT, events_type_arm_chi2)
+
+    pool = list(range(1, 400))[:20]
+    types = ["view", "click", "purchase", "signup"]
+    data = [(pool[u], types[t]) for u, t in rows]
+    _chi2_counter[0] += 1
+    sf = _write_events(spark, tmp_path / f"ex{_chi2_counter[0]}", data)
+    r = events_type_arm_chi2(spark, sf).collect()[0]
+
+    cells: dict = {}
+    for u, t in data:
+        cells[(t, _arm_of(u))] = cells.get((t, _arm_of(u)), 0) + 1
+    tset = sorted({t for t, _ in cells})
+    aset = sorted({a for _, a in cells})
+    n = len(data)
+    rt = {t: sum(c for (tt, _), c in cells.items() if tt == t)
+          for t in tset}
+    ct = {a: sum(c for (_, aa), c in cells.items() if aa == a)
+          for a in aset}
+    chi2q = 0
+    for t in tset:
+        for a in aset:
+            o = cells.get((t, a), 0)
+            e = rt[t] * ct[a] / n
+            chi2q += math.floor((o - e) ** 2 / e * 1e9 + 0.5)
+    dof = (len(tset) - 1) * (len(aset) - 1)
+    assert r["n"] == n
+    assert r["n_cells"] == len(tset) * len(aset)
+    assert r["dof"] == dof
+    assert r["chi2_scaled"] == chi2q
+    if dof in _CHI2_CRIT:
+        assert r["significant"] == (chi2q / 1e9 > _CHI2_CRIT[dof])
+    else:                                      # dof == 0: one row/col
+        assert r["significant"] is None
