@@ -636,7 +636,13 @@ def events_type_arm_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("arm").cast("int").alias("n_arms"),
         F.sum(termq).cast("long").alias("chi2_scaled"))
     chi2 = F.col("chi2_scaled").cast("double") / F.lit(float(_CHI2_Q))
-    dof = ((F.col("n_types") - 1) * (F.col("n_arms") - 1)).cast("int")
+    # dof from the OBSERVED marginals is meaningless on an empty grid:
+    # countDistinct = 0 would report dof = (0-1)*(0-1) = 1 for a table
+    # with zero cells (ADVICE r8). NULL it out; chi2/significant are
+    # already NULL there, so the whole row degrades consistently.
+    dof = F.when(
+        F.col("n_cells") > 0,
+        ((F.col("n_types") - 1) * (F.col("n_arms") - 1))).cast("int")
     crit = F.lit(None).cast("double")
     for d, c in _CHI2_CRIT.items():
         crit = F.when(dof == d, F.lit(c)).otherwise(crit)
@@ -685,8 +691,10 @@ terms AS (
 )
 SELECT MAX(n) AS n,
        CAST(COUNT(*) AS BIGINT) AS n_cells,
-       CAST((COUNT(DISTINCT event_type) - 1)
-            * (COUNT(DISTINCT arm) - 1) AS INT) AS dof,
+       CAST(CASE WHEN COUNT(*) > 0
+                 THEN (COUNT(DISTINCT event_type) - 1)
+                      * (COUNT(DISTINCT arm) - 1)
+            END AS INT) AS dof,
        CAST(SUM(termq) AS BIGINT) AS chi2_scaled,
        {sql_fround(f'CAST(CAST(SUM(termq) AS BIGINT) AS DOUBLE)'
                    f' / {_CHI2_Q}.0', 6)} AS chi2,

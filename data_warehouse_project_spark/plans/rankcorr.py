@@ -220,8 +220,16 @@ def kw_fold(vals: DataFrame, groups: list[str]) -> DataFrame:
             * F.col(f"r_{i}_d").cast("double")
             / F.col(f"n_{i}").cast("double")).otherwise(F.lit(0.0))
         sum_terms = term if sum_terms is None else sum_terms + term
-    h = (F.lit(3.0) / (nd * (nd + F.lit(1.0))) * sum_terms
-         - F.lit(3.0) * (nd + F.lit(1.0)))
+    # Guard the N(N+1) divisor (ADVICE r8). On an empty input SUM
+    # yields NULL n (so the WHEN falls through to NULL anyway), and a
+    # literal n = 0 is unreachable from kw_fold's own groupBy — but
+    # the guard keeps the division conditional in both engines rather
+    # than relying on NULL propagation, matching the other degenerate
+    # guards in this fold.
+    h = F.when(
+        F.col("n") > 0,
+        F.lit(3.0) / (nd * (nd + F.lit(1.0))) * sum_terms
+        - F.lit(3.0) * (nd + F.lit(1.0)))
     # corr's own divisor N^3 - N is 0 at N = 1, and Spark-4 ANSI mode
     # turns that into a runtime DIVIDE_BY_ZERO (a division in a WHEN
     # *condition* executes unconditionally — found by the hypothesis
@@ -275,9 +283,10 @@ def _kw_sql() -> str:
         f"(CASE WHEN n_{i} > 0 THEN"
         f" CAST(r_{i}_d AS DOUBLE) * CAST(r_{i}_d AS DOUBLE)"
         f" / CAST(n_{i} AS DOUBLE) ELSE 0.0 END)" for i in range(k))
-    h = (f"(3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
+    h = (f"(CASE WHEN n > 0 THEN"
+         f" 3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
          f" * ({sum_terms})"
-         f" - 3.0 * (CAST(n AS DOUBLE) + 1.0))")
+         f" - 3.0 * (CAST(n AS DOUBLE) + 1.0) END)")
     corr = ("(CASE WHEN n > 1 THEN 1.0 - CAST(tie_term AS DOUBLE)"
             " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
             " * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) END)")

@@ -156,7 +156,8 @@ terms AS (
     FROM t WHERE base_n > 0
 )
 SELECT CAST(day AS TIMESTAMP) AS day,
-       MAX(day_n) AS n_events, MAX(base_n) AS baseline_n,
+       CAST(MAX(day_n) AS BIGINT) AS n_events,
+       CAST(MAX(base_n) AS BIGINT) AS baseline_n,
        {sql_fround(f'CAST(SUM(term_q) AS DOUBLE) / {_TQ}', 9)} AS tvd,
        CAST(SUM(term_q) AS DOUBLE) / {_TQ} > {_ALARM_TVD} AS alarm
 FROM terms

@@ -53,6 +53,67 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
+def _dtype_family(col: pd.Series) -> str:
+    """Coarse dtype family for driver-hash-compatibility checks."""
+    kind = col.dtype.kind
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind == "M":
+        return "datetime"
+    # object dtype: classify by the first non-null value
+    nn = col.dropna()
+    if len(nn) == 0:
+        return "empty"
+    v = nn.iloc[0]
+    import decimal
+
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, str):
+        return "str"
+    return "other"
+
+
+def _check_dtype_families(sp: pd.DataFrame, du: pd.DataFrame, name: str) -> None:
+    """Fail on int-vs-float family divergence in null-free columns.
+
+    The round driver hashes pandas cell reprs, so a DuckDB column that
+    surfaces as float64 (e.g. HUGEINT from a windowed SUM(BIGINT))
+    against a Spark int64 hashes ``4377.0`` vs ``4377`` and fails the
+    driver even though every value is numerically identical (VERDICT
+    r8 "what's wrong" #1/#2 — events_value_drift_daily). Value-wise
+    comparison can't see this (``4377.0 == 4377``), so assert the
+    dtype families directly. Columns containing nulls are exempt:
+    pandas promotes nullable int columns to float64 on conversion in
+    engine-specific ways, and the driver's own hasher sees the same
+    promotion on both sides there.
+    """
+    for c in sp.columns:
+        fs, fd = _dtype_family(sp[c]), _dtype_family(du[c])
+        if fs == fd or "empty" in (fs, fd):
+            continue
+        if {fs, fd} == {"int", "float"}:
+            if sp[c].isna().any() or du[c].isna().any():
+                continue  # null-promotion artifact, both engines agree value-wise
+            raise AssertionError(
+                f"{name}: column {c!r} dtype-family mismatch spark={fs} "
+                f"duckdb={fd} with no nulls — the driver hashes these "
+                f"differently (int 4377 vs float 4377.0) even when values "
+                f"are identical; CAST the oracle (or the Spark plan) so "
+                f"both sides agree"
+            )
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?") -> None:
     sp = spark_df.toPandas()
     du = con.execute(sql).fetchdf()
@@ -60,6 +121,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
         f"{name}: column mismatch spark={sorted(sp.columns)} duckdb={sorted(du.columns)}"
     )
     assert len(sp) == len(du), f"{name}: row count spark={len(sp)} duckdb={len(du)}"
+    _check_dtype_families(sp, du, name)
     a, b = _canon(sp), _canon(du)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: {len(mismatches)} value mismatches; first: {mismatches[:3]}"

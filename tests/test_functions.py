@@ -126,7 +126,7 @@ def test_priority_window_rotation():
     # window-8 queries legitimately appear in CORRECTNESS_r08.json
     # once the driver executes the window — bump this constant when
     # rotating the window each round
-    window_round = 8
+    window_round = 9
     window = list(registry.queries())[:50]
     assert window[0] == "flagship_my_registrations"
     seen: set = set()
@@ -144,13 +144,15 @@ def test_priority_window_rotation():
     else:
         assert len(stale_in_window) <= 50 - 1 - len(never_pool), (
             stale_in_window)
-    # spot-pin the least-SQL-like r8 families the verdict prioritized
-    for name in ("events_transitions_late_tolerant",
-                 "events_sessions_late_tolerant",
-                 "sketch_fold_identity_floor", "cms_accuracy_floor",
-                 "embedding_kmeans_pinned", "dedup_bridge_survivors",
-                 "events_markov_attribution",
-                 "part_triangle_participation"):
+    # spot-pin the r9 cohort VERDICT r8 #3 prescribed: the last
+    # never-checked families (BPE differential, PCA projection,
+    # privacy reports, rank stats, conformal) + the r4-stale rotation
+    for name in ("bpe_merge_floor", "bpe_merge_rules",
+                 "embedding_pca_project", "pca_projection_floor",
+                 "l_diversity_report", "t_closeness_report",
+                 "orders_priority_kruskal", "revenue_forecast_conformal",
+                 "weighted_reservoir_sample", "scan_filter_project",
+                 "setop_except"):
         assert name in window, name
 
 

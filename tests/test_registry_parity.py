@@ -34,3 +34,28 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
         assert df.count() >= 0
         return
     compare(df, con, sql, name)
+
+
+def test_no_oracle_emits_hugeint(con):
+    """No oracle_sql() result column may be HUGEINT/UHUGEINT.
+
+    DuckDB widens windowed SUM(BIGINT) to HUGEINT, which pandas can
+    only represent as float64 — so the driver hashes float reprs
+    against Spark's int64 reprs and fails even on bit-identical values
+    (VERDICT r8 "what's wrong" #1: events_value_drift_daily /
+    events_drift_daily_served). DESCRIBE binds/plans without executing,
+    so this sweeps every registered oracle cheaply.
+    """
+    from data_warehouse_project_spark import registry
+
+    offenders = []
+    for name, sql in sorted(registry.oracle_sql().items()):
+        desc = con.execute(f"DESCRIBE {sql}").fetchdf()
+        bad = [
+            (c, t)
+            for c, t in zip(desc["column_name"], desc["column_type"])
+            if "HUGEINT" in str(t).upper()
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, f"oracles emitting HUGEINT columns: {offenders}"

@@ -842,3 +842,59 @@ def test_theilsen_fold_matches_python_reference(spark, rows):
         med = slopes[(n - 1) // 2]
         assert got[key]["n_pairs"] == n
         assert abs(got[key]["sen_slope"] - med / _TS_Q) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# TTL'd window maintainer under ARBITRARY bitmask splits, THREE folds
+# (VERDICT r8 #9: extend the late-family bitmask sweep to the TTL
+# maintainer — the r7-era sweep above splits on an event_id
+# threshold; this one partitions by hashed bitmask into three batches
+# folded sequentially, so mid-stream eviction + late revival of
+# already-evicted windows both occur and must cancel by the
+# monotonicity argument in streaming/ttl_window.py's docstring)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=_ttl_events, mask=st.integers(0, 2**25 - 1))
+def test_ttl_window_any_bitmask_split_matches_model(spark, events, mask):
+    """ANY three-batch bitmask partition of ANY event multiset, folded
+    through window_state + merge_window_state twice, must serve
+    exactly the Python full-recompute model (per-(hour,type)
+    aggregates over the union, windows within TTL of the global max
+    hour). Hour offsets span 0..120 > TTL_HOURS = 72, so draws
+    routinely evict mid-stream and deliver late data into evicted
+    windows; a surviving window must still carry COMPLETE aggregates."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import ttl_window as W
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [(e, base + dt.timedelta(hours=h), 1, et, c / 100.0)
+            for e, h, et, c in events]
+    df = spark.createDataFrame(
+        rows or [(0, base, 1, "x", 0.0)], schema)
+    if not rows:
+        df = df.filter(F.lit(False))
+    part = F.pmod(F.col("event_id") * 2654435761 + mask, 3)
+    state = W.window_state(df.filter(part == 0))
+    state = W.merge_window_state(state, df.filter(part == 1))
+    state = W.merge_window_state(state, df.filter(part == 2))
+    got = {(r["window_hour"], r["event_type"]):
+           (r["n_events"], r["sum_value"])
+           for r in W.state_to_report(state).collect()}
+
+    model: dict = {}
+    h0 = int(base.timestamp() // 3600)
+    for _e, h, et, c in events:
+        key = (h0 + h, et)
+        n, s = model.get(key, (0, 0))
+        model[key] = (n + 1, s + c)
+    if model:
+        hwm = max(h for h, _ in model)
+        model = {k: v for k, v in model.items()
+                 if k[0] > hwm - W.TTL_HOURS}
+    want = {k: (n, round(s / 100.0, 2)) for k, (n, s) in model.items()}
+    assert got == want, (events, mask)
