@@ -898,3 +898,143 @@ def test_ttl_window_any_bitmask_split_matches_model(spark, events, mask):
                  if k[0] > hwm - W.TTL_HOURS}
     want = {k: (n, round(s / 100.0, 2)) for k, (n, s) in model.items()}
     assert got == want, (events, mask)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-fold identity under ARBITRARY bitmask partitions (round 9):
+# for every additive maintainer, build + merge over ANY three-batch
+# partition of ANY input must equal the ONE-SHOT state built from the
+# union — the algebraic property ("merge ∘ build = build ∘ union")
+# every state-served = full-rescan oracle identity rests on. The
+# registered queries exercise ONE fixed split (parity); these sweeps
+# exercise the whole split space, Spark-vs-Spark, no model needed.
+# ---------------------------------------------------------------------------
+
+def _three_fold(df, keycol, mask, build, merge):
+    part = F.pmod(F.col(keycol) * 2654435761 + mask, 3)
+    state = build(df.filter(part == 0))
+    state = merge(state, df.filter(part == 1))
+    return merge(state, df.filter(part == 2))
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=repr)
+
+
+_fold_orders = st.lists(
+    st.tuples(st.integers(0, 60), st.integers(0, 500),
+              st.integers(0, 10**6)),
+    min_size=0, max_size=25, unique_by=lambda r: r[0])
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(orders=_fold_orders, mask=st.integers(0, 2**25 - 1))
+def test_cusum_fold_any_bitmask_split_equals_oneshot(spark, orders, mask):
+    """CUSUM daily-sums state: any split (day offsets span 1995-1996,
+    so late-day absorption occurs routinely) must yield the exact
+    one-shot (day, cents) table — hence an identical served CUSUM
+    trajectory, since serving is shared code over this table."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import cusum_state as C
+
+    rows = [(k, dt.date(1995, 1, 1) + dt.timedelta(days=d), c / 100.0)
+            for k, d, c in orders]
+    df = spark.createDataFrame(
+        rows or [(0, dt.date(1995, 1, 1), 0.0)],
+        "o_orderkey long, o_orderdate date, o_totalprice double")
+    if not rows:
+        df = df.filter(F.lit(False))
+    folded = _three_fold(df, "o_orderkey", mask,
+                         C.cusum_state, C.merge_cusum_state)
+    assert _rows(folded) == _rows(C.cusum_state(df)), (orders, mask)
+
+
+_fold_events = st.lists(
+    st.tuples(st.integers(0, 200), st.integers(0, 72),
+              st.sampled_from(["x", "y"]), st.integers(0, 40000)),
+    min_size=0, max_size=25, unique_by=lambda r: r[0])
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=_fold_events, mask=st.integers(0, 2**25 - 1))
+def test_drift_fold_any_bitmask_split_equals_oneshot(spark, events, mask):
+    """Fixed-spec drift histogram state: any split must yield the
+    exact one-shot (day_idx, day, bin, n) cell table (value range
+    0..400 spans several spec bins AND exceeds the clamp edge, so
+    edge-bin clamping is exercised)."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import drift_state as D
+
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [(e, base + dt.timedelta(hours=h), 1, et, c / 100.0)
+            for e, h, et, c in events]
+    df = spark.createDataFrame(
+        rows or [(0, base, 1, "x", 0.0)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double")
+    if not rows:
+        df = df.filter(F.lit(False))
+    folded = _three_fold(df, "event_id", mask,
+                         D.drift_state, D.merge_drift_state)
+    assert _rows(folded) == _rows(D.drift_state(df)), (events, mask)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=_fold_events, mask=st.integers(0, 2**25 - 1))
+def test_rollup_fold_any_bitmask_split_equals_oneshot(spark, events, mask):
+    """Hourly rollup state (counts + scaled sums + HLL user sketches):
+    any split's served report must equal the one-shot report — counts
+    and sums are additive, and HLL register-max union is associative
+    and commutative, so even the approx_users estimates must agree
+    exactly (user_id varies so sketches are non-trivial)."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.plans import incremental as I
+
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [(e, base + dt.timedelta(hours=h), e % 7, et, c / 100.0)
+            for e, h, et, c in events]
+    df = spark.createDataFrame(
+        rows or [(0, base, 1, "x", 0.0)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double")
+    if not rows:
+        df = df.filter(F.lit(False))
+    folded = _three_fold(df, "event_id", mask,
+                         I.hourly_rollup_state, I.merge_hourly_state)
+    assert (_rows(I.state_to_report(folded))
+            == _rows(I.state_to_report(I.hourly_rollup_state(df)))), (
+        events, mask)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=_fold_events, mask=st.integers(0, 2**25 - 1))
+def test_distinct_users_fold_any_bitmask_split_equals_oneshot(
+        spark, events, mask):
+    """Per-(type, day) HLL distinct-user state: any split's estimates
+    must equal the one-shot sketch of all history (the module's
+    'bit-identical to sketching all at once' claim, swept)."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import distinct_users as U
+
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [(e, base + dt.timedelta(hours=h), e % 11, et, c / 100.0)
+            for e, h, et, c in events]
+    df = spark.createDataFrame(
+        rows or [(0, base, 1, "x", 0.0)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double")
+    if not rows:
+        df = df.filter(F.lit(False))
+    folded = _three_fold(df, "event_id", mask,
+                         U.distinct_state, U.merge_distinct_state)
+    assert (_rows(U.state_to_estimates(folded))
+            == _rows(U.state_to_estimates(U.distinct_state(df)))), (
+        events, mask)
