@@ -271,6 +271,36 @@ def test_funnel_matches_reference_model(spark, events):
     assert got == _funnel_model(events)
 
 
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=_funnel_events, split=st.integers(0, 100))
+def test_funnel_incremental_any_ordered_split_matches_model(
+        spark, events, split):
+    """Incremental funnel fold over ANY ts-ordered two-batch split
+    (the maintainer's documented arrival contract —
+    streaming/funnel_state.py module docstring) must serve exactly
+    the reference-model counts: the within-contract sweep analog of
+    the strict transition miner's
+    (test_transitions_incremental_matches_python_model). The split
+    threshold lands anywhere in the hour range, including before all
+    events (empty first batch) and after all (empty second)."""
+    from data_warehouse_project_spark.streaming import funnel_state as FS
+
+    rows = [(i, u, t, _BASE + timedelta(hours=h))
+            for i, (u, t, h) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows or [(0, 0, "view", _BASE)],
+        "event_id long, user_id long, event_type string, ts timestamp")
+    if not rows:
+        df = df.filter(F.lit(False))
+    cut = _BASE + timedelta(hours=split)
+    state = FS.merge_funnel_state(
+        FS.funnel_state(df.filter(F.col("ts") <= F.lit(cut))),
+        df.filter(F.col("ts") > F.lit(cut)))
+    got = [r["n_users"] for r in FS.state_to_report(state).collect()]
+    assert got == _funnel_model(events), (events, split)
+
+
 _order_days = st.lists(
     st.tuples(st.integers(0, 30),                         # day offset
               st.integers(1, 10_000)),                    # price in cents
