@@ -99,12 +99,18 @@ def crypto_roundtrip(spark, sf_dir: str):
     dec = enc.withColumn(
         "card_number_decrypted",
         decrypt_col(F.col("card_number_encrypted"), key))
+    # COALESCE: SUM over zero rows is NULL while the oracle's COUNT(*)
+    # is 0 — align the empty-input row (round-9 empty-input sweep)
     return dec.agg(
         F.count("*").alias("n_cards"),
-        F.sum(F.when(F.col("card_number_decrypted") == F.col("card_number"),
-                     1).otherwise(0)).alias("n_roundtrip_ok"),
-        F.sum(F.when(F.col("card_number_encrypted") != F.col("card_number"),
-                     1).otherwise(0)).alias("n_ciphertext_differs"),
+        F.coalesce(
+            F.sum(F.when(F.col("card_number_decrypted")
+                         == F.col("card_number"), 1).otherwise(0)),
+            F.lit(0)).cast("long").alias("n_roundtrip_ok"),
+        F.coalesce(
+            F.sum(F.when(F.col("card_number_encrypted")
+                         != F.col("card_number"), 1).otherwise(0)),
+            F.lit(0)).cast("long").alias("n_ciphertext_differs"),
     )
 
 

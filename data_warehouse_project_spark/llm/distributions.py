@@ -411,6 +411,10 @@ def pca_variance_report(cov_rows, dim_col="dim_i") -> "list[tuple]":
     hand-computed matrix.
     """
     import numpy as np
+    if not cov_rows:
+        # empty corpus: no covariance rows, no spectrum (round-9
+        # empty-input sweep — max() over an empty sequence crashed)
+        return []
     dims = 1 + max(max(r["dim_i"] for r in cov_rows),
                    max(r["dim_j"] for r in cov_rows))
     m = np.zeros((dims, dims))
@@ -489,6 +493,9 @@ def pca_basis(spark: SparkSession, sf_dir: str):
     import numpy as np
     cov_rows = [r.asDict() for r in
                 embedding_covariance_matrix(spark, sf_dir).collect()]
+    if not cov_rows:
+        # empty corpus: no basis to learn (round-9 empty-input sweep)
+        return [], [], 0.0
     dims = 1 + max(max(r["dim_i"] for r in cov_rows),
                    max(r["dim_j"] for r in cov_rows))
     m = np.zeros((dims, dims))
@@ -540,6 +547,12 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     one JVM-side fold pass per vector, no Python and no shuffle
     beyond the scan."""
     means, comps, _ = pca_basis(spark, sf_dir)
+    if not comps:
+        return spark.createDataFrame(
+            [], "vec_id long, " +
+                ", ".join(f"pc{k + 1} double"
+                          for k in range(PCA_TOP_K)) +
+                ", recon_err_sq double")
     mdots = [sum(m * v for m, v in zip(means, c)) for c in comps]
     marr = F.array(*[F.lit(float(m)) for m in means])
     sq_norm = F.aggregate(
@@ -571,6 +584,14 @@ def pca_projection_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTRIBUTED covariance through the driver-side eig. Per-vector
     terms are integer-quantized before the order-independent sums."""
     means, comps, eig_share = pca_basis(spark, sf_dir)
+    if not comps:
+        # no corpus, no evidence: NULL verdicts (the pinned-constant
+        # oracle presumes a non-empty corpus; see the empty-input
+        # gate's documented-divergence list)
+        return spark.createDataFrame(
+            [(PCA_TOP_K, None, None)],
+            "top_k long, recon_nonneg boolean, "
+            "capture_matches_spectrum boolean")
     mdots = [sum(m * v for m, v in zip(means, c)) for c in comps]
     marr = F.array(*[F.lit(float(m)) for m in means])
     sq_norm = F.aggregate(

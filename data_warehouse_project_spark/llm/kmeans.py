@@ -91,6 +91,13 @@ def kmeans_pinned_report(emb: DataFrame, k: int = KM_K,
     q = pin(emb.select("vec_id", _quant(F.col("embedding")).alias("q")))
     init = q.orderBy("vec_id").limit(k).collect()     # K×dim bounded
     cents = [list(r["q"]) for r in init]
+    if not cents:
+        # empty corpus (a filtered source can match nothing): no
+        # seeds, no clusters — an empty report, not an IndexError
+        # (round-9 empty-input sweep)
+        return emb.sparkSession.createDataFrame(
+            [], "cluster int, n_members long, wcss_q long, "
+                "centroid_sq_norm long")
     dim = len(cents[0])
     for _ in range(iters):
         comp = (_assign(q, cents)

@@ -222,7 +222,10 @@ def corpus_build_post_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.rename(path, old_dir)
     os.rename(staging, path)
     shutil.rmtree(old_dir, ignore_errors=True)
-    persisted = spark.read.parquet(path)
+    # explicit schema: a zero-row write leaves no parquet footers to
+    # infer from, and schema'd reads are the robust pattern anyway
+    # (round-9 empty-input sweep — UNABLE_TO_INFER_SCHEMA)
+    persisted = spark.read.schema(refined.schema).parquet(path)
     return (persisted.groupBy("split", "source")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("n_chars").cast("long").alias("total_chars"))

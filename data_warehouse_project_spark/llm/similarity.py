@@ -630,7 +630,16 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     vecs = cat.embeddings.withColumn(
         "features", array_to_vector(F.col("embedding").cast("array<double>")))
-    model = KMeans(k=16, seed=42, featuresCol="features").fit(vecs)
+    try:
+        model = KMeans(k=16, seed=42, featuresCol="features").fit(vecs)
+    except Exception:
+        # the MLlib fit throws on an empty dataset; keep the happy
+        # path action-free and only pay the emptiness check in the
+        # error path (round-9 empty-input sweep)
+        if vecs.isEmpty():
+            return spark.createDataFrame(
+                [], "vec_id long, label int, cos_sim double")
+        raise
     assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
 
     # query vector + its nprobe nearest centroids
@@ -709,7 +718,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _planted_corpus(cat)
     unit = corpus.withColumn(
         "features", array_to_vector(F.expr(UNIT_NORM_EXPR)))
-    model = KMeans(k=SEMDEDUP_K, seed=42, featuresCol="features").fit(unit)
+    try:
+        model = KMeans(k=SEMDEDUP_K, seed=42,
+                       featuresCol="features").fit(unit)
+    except Exception:
+        if unit.isEmpty():     # see ann_ivf_cosine's guard
+            return spark.createDataFrame(
+                [], "vec_a long, vec_b long, cos_sim double")
+        raise
     cells = (model.transform(unit)
              .select("vec_id", F.lit(0).alias("band"),
                      F.col("prediction").alias("bucket")))

@@ -134,10 +134,18 @@ def aqp_error_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cents") * F.lit(_AQP_WEIGHT)).cast("long")
         .alias("cents_est"))
     j = exact.crossJoin(F.broadcast(est))
-    cnt_err = (F.abs(F.col("n_est") - F.col("n_exact")).cast("double")
-               / F.col("n_exact").cast("double"))
-    rev_err = (F.abs(F.col("cents_est") - F.col("cents_exact"))
-               .cast("double") / F.col("cents_exact").cast("double"))
+    # Empty/degenerate corpus: n_exact = 0 (and cents_exact NULL) —
+    # the relative errors are undefined, and an unguarded divide is a
+    # Spark-4 ANSI DIVIDE_BY_ZERO crash (round-9 empty-input sweep).
+    # NULL them in both engines; the ok gates then degrade to NULL.
+    cnt_err = F.when(
+        F.col("n_exact") > 0,
+        F.abs(F.col("n_est") - F.col("n_exact")).cast("double")
+        / F.col("n_exact").cast("double"))
+    rev_err = F.when(
+        F.col("cents_exact") > 0,
+        F.abs(F.col("cents_est") - F.col("cents_exact"))
+        .cast("double") / F.col("cents_exact").cast("double"))
     return j.select(
         "n_exact", "n_est", "cents_exact", "cents_est",
         fround(cnt_err, 6).alias("count_rel_err"),
@@ -159,16 +167,20 @@ est AS (
     FROM ({_SAMPLED_SQL})
 )
 SELECT n_exact, n_est, cents_exact, cents_est,
-       {sql_fround('CAST(ABS(n_est - n_exact) AS DOUBLE)'
-                   ' / CAST(n_exact AS DOUBLE)', 6)} AS count_rel_err,
-       {sql_fround('CAST(ABS(cents_est - cents_exact) AS DOUBLE)'
-                   ' / CAST(cents_exact AS DOUBLE)', 6)}
+       {sql_fround('CASE WHEN n_exact > 0 THEN'
+                   ' CAST(ABS(n_est - n_exact) AS DOUBLE)'
+                   ' / CAST(n_exact AS DOUBLE) END', 6)} AS count_rel_err,
+       {sql_fround('CASE WHEN cents_exact > 0 THEN'
+                   ' CAST(ABS(cents_est - cents_exact) AS DOUBLE)'
+                   ' / CAST(cents_exact AS DOUBLE) END', 6)}
            AS revenue_rel_err,
-       CAST(ABS(n_est - n_exact) AS DOUBLE) / CAST(n_exact AS DOUBLE)
-           <= {_AQP_REL_ERR_MAX} AS count_ok,
-       CAST(ABS(cents_est - cents_exact) AS DOUBLE)
-           / CAST(cents_exact AS DOUBLE)
-           <= {_AQP_REL_ERR_MAX} AS revenue_ok
+       CASE WHEN n_exact > 0 THEN
+            CAST(ABS(n_est - n_exact) AS DOUBLE) / CAST(n_exact AS DOUBLE)
+            <= {_AQP_REL_ERR_MAX} END AS count_ok,
+       CASE WHEN cents_exact > 0 THEN
+            CAST(ABS(cents_est - cents_exact) AS DOUBLE)
+            / CAST(cents_exact AS DOUBLE)
+            <= {_AQP_REL_ERR_MAX} END AS revenue_ok
 FROM exact CROSS JOIN est
 """
 

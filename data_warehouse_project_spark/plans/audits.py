@@ -1005,7 +1005,13 @@ def benford_fold(amounts: DataFrame) -> DataFrame:
     t = (digits
          .withColumn("n_total", F.sum("n").over(w).cast("long"))
          .withColumn("expected", expected))
-    p = F.col("n").cast("double") / F.col("n_total").cast("double")
+    # n_total = 0 (empty amounts frame — every digit row is a
+    # completed zero) leaves the share undefined; unguarded this is a
+    # Spark-4 ANSI DIVIDE_BY_ZERO crash (round-9 empty-input sweep).
+    # NULL p cascades to NULL terms/statistic/verdict in both engines.
+    p = F.when(
+        F.col("n_total") > 0,
+        F.col("n").cast("double") / F.col("n_total").cast("double"))
     e = F.col("expected")
     term_q = F.floor((p - e) * (p - e) / e * F.lit(1e9) + F.lit(0.5)) \
         .cast("long")
@@ -1054,16 +1060,19 @@ t AS (
 ),
 q AS (
     SELECT *,
-           CAST(FLOOR((CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
-                       - expected)
-                      * (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
-                         - expected)
+           CAST(FLOOR((CASE WHEN n_total > 0 THEN
+                            CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                       END - expected)
+                      * (CASE WHEN n_total > 0 THEN
+                             CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                         END - expected)
                       / expected * 1e9 + 0.5) AS BIGINT) AS term_q
     FROM t
 ),
 g AS (SELECT *, CAST(SUM(term_q) OVER () AS BIGINT) AS chi2_q FROM q)
 SELECT digit, n,
-       {sql_fround('CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)', 9)}
+       {sql_fround('CASE WHEN n_total > 0 THEN'
+                   ' CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) END', 9)}
            AS frac,
        expected,
        {sql_fround('CAST(term_q AS DOUBLE) / 1e9', 9)} AS chi2_term,

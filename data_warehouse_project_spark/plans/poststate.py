@@ -518,8 +518,11 @@ def versioned_write_post_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = overwrite_table_versioned(spark, mutated, base)
 
     def snap(version, df):
+        # COALESCE: SUM over an empty snapshot is NULL, the oracle
+        # counts 0 (round-9 empty-input sweep)
         return (df.agg(F.count("*").cast("long").alias("n_rows"),
-                       F.sum("is_active").cast("long").alias("n_active"))
+                       F.coalesce(F.sum("is_active"), F.lit(0))
+                       .cast("long").alias("n_active"))
                 .select(F.lit(version).cast("long").alias("version"),
                         "n_rows", "n_active"))
 
@@ -538,8 +541,8 @@ UNION ALL
 SELECT CAST(2 AS BIGINT),
        CAST(COUNT(*) AS BIGINT),
        CAST(COUNT(*) AS BIGINT)
-       - CAST(SUM(CASE WHEN c_custkey IN {SOFT_DELETE_KEYS}
-                       THEN 1 ELSE 0 END) AS BIGINT)
+       - CAST(COALESCE(SUM(CASE WHEN c_custkey IN {SOFT_DELETE_KEYS}
+                           THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM customer
 ORDER BY version
 """

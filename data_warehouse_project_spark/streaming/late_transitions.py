@@ -254,7 +254,11 @@ def events_transitions_late_tolerant(spark: SparkSession,
     cat = Catalog(spark, sf_dir)
     ev = cat.events
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
-    mid = lo + (hi - lo) / 2
+    # Empty feed (a source partition can legitimately match nothing):
+    # an epoch pivot makes both simulated batches empty, and the
+    # build/merge pair already handles None watermarks downstream.
+    import datetime as _dt
+    mid = (lo + (hi - lo) / 2) if lo is not None else _dt.datetime(1970, 1, 1)
     # held-back slice (mid−6h, mid−3h]: batch 1 spans up to mid but
     # skips the slice; batch 2 delivers the slice together with
     # everything after mid — its slice events arrive 3-6 h below

@@ -202,7 +202,11 @@ def events_sessions_incremental(spark: SparkSession,
     cat = Catalog(spark, sf_dir)
     ev = cat.events
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
-    mid = lo + (hi - lo) / 2
+    # Empty feed (a source partition can legitimately match nothing):
+    # an epoch pivot makes both simulated batches empty, and the
+    # build/merge pair already handles None watermarks downstream.
+    import datetime as _dt
+    mid = (lo + (hi - lo) / 2) if lo is not None else _dt.datetime(1970, 1, 1)
     # pin the first-half state: the merge consumes prev three times
     # (closed filter, untouched anti-join, open semi-join), which
     # would re-run the half-corpus sessionize per consumer (8 events

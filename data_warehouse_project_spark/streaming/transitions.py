@@ -190,7 +190,11 @@ def events_transitions_incremental(spark: SparkSession,
     cat = Catalog(spark, sf_dir)
     ev = cat.events
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
-    mid = lo + (hi - lo) / 2
+    # Empty feed (a source partition can legitimately match nothing):
+    # an epoch pivot makes both simulated batches empty, and the
+    # build/merge pair already handles None watermarks downstream.
+    import datetime as _dt
+    mid = (lo + (hi - lo) / 2) if lo is not None else _dt.datetime(1970, 1, 1)
     state = merge_transitions_state(
         transitions_state(ev.filter(F.col("ts") <= F.lit(mid))),
         ev.filter(F.col("ts") > F.lit(mid)))
