@@ -615,3 +615,49 @@ def test_triangle_participation_hand_computed(spark):
     got = {(r["p_partkey"], r["n_triangles"])
            for r in triangle_participation(li, part).collect()}
     assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def _triangle_reference(orders):
+    """Brute-force per-node triangle participation in plain Python:
+    kept = distinct (order, part) with the basket guard, undirected
+    edges from co-purchase pairs, each triangle found once via its
+    lexicographically-lowest edge + a higher common neighbor."""
+    edges = set()
+    for parts in orders:
+        ps = sorted(set(parts))
+        if len(ps) > MAX_BASKET:
+            continue
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                for n in (a, b, c):
+                    count[n] = count.get(n, 0) + 1
+    return count
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(orders=st.lists(st.lists(st.integers(1, 8), max_size=6),
+                       max_size=10))
+def test_triangle_participation_matches_python_reference(spark, orders):
+    """Random small co-purchase graphs: the Cohen degree-oriented
+    wedge enumeration (plans/graph.py:431) must count per-node
+    triangle participation exactly like the O(m·n) brute force —
+    the orientation/tie-break/closing-join machinery cannot change
+    the answer, only the cost."""
+    from data_warehouse_project_spark.plans.graph import (
+        triangle_participation)
+    li = _lineitem(spark, list(enumerate(orders)))
+    expected = _triangle_reference(orders)
+    got = {r["p_partkey"]: r["n_triangles"]
+           for r in triangle_participation(
+               li, _part(spark, list(range(1, 9))), k=100).collect()}
+    assert got == expected, orders

@@ -70,3 +70,63 @@ def test_wcss_monotone_under_updates(spark):
                                         iters=iters).collect())
     w0, w2 = wcss(0), wcss(2)
     assert w2 <= w0
+
+
+import math
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _kmeans_reference(vecs, k, iters):
+    """Plain-Python replay of the pinned Lloyd contract
+    (llm/kmeans.py module docstring): float32 ingest → ppm-long
+    quantization, init = k smallest vec_ids, int64 squared distance,
+    tie to smallest index, floor-of-IEEE-divide centroid update with
+    empty-cluster carry, fixed rounds, final per-cluster report."""
+    q = [[math.floor(float(np.float32(x)) * 1e6 + 0.5) for x in v]
+         for v in vecs]
+    cents = [list(v) for v in q[:min(k, len(q))]]
+    dim = len(cents[0])
+
+    def assign():
+        return [min((sum((a - b) * (a - b) for a, b in zip(v, c)), j)
+                    for j, c in enumerate(cents))
+                for v in q]
+
+    for _ in range(iters):
+        sums, counts = {}, {}
+        for (_, j), v in zip(assign(), q):
+            counts[j] = counts.get(j, 0) + 1
+            s = sums.setdefault(j, [0] * dim)
+            for i, x in enumerate(v):
+                s[i] += x
+        cents = [[math.floor(sums[j][i] / counts[j]) for i in range(dim)]
+                 if j in counts else cents[j]
+                 for j in range(len(cents))]
+    rep = {}
+    for (dist, j), v in zip(assign(), q):
+        n, w = rep.get(j, (0, 0))
+        rep[j] = (n + 1, w + dist)
+    return {j: (n, w, sum(c * c for c in cents[j]))
+            for j, (n, w) in rep.items()}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vecs=st.lists(
+           st.lists(st.floats(-1, 1, allow_nan=False, width=32),
+                    min_size=3, max_size=3),
+           min_size=1, max_size=12),
+       k=st.integers(1, 4), iters=st.integers(0, 2))
+def test_kmeans_matches_python_reference(spark, vecs, k, iters):
+    """Random corpora × k × rounds: the distributed recurrence
+    (broadcast-centroid HOF assignment + (cluster,pos) aggregate)
+    must replay the sequential pinned-Lloyd reference exactly —
+    members, integer WCSS and centroid norms, including k > n
+    (short init prefix) and empty-cluster carries."""
+    got = {r["cluster"]: (r["n_members"], r["wcss_q"],
+                          r["centroid_sq_norm"])
+           for r in kmeans_pinned_report(_emb(spark, vecs), k=k,
+                                         iters=iters).collect()}
+    assert got == _kmeans_reference(vecs, k, iters), (vecs, k, iters)

@@ -1038,3 +1038,55 @@ def test_distinct_users_fold_any_bitmask_split_equals_oneshot(
     assert (_rows(U.state_to_estimates(folded))
             == _rows(U.state_to_estimates(U.distinct_state(df)))), (
         events, mask)
+
+
+# ---------------------------------------------------------------------------
+# Connected components (llm/clusters.py) vs plain union-find
+# ---------------------------------------------------------------------------
+
+
+def _union_find_clusters(edges, nodes):
+    """min-id cluster per node via textbook union-find."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), set()).add(n)
+    return {n: min(members)
+            for members in comp.values() for n in members}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(st.tuples(st.integers(1, 12), st.integers(1, 12)),
+                      max_size=25),
+       extra_nodes=st.sets(st.integers(1, 15), max_size=4))
+def test_connected_components_matches_union_find(spark, edges,
+                                                 extra_nodes):
+    """Random graphs (self-loops, parallel edges, isolated nodes
+    included) — the min-label-propagation loop (llm/clusters.py:33)
+    must assign every node the minimum id reachable through the edge
+    set, exactly as union-find does; isolated nodes keep their own
+    id. Convergence must land inside MAX_ROUNDS (path graphs here
+    have diameter < 15 < 20)."""
+    from data_warehouse_project_spark.llm.clusters import (
+        connected_components)
+    nodes = sorted({n for e in edges for n in e} | extra_nodes)
+    if not nodes:
+        return
+    edf = spark.createDataFrame(list(edges), "a long, b long") if edges \
+        else spark.createDataFrame([], "a long, b long")
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    got = {r["node"]: r["cluster"]
+           for r in connected_components(edf, ndf).collect()}
+    assert got == _union_find_clusters(edges, nodes), (edges, nodes)

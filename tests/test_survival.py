@@ -61,3 +61,47 @@ def test_km_censoring_is_not_an_event(spark):
         assert r["hazard"] == 0.0
         assert r["log_surv_micro"] == 0
         assert not r["surv_zero"]
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _km_reference(subjects):
+    """Plain-Python Kaplan-Meier with the operator's exact
+    quantization contract: hazard = floor(d/n·1e9 + .5)/1e9, log-
+    survival = running sum of floor(ln(1−d/n)·1e6 + .5) over rows
+    with d < n (NULL until the first finite term, mirroring Spark's
+    null-skipping cumulative SUM)."""
+    per_t = {}
+    for ch, t in subjects:
+        d, c = per_t.get(t, (0, 0))
+        per_t[t] = (d + 1, c) if ch else (d, c + 1)
+    remaining = len(subjects)
+    run = None
+    expected = {}
+    for t in sorted(per_t):
+        d, c = per_t[t]
+        n = remaining
+        hazard = math.floor(d / n * 1e9 + 0.5) / 1e9
+        if d < n:
+            run = (run or 0) + _q(math.log(1 - d / n))
+        expected[t] = (n, d, c, hazard, run, d == n)
+        remaining -= d + c
+    return expected
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(subjects=st.lists(st.tuples(st.booleans(), st.integers(0, 8)),
+                         min_size=1, max_size=25))
+def test_km_fold_matches_python_reference(spark, subjects):
+    """Random cohorts (ties, all-censored times, dying risk sets):
+    the windowed KM fold (plans/survival.py:71) must reproduce the
+    sequential estimator row for row — risk sets, integer event /
+    censor counts, quantized hazard and log-survival, and the
+    surv_zero sentinel exactly where d = n."""
+    got = {r["t_days"]: (r["n_risk"], r["d_churned"], r["c_censored"],
+                         r["hazard"], r["log_surv_micro"],
+                         r["surv_zero"])
+           for r in km_fold(_lifet(spark, subjects)).collect()}
+    assert got == _km_reference(subjects), subjects
