@@ -348,3 +348,65 @@ def test_benford_conforming_and_mechanical_cohorts(spark):
     # non-positive amounts carry no first digit and must be excluded
     with_zero = benford_fold(frame([0, -150] + mechanical)).collect()
     assert sum(r["n"] for r in with_zero) == 2000
+
+
+# ---------------------------------------------------------------------------
+# Benford fold vs a plain-Python chi-square model over random amounts
+# ---------------------------------------------------------------------------
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _benford_reference(cents):
+    """Sequential replay of the quantized Benford audit contract:
+    per digit 1..9 (domain completed), n, frac = floor(n/N·1e9+.5)/1e9,
+    term_q = floor((p−e)²/e·1e9+.5), stat = N·Σterm_q/1e9,
+    conforms = stat ≤ 15.507; empty input leaves the shares NULL."""
+    from data_warehouse_project_spark.plans.audits import (
+        _BENFORD, _BENFORD_CHI2_CRIT)
+    pos = [c for c in cents if c > 0]
+    n_by_digit = {d: 0 for d in range(1, 10)}
+    for c in pos:
+        n_by_digit[int(str(c)[0])] += 1
+    total = len(pos)
+    out = {}
+    if total == 0:
+        return {d: (0, None, None, None, None) for d in range(1, 10)}
+    terms = {}
+    for d in range(1, 10):
+        p = n_by_digit[d] / total
+        e = _BENFORD[d - 1]
+        terms[d] = math.floor((p - e) * (p - e) / e * 1e9 + 0.5)
+    chi2_q = sum(terms.values())
+    stat = total * chi2_q / 1e9
+    for d in range(1, 10):
+        p = n_by_digit[d] / total
+        out[d] = (n_by_digit[d],
+                  math.floor(p * 1e9 + 0.5) / 1e9,
+                  terms[d] / 1e9,
+                  math.floor(stat * 1e6 + 0.5) / 1e6,
+                  stat <= _BENFORD_CHI2_CRIT)
+    return out
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(cents=st.lists(st.integers(-100, 10 ** 6), max_size=40))
+def test_benford_fold_matches_python_reference(spark, cents):
+    """Random amount lists (non-positives included — they carry no
+    first digit and must drop out): the windowed Benford fold
+    (plans/audits.py benford_fold) must reproduce the sequential
+    quantized chi-square model digit for digit, including the
+    completed 1..9 domain and the all-NULL empty-input row set."""
+    from pyspark.sql import Row
+
+    from data_warehouse_project_spark.plans.audits import benford_fold
+    df = (spark.createDataFrame([Row(cents=int(c)) for c in cents],
+                                "cents long")
+          if cents else spark.createDataFrame([], "cents long"))
+    got = {r["digit"]: (r["n"], r["frac"], r["chi2_term"],
+                        r["benford_chi2"], r["conforms"])
+           for r in benford_fold(df).collect()}
+    assert got == _benford_reference(cents), cents

@@ -418,3 +418,74 @@ def test_versioned_merge_rollback(spark, tmp_path):
             read_table_version(spark, p).collect()} == \
         {(1, "A", 10), (2, "B2", 25), (3, "C", 30)}
     assert v1 == 1 and v2 == 2
+
+
+# ---------------------------------------------------------------------------
+# SCD2 over random multi-batch change streams vs a sequential model
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_OPEN_END = "9999-12-31 00:00:00"
+
+#: a batch = key-unique {key: value} (MERGE/SCD2 require key-unique
+#: sources); values drawn tiny so changed/unchanged/new all occur
+_scd_batches = st.lists(
+    st.dictionaries(st.integers(1, 4), st.integers(0, 2), max_size=4),
+    min_size=1, max_size=4)
+
+
+def _scd2_reference(batches):
+    """Sequential SCD2 model: per batch, a present key with a
+    different value closes the current version at the batch ts and
+    opens a new one; an equal value is a no-op; an absent key inserts
+    as current. Returns the full version table."""
+    versions = []          # [key, val, from, to, current]
+    current = {}           # key -> index into versions
+    for i, batch in enumerate(batches):
+        bts = f"2024-01-{i + 1:02d} 00:00:00"
+        for k, v in sorted(batch.items()):
+            if k in current:
+                cur = versions[current[k]]
+                if cur[1] == v:
+                    continue
+                cur[3], cur[4] = bts, 0
+            versions.append([k, v, bts, _OPEN_END, 1])
+            current[k] = len(versions) - 1
+    return versions
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=_scd_batches)
+def test_scd2_multi_batch_matches_sequential_model(spark, batches):
+    """Random change streams applied batch-by-batch: the full-outer-
+    join SCD2 (writes.py scd2_apply) must reproduce the sequential
+    version table exactly, and after every batch the per-key
+    invariants must hold — exactly one current row per live key and
+    per-key validity intervals that chain without gap or overlap
+    (each closed row's valid_to = the next version's valid_from)."""
+    schema = ("id long, val long, valid_from timestamp_ntz, "
+              "valid_to timestamp_ntz, is_current int")
+    dim = spark.createDataFrame([], schema)
+    for i, batch in enumerate(batches):
+        bts = f"2024-01-{i + 1:02d} 00:00:00"
+        updates = spark.createDataFrame(
+            sorted(batch.items()), "id long, val long")
+        dim = writes.scd2_apply(dim, updates, "id", ["val"], bts)
+        rows = dim.collect()
+        dim = spark.createDataFrame(rows, schema)  # materialize state
+        per_key = {}
+        for r in rows:
+            per_key.setdefault(r["id"], []).append(r)
+        for k, vs in per_key.items():
+            assert sum(r["is_current"] for r in vs) == 1, (batches, k)
+            vs = sorted(vs, key=lambda r: r["valid_from"])
+            for a, b in zip(vs, vs[1:]):
+                assert a["valid_to"] == b["valid_from"], (batches, k)
+    got = sorted((r["id"], r["val"], str(r["valid_from"]),
+                  str(r["valid_to"]), r["is_current"])
+                 for r in dim.collect())
+    expected = sorted((k, v, f, t, c)
+                      for k, v, f, t, c in _scd2_reference(batches))
+    assert got == expected, batches
