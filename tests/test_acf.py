@@ -106,3 +106,49 @@ def test_xcorr_constant_series_yields_null(spark):
     out = xcorr_fold(_daily2(spark, xs, ys)).collect()
     assert out and all(r["den_y"] == 0 for r in out)
     assert all(r["xcorr"] is None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# ACF fold vs a sequential Python model over random series
+# ---------------------------------------------------------------------------
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _acf_reference(vs, max_lag):
+    """Sequential replay of the fold contract: integer residuals
+    around the truncating s DIV n mean, exact num/den, quantized
+    IEEE divide, NULL acf on constant series, absent rows for lags
+    with no pairs."""
+    n, s = len(vs), sum(vs)
+    m = abs(s) // n if s >= 0 else -(abs(s) // n)  # trunc like DIV
+    r = [v - m for v in vs]
+    den = sum(x * x for x in r)
+    out = {}
+    for lag in range(1, max_lag + 1):
+        if n <= lag:
+            continue
+        num = sum(r[t] * r[t - lag] for t in range(lag, n))
+        acf = (math.floor(num / den * 1e6 + 0.5) / 1e6
+               if den > 0 else None)
+        out[lag] = (n - lag, num, den, acf)
+    return out
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vs=st.lists(st.integers(-100, 100), min_size=1, max_size=25),
+       max_lag=st.integers(1, 5))
+def test_acf_matches_python_reference(spark, vs, max_lag):
+    """Random integer daily series (constant runs, negatives, series
+    shorter than the lag window): the stacked-lag fold
+    (plans/acf.py acf_fold) must reproduce the sequential estimator —
+    exact integer numerators/denominator, pair counts, the truncating
+    integer mean, and NULL coefficients on zero variance."""
+    daily = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(vs)], "day long, v long")
+    got = {r["lag"]: (r["n_pairs"], r["num"], r["den"], r["acf"])
+           for r in acf_fold(daily, max_lag=max_lag).collect()}
+    assert got == _acf_reference(vs, max_lag), (vs, max_lag)

@@ -176,3 +176,45 @@ def test_kruskal_all_tied_yields_null(spark):
     assert r["tie_term"] == n ** 3 - n
     assert r["h_tie_corrected"] is None
     assert r["significant"] is None
+
+
+# ---------------------------------------------------------------------------
+# Spearman over random tie-heavy profiles (randomized midrank replay)
+# ---------------------------------------------------------------------------
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(per_cust=st.lists(
+    st.tuples(st.integers(1, 4), st.integers(1, 300)),
+    min_size=1, max_size=10))
+def test_spearman_matches_python_reference(spark, tmp_path_factory,
+                                           per_cust):
+    """Random customer profiles (duplicate counts, shared spend
+    buckets, single-customer corpora): the histogram-midrank Spearman
+    must reproduce the plain-Python doubled-midrank Pearson replay —
+    exact integer moments and the variance-guarded quantized rho."""
+    tmp = tmp_path_factory.mktemp("sp")
+    sf = _write_orders(spark, tmp, [(n, float(p)) for n, p in per_cust])
+    r = customer_value_spearman(spark, sf).collect()[0]
+    xs = [n for n, _ in per_cust]
+    ys = [(n * p * 100) // _SPEND_BUCKET_CENTS for n, p in per_cust]
+    dx, dy = _midranks_doubled(xs), _midranks_doubled(ys)
+    n = len(per_cust)
+    sx = sum(dx[v] for v in xs)
+    sy = sum(dy[v] for v in ys)
+    sxy = sum(dx[a] * dy[b] for a, b in zip(xs, ys))
+    sxx = sum(dx[v] ** 2 for v in xs)
+    syy = sum(dy[v] ** 2 for v in ys)
+    assert (r["n"], r["s_x"], r["s_y"], r["s_xy"], r["s_xx"],
+            r["s_yy"]) == (n, sx, sy, sxy, sxx, syy), per_cust
+    num = float(n) * float(sxy) - float(sx) * float(sy)
+    var_x = float(n) * float(sxx) - float(sx) * float(sx)
+    var_y = float(n) * float(syy) - float(sy) * float(sy)
+    rho = (math.floor(num / math.sqrt(var_x * var_y) * 1e6 + 0.5) / 1e6
+           if var_x > 0 and var_y > 0 else None)
+    assert r["rho"] == rho, per_cust

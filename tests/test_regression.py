@@ -170,3 +170,53 @@ def test_backtest_zero_actual_yields_null_ape(spark):
     assert r["actual_cents"] == 0
     assert r["pred_cents"] is not None
     assert r["ape"] is None
+
+
+# ---------------------------------------------------------------------------
+# OLS fold vs the exact-integer-sums closed form in plain Python
+# ---------------------------------------------------------------------------
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _fr(x, scale):
+    if x is None:
+        return None
+    s = 10.0 ** scale
+    return math.floor(x * s + 0.5) / s
+
+
+def _ols_reference(pts):
+    """Exact integer sufficient sums (Python ints = DECIMAL(38,0)),
+    then the module's fixed IEEE dag: var/cov in doubles, NULL fits
+    on zero t-variance, NULL R² when either variance is zero."""
+    n = float(len(pts))
+    st_ = float(sum(t for t, _ in pts))
+    sy = float(sum(y for _, y in pts))
+    stt = float(sum(t * t for t, _ in pts))
+    sty = float(sum(t * y for t, y in pts))
+    syy = float(sum(y * y for _, y in pts))
+    var_t = n * stt - st_ * st_
+    var_y = n * syy - sy * sy
+    cov = n * sty - st_ * sy
+    slope = cov / var_t if var_t > 0 else None
+    intercept = (sy - (cov / var_t) * st_) / n if var_t > 0 else None
+    r2 = (cov * cov / (var_t * var_y)
+          if var_t > 0 and var_y > 0 else None)
+    return (int(n), _fr(slope, 6), _fr(intercept, 6), _fr(r2, 9))
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pts=st.lists(st.tuples(st.integers(0, 12), st.integers(-50, 50)),
+                    min_size=1, max_size=30))
+def test_ols_matches_python_reference(spark, pts):
+    """Random integer series (duplicate t, constant series, single
+    points): the distributed sufficient-statistics fold (ols_fit)
+    must reproduce the sequential closed form bit-for-bit, including
+    the degenerate-variance NULL guards."""
+    r = ols_fit(_cells(spark, pts), ["g"]).collect()[0]
+    got = (r["n_points"], r["slope"], r["intercept"], r["r2"])
+    assert got == _ols_reference(pts), pts

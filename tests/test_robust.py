@@ -197,3 +197,51 @@ def test_median_ci_ties_resolve_by_cumulative_mass(spark):
     r = median_ci_fold(df).collect()[0]
     assert r["n"] == 30
     assert (r["ci_lo"], r["median_lo"], r["ci_hi"]) == (7, 7, 7)
+
+
+# ---------------------------------------------------------------------------
+# Winsorized / trimmed fold vs a sorted sequential model
+# ---------------------------------------------------------------------------
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _fr(x, scale):
+    s = 10.0 ** scale
+    return math.floor(x * s + 0.5) / s
+
+
+def _winsor_reference(cents):
+    """Sequential replay of the module contract: lo = floor(0.05·n),
+    winsor bounds at ranks lo+1 / n−lo of the sorted values, exact
+    integer clamped/trimmed sums, final IEEE divides only."""
+    s = sorted(cents)
+    n = len(s)
+    lo = math.floor(n * 0.05)
+    c_lo, c_hi = s[lo], s[n - lo - 1]
+    sum_all = sum(s)
+    sum_wins = sum(min(max(c, c_lo), c_hi) for c in s)
+    sum_trim = sum(s[lo:n - lo])
+    kept = n - 2 * lo
+    return (n, _fr(c_lo / 100.0, 2), _fr(c_hi / 100.0, 2),
+            _fr(sum_all / n / 100.0, 6),
+            _fr(sum_wins / n / 100.0, 6),
+            _fr(sum_trim / kept / 100.0, 6))
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(cents=st.lists(st.integers(-10 ** 4, 10 ** 6),
+                      min_size=1, max_size=60))
+def test_winsorized_matches_python_reference(spark, cents):
+    """Random value lists (ties, negatives, sizes straddling the
+    lo = 0 → 1 → 2 trim steps): the windowed rank fold
+    (plans/robust.py winsorized_stats) must reproduce the sorted
+    sequential model — bounds, exact clamped and trimmed sums, and
+    the quantized currency divisions."""
+    r = winsorized_stats(_vals(spark, cents), "g").collect()[0]
+    got = (r["n_rows"], r["p_lo"], r["p_hi"], r["mean"],
+           r["winsorized_mean"], r["trimmed_mean"])
+    assert got == _winsor_reference(cents), cents
