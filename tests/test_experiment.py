@@ -313,3 +313,59 @@ def test_cuped_empty_arm_yields_null_not_crash(spark, tmp_path):
     assert r["abs_lift_raw"] is None
     assert r["mean_y_b"] is not None
     assert r["srm_chi2"] == 6.0           # (0-6)^2 / 6, well-defined
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney vs a full sequential model over random arm/value draws
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _mw_reference(pairs):
+    """Complete sequential MW model: pair-counted doubled U, pooled
+    tie cubes, Lehmann tie-corrected sigma^2 and the quantized z —
+    NULL z/verdict when sigma^2 = 0, all-NULL row on empty input."""
+    a = [v for u, v in pairs if _arm_of(u) == "A"]
+    b = [v for u, v in pairs if _arm_of(u) == "B"]
+    if not pairs:
+        return (None,) * 7
+    n_a, n_b = len(a), len(b)
+    u2 = _mw_brute(a, b)
+    r2 = u2 + n_b * (n_b + 1)
+    pooled = a + b
+    tie = sum(c ** 3 - c
+              for c in (pooled.count(v) for v in set(pooled)))
+    nn = float(n_a) + float(n_b)
+    tie_frac = tie / (nn * (nn - 1.0)) if nn > 1.0 else 0.0
+    sigma2 = float(n_a) * float(n_b) / 12.0 * ((nn + 1.0) - tie_frac)
+    if sigma2 > 0:
+        z = (float(u2) - float(n_a) * float(n_b)) \
+            / (2.0 * math.sqrt(sigma2))
+        z = math.floor(z * 1e6 + 0.5) / 1e6
+        sig = abs(z) > 1.96
+    else:
+        z, sig = None, None
+    return (n_a, n_b, r2, u2, tie, z, sig)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pairs=st.lists(st.tuples(st.integers(1, 120), st.integers(0, 6)),
+                      max_size=25))
+def test_mannwhitney_matches_python_reference(spark, tmp_path_factory,
+                                              pairs):
+    """Random (user, whole-dollar spend) draws — arbitrary tie
+    structure, empty arms, all-tied corpora, empty input: the
+    histogram-rank MW report must reproduce the sequential model in
+    every column, including the sigma^2 = 0 NULL verdicts."""
+    from data_warehouse_project_spark.plans.experiment import (
+        events_ab_mannwhitney)
+    t0 = dt.datetime(2024, 1, 5, 12, 0)
+    tmp = tmp_path_factory.mktemp("mw")
+    sf = _write_valued_events(
+        spark, tmp, [(u, "purchase", t0, v) for u, v in pairs])
+    r = events_ab_mannwhitney(spark, sf).collect()[0]
+    got = (r["n_a"], r["n_b"], r["r_b_doubled"], r["u_b_doubled"],
+           r["tie_term"], r["z"], r["significant"])
+    assert got == _mw_reference(pairs), pairs

@@ -245,3 +245,22 @@ def test_winsorized_matches_python_reference(spark, cents):
     got = (r["n_rows"], r["p_lo"], r["p_hi"], r["mean"],
            r["winsorized_mean"], r["trimmed_mean"])
     assert got == _winsor_reference(cents), cents
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(cents=st.lists(st.integers(-10 ** 6, 10 ** 6),
+                      min_size=1, max_size=50))
+def test_median_twopass_matches_python_reference(spark, cents):
+    """Random value lists (negatives, ties straddling the two middle
+    ranks, single rows, ranges both narrower and wider than the 1024
+    bins): the binned two-pass exact median must equal the sorted
+    sequential definition — the quantized average of order statistics
+    (n+1) DIV 2 and (n+2) DIV 2."""
+    from data_warehouse_project_spark.plans.robust import median_twopass
+    s = sorted(cents)
+    n = len(s)
+    v1, v2 = s[(n + 1) // 2 - 1], s[(n + 2) // 2 - 1]
+    expected = (n, _fr((v1 + v2) / 2.0 / 100.0, 6))
+    r = median_twopass(_vals(spark, cents), "g").collect()[0]
+    assert (r["n_rows"], r["median"]) == expected, cents
