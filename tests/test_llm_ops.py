@@ -1586,3 +1586,61 @@ def test_zipf_single_term_corpus_yields_null_fit(spark, tmp_path):
     assert r["n_terms"] == 1
     assert r["zipf_slope"] is None
     assert r["zipf_intercept"] is None
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _repetition_reference(docs):
+    """Sequential Gopher-style repetition fractions: per doc the
+    distinct-token ratio, top-token fraction and top-bigram fraction
+    (0.0 for single-token docs), quantized half-up to 6dp."""
+    import math
+
+    def fr(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    out = {}
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        counts = {t: toks.count(t) for t in set(toks)}
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        bcounts = {g: bigrams.count(g) for g in set(bigrams)}
+        out[i] = (n, len(counts), fr(len(counts) / n),
+                  fr(max(counts.values()) / n),
+                  fr(max(bcounts.values()) / len(bigrams))
+                  if bigrams else 0.0)
+    return out
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "aa"]),
+             min_size=1, max_size=12),
+    min_size=1, max_size=6))
+def test_repetition_stats_match_python_reference(spark, docs):
+    """Random token streams over a tiny alphabet (maximal tie/repeat
+    pressure): the two aggregation chains of doc_repetition_stats
+    must reproduce the sequential n-gram model per document, including
+    the no-bigram single-token rows."""
+    from unittest import mock
+
+    import data_warehouse_project_spark.llm.repetition as rep
+    from data_warehouse_project_spark.llm.repetition import (
+        doc_repetition_stats)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string")
+
+    class FakeCat:
+        def __init__(self, *a):
+            self.documents = df
+
+    with mock.patch.object(rep, "Catalog", FakeCat):
+        got = {r["doc_id"]: (r["n_tokens"], r["n_distinct"],
+                             r["distinct_ratio"], r["top_token_frac"],
+                             r["top_bigram_frac"])
+               for r in doc_repetition_stats(spark, "ignored").collect()}
+    assert got == _repetition_reference(docs), docs

@@ -1872,3 +1872,58 @@ def test_late_fold_driver_action_budget(spark, tmp_path, monkeypatch):
         actions["n"] = 0
         assert mod.fold_batch_into_state(b1, 1, state) is True
         assert actions["n"] <= 4, (mod.__name__, "merge", actions["n"])
+
+
+# ---------------------------------------------------------------------------
+# Interval join over random ts-ordered splits vs brute-force pairing
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_ij_stream = st.lists(
+    st.tuples(st.integers(1, 3),                      # user
+              st.sampled_from(["click", "purchase"]),
+              st.integers(0, 40),                     # half-hours
+              st.integers(0, 5)),                     # value
+    max_size=16)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=_ij_stream, split=st.integers(0, 40))
+def test_interval_join_any_ordered_split_matches_bruteforce(
+        spark, events, split):
+    """Random click/purchase streams folded through ANY ts-ordered
+    two-batch split (empty batches included): the buffered
+    incremental interval join must serve exactly the brute-force
+    all-pairs answer — every same-user purchase in
+    [click_ts, click_ts + 1 h], window endpoints inclusive, pairs
+    crossing the batch boundary in either direction."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming import interval_join as IJ
+
+    rows = [(u, i, h / 2.0, t, v)
+            for i, (u, t, h, v) in enumerate(events)]
+    df = _ij_events(spark, rows)
+    cut = dt.datetime(2025, 1, 10) + dt.timedelta(hours=split / 2.0)
+    state = IJ.merge_interval_join_state(
+        IJ.interval_join_state(df.filter(F.col("ts") <= F.lit(cut))),
+        df.filter(F.col("ts") > F.lit(cut)))
+    got = {(r["user_id"], r["click_id"], r["purchase_id"],
+            r["click_ts"], r["purchase_ts"], r["purchase_value"])
+           for r in IJ.state_to_matches(state).collect()}
+    base = dt.datetime(2025, 1, 10)
+    expected = set()
+    for ci, (cu, ct, ch, _) in enumerate(events):
+        if ct != "click":
+            continue
+        for pi, (pu, pt, ph, pv) in enumerate(events):
+            if pt != "purchase" or pu != cu:
+                continue
+            if ch <= ph <= ch + 2:                    # 1 h = 2 half-hours
+                expected.add((cu, ci, pi,
+                              base + dt.timedelta(hours=ch / 2.0),
+                              base + dt.timedelta(hours=ph / 2.0),
+                              float(pv)))
+    assert got == expected, (events, split)
