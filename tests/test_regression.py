@@ -220,3 +220,119 @@ def test_ols_matches_python_reference(spark, pts):
     r = ols_fit(_cells(spark, pts), ["g"]).collect()[0]
     got = (r["n_points"], r["slope"], r["intercept"], r["r2"])
     assert got == _ols_reference(pts), pts
+
+
+def _backtest_reference(pts):
+    """Sequential rolling-origin replay: expanding exact-integer
+    sums over strictly-prior months, the module's IEEE prediction
+    dag, and the quantized error/APE columns (NULL APE at y = 0)."""
+    from data_warehouse_project_spark.plans.regression import (
+        _BT_MIN_TRAIN)
+    s = sorted(pts)
+    out = {}
+    for i, (t, y) in enumerate(s):
+        prior = s[:i]
+        n = len(prior)
+        if n < _BT_MIN_TRAIN:
+            continue
+        nf = float(n)
+        st_ = float(sum(a for a, _ in prior))
+        sy = float(sum(b for _, b in prior))
+        stt = float(sum(a * a for a, _ in prior))
+        sty = float(sum(a * b for a, b in prior))
+        var_t = nf * stt - st_ * st_
+        cov = nf * sty - st_ * sy
+        if var_t > 0:
+            slope = cov / var_t
+            pred = (sy - slope * st_) / nf + slope * float(t)
+            err = float(y) - pred
+            ape = (_fr(abs(err) / float(y), 9) if y != 0 else None)
+            out[t] = (n, y, _fr(pred, 4), _fr(err, 4), ape)
+        else:
+            out[t] = (n, y, None, None, None)
+    return out
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pts=st.lists(st.tuples(st.integers(0, 30),
+                              st.integers(0, 10 ** 6)),
+                    max_size=20, unique_by=lambda p: p[0]))
+def test_backtest_matches_python_reference(spark, pts):
+    """Random monthly series (shorter than the 12-month warm-up,
+    zero-revenue months, arbitrary gaps in t): the five-window-sum
+    rolling-origin backtest must reproduce the sequential
+    leakage-free replay month for month."""
+    from data_warehouse_project_spark.plans.regression import (
+        backtest_fold)
+    monthly = spark.createDataFrame(
+        [Row(t=int(t), y=int(y)) for t, y in pts] or
+        [Row(t=0, y=0)], "t long, y long")
+    if not pts:
+        monthly = monthly.filter("t < 0")
+    got = {r["t"]: (r["n_train"], r["actual_cents"], r["pred_cents"],
+                    r["err_cents"], r["ape"])
+           for r in backtest_fold(monthly).collect()}
+    assert got == _backtest_reference(pts), pts
+
+
+def _conformal_reference(rows):
+    """Sequential split-conformal replay over a backtest frame:
+    calibrate on all-but-last non-NULL residuals, exact integer rank
+    k = min(ceil((n+1)·9/10), n), empirical coverage, and the
+    deployed month's quantized interval."""
+    if not rows:
+        return {}
+    last = max(rows, key=lambda r: r[0])
+    cal = sorted(math.floor(abs(e) * 1e4 + 0.5)
+                 for t, e, _, _ in rows if t < last[0] and e is not None)
+    n_cal = len(cal)
+    if n_cal == 0:
+        q = cov = k = None
+    else:
+        k = min(((n_cal + 1) * 9 + 9) // 10, n_cal)
+        q = cal[k - 1]
+        cov = sum(1 for a in cal if a <= q)
+    lt, le, la, lp = last
+    qd = q / 1e4 if q is not None else None
+    return {
+        "n_cal": n_cal if n_cal else None,
+        "k": k, "q_scaled": q, "n_covered_cal": cov,
+        "last_t": lt, "last_actual_cents": la, "last_pred_cents": lp,
+        "q_cents": _fr(qd, 4) if q is not None else None,
+        "lo_cents": _fr(lp - qd, 4) if q is not None else None,
+        "hi_cents": _fr(lp + qd, 4) if q is not None else None,
+        "last_covered": (math.floor(abs(le) * 1e4 + 0.5) <= q
+                         if q is not None and le is not None else None),
+    }
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 15),
+              st.one_of(st.none(),
+                        st.integers(-10 ** 5, 10 ** 5).map(
+                            lambda a: a / 1e4)),
+              st.integers(0, 10 ** 6),
+              st.integers(0, 10 ** 7).map(lambda p: p / 1e4)),
+    min_size=1, max_size=12, unique_by=lambda r: r[0]))
+def test_conformal_matches_python_reference(spark, rows):
+    """Random backtest frames (NULL-residual months, single-row
+    frames with empty calibration sets, tie-heavy residuals): the
+    windowed split-conformal fold must reproduce the sequential rank
+    pick, empirical coverage, and deployed interval exactly."""
+    from data_warehouse_project_spark.plans.regression import (
+        conformal_fold)
+    bt = spark.createDataFrame(
+        [Row(t=int(t), n_train=12, actual_cents=int(a),
+             pred_cents=float(p), err_cents=e,
+             ape=None)
+         for t, e, a, p in rows],
+        "t long, n_train long, actual_cents long, pred_cents double, "
+        "err_cents double, ape double")
+    out = conformal_fold(bt).collect()
+    expected = _conformal_reference(rows)
+    assert len(out) == 1
+    got = {c: out[0][c] for c in expected}
+    assert got == expected, rows
