@@ -668,3 +668,45 @@ def test_conversion_latency_hand_cohort(spark, tmp_path):
     assert r["n_converters"] == 1
     assert r["p50_min"] == r["p90_min"] == r["p99_min"] == 45
     assert r["max_min"] == 45
+
+
+def _stickiness_reference(visits):
+    """Sequential DAU/MAU replay: visits = (user, month 1..2,
+    day 1..5) in Jan/Feb 2024 — calendar-day denominators (31/29),
+    exact distincts, quantized single divisions."""
+    days_in = {1: 31, 2: 29}
+    by_month = {}
+    for u, m, d in visits:
+        by_month.setdefault(m, {"days": {}, "users": set()})
+        by_month[m]["days"].setdefault(d, set()).add(u)
+        by_month[m]["users"].add(u)
+    out = {}
+    for m, s in by_month.items():
+        sum_dau = sum(len(us) for us in s["days"].values())
+        n_days, mau = days_in[m], len(s["users"])
+        out[m] = (n_days, mau,
+                  math.floor(sum_dau / n_days * 1e4 + 0.5) / 1e4,
+                  math.floor(sum_dau / (n_days * mau) * 1e6 + 0.5) / 1e6)
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(visits=st.lists(st.tuples(st.integers(1, 4), st.integers(1, 2),
+                                 st.integers(1, 5)),
+                       min_size=1, max_size=20))
+def test_stickiness_matches_python_reference(spark, tmp_path_factory,
+                                             visits):
+    """Random (user, month, day) visit patterns (repeat visits the
+    distincts must collapse, single-user months, users active in both
+    months): the two-distinct-shuffle stickiness report must match
+    the sequential DAU/MAU replay per month."""
+    from data_warehouse_project_spark.plans.analytics import (
+        events_stickiness_monthly)
+    rows = [(u, "view", f"2024-{m:02d}-{d:02d} 10:00:00")
+            for u, m, d in visits]
+    d = _write_events(spark, tmp_path_factory.mktemp("stick"), rows)
+    got = {r["month"].month: (r["n_days"], r["mau"], r["avg_dau"],
+                              r["stickiness"])
+           for r in events_stickiness_monthly(spark, d).collect()}
+    assert got == _stickiness_reference(visits), visits

@@ -661,3 +661,52 @@ def test_triangle_participation_matches_python_reference(spark, orders):
            for r in triangle_participation(
                li, _part(spark, list(range(1, 9))), k=100).collect()}
     assert got == expected, orders
+
+
+def _reach_reference(orders, hops):
+    """Plain-Python BFS from min co-purchase node: per-hop count of
+    first-reached parts, hop 0 = the seed."""
+    edges = set()
+    for parts in orders:
+        ps = set(parts)
+        if len(ps) > MAX_BASKET:
+            continue
+        for a in ps:
+            for b in ps:
+                if a != b:
+                    edges.add((a, b))
+    if not edges:
+        return {}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    seed = min(a for a, _ in edges)
+    visited, frontier = {seed}, {seed}
+    counts = {0: 1}
+    for h in range(1, hops + 1):
+        nxt = set()
+        for n in frontier:
+            nxt |= adj.get(n, set())
+        nxt -= visited
+        if nxt:
+            counts[h] = len(nxt)
+        visited |= nxt
+        frontier = nxt
+    return counts
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(orders=st.lists(st.lists(st.integers(1, 9), max_size=5),
+                       max_size=8),
+       hops=st.integers(1, 4))
+def test_reach_hops_matches_python_reference(spark, orders, hops):
+    """Random co-purchase graphs (edgeless, disconnected, chains
+    longer and shorter than the hop budget): the unrolled frontier
+    BFS must report exactly the sequential BFS's per-hop
+    first-reached counts from the min-key seed."""
+    from data_warehouse_project_spark.plans.graph import reach_hops
+    li = _lineitem(spark, list(enumerate(orders)))
+    got = {r["hop"]: r["n_first_reached"]
+           for r in reach_hops(li, hops=hops).collect()}
+    assert got == _reach_reference(orders, hops), (orders, hops)
