@@ -710,3 +710,59 @@ def test_stickiness_matches_python_reference(spark, tmp_path_factory,
                               r["stickiness"])
            for r in events_stickiness_monthly(spark, d).collect()}
     assert got == _stickiness_reference(visits), visits
+
+
+def _latency_reference(events):
+    """Sequential first-touch latency replay: per user the earliest
+    click, earliest in-window purchase at or after it, whole-minute
+    floor, then the integer-rank histogram quantiles."""
+    clicks, purch = {}, {}
+    for u, t, m in events:
+        (clicks if t == "click" else purch).setdefault(u, []).append(m)
+    lats = []
+    for u, cs in clicks.items():
+        c = min(cs)
+        inwin = [p for p in purch.get(u, [])
+                 if c <= p <= c + 24 * 60]
+        if inwin:
+            lats.append(min(inwin) - c)
+    if not lats:
+        return (0, None, None, None, None)
+    s = sorted(lats)
+    n = len(s)
+
+    def q(num, den):
+        cum = 0
+        for v in sorted(set(s)):
+            cum += s.count(v)
+            if cum * den >= n * num:
+                return v
+
+    return (n, q(1, 2), q(9, 10), q(99, 100), max(s))
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(
+    st.tuples(st.integers(1, 3),
+              st.sampled_from(["click", "purchase"]),
+              st.integers(0, 2000)),
+    max_size=18))
+def test_conversion_latency_matches_python_reference(
+        spark, tmp_path_factory, events):
+    """Random click/purchase streams (purchases before any click,
+    outside the 24 h window, multi-click users where only the FIRST
+    click anchors, zero-converter corpora): the windowed first-touch
+    latency report must match the sequential replay in count and all
+    integer-rank quantiles."""
+    from data_warehouse_project_spark.plans.analytics import (
+        conversion_latency_quantiles)
+    evs = [(u, t,
+            f"2024-01-{1 + m // 1440:02d} "
+            f"{(m % 1440) // 60:02d}:{m % 60:02d}:00")
+           for u, t, m in events]
+    d = _write_events(spark, tmp_path_factory.mktemp("lat"), evs)
+    r = conversion_latency_quantiles(spark, d).collect()[0]
+    got = (r["n_converters"], r["p50_min"], r["p90_min"],
+           r["p99_min"], r["max_min"])
+    assert got == _latency_reference(events), events

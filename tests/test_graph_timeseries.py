@@ -710,3 +710,57 @@ def test_reach_hops_matches_python_reference(spark, orders, hops):
     got = {r["hop"]: r["n_first_reached"]
            for r in reach_hops(li, hops=hops).collect()}
     assert got == _reach_reference(orders, hops), (orders, hops)
+
+
+def _affinity_reference(orders, cap):
+    """Sequential item-CF replay: weighted co-purchase edges, per-node
+    top-cap neighbor heads by (w DESC, partkey), in-membership set
+    cosine, 6dp half-up quantization."""
+    from collections import Counter
+    w = Counter()
+    for parts in orders:
+        ps = sorted(set(parts))
+        if len(ps) > MAX_BASKET:
+            continue
+        for a in ps:
+            for b in ps:
+                if a != b:
+                    w[(a, b)] += 1
+    heads = {}
+    for (a, b), n in w.items():
+        heads.setdefault(a, []).append((-n, b))
+    member = {}
+    for c, lst in heads.items():
+        for _, b in sorted(lst)[:cap]:
+            member.setdefault(b, set()).add(c)
+    out = {}
+    nodes = sorted(member)
+    for i, pa in enumerate(nodes):
+        for pb in nodes[i + 1:]:
+            common = len(member[pa] & member[pb])
+            if common:
+                aff = common / math.sqrt(
+                    float(len(member[pa]) * len(member[pb])))
+                out[(pa, pb)] = (common,
+                                 math.floor(aff * 1e6 + 0.5) / 1e6)
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(orders=st.lists(st.lists(st.integers(1, 7), max_size=5),
+                       max_size=8))
+def test_affinity_matches_python_reference(spark, orders):
+    """Random weighted co-purchase graphs with the neighbor cap
+    forced to 2 (so head truncation — the operator's scale semantics
+    — is actually exercised): the wedge-join item-CF must reproduce
+    the sequential capped-head set-cosine model."""
+    from unittest import mock
+
+    import data_warehouse_project_spark.plans.graph as G
+    li = _lineitem(spark, list(enumerate(orders)))
+    with mock.patch.object(G, "AFFINITY_CAP", 2):
+        rows = G.affinity_topk(li, k=10_000).collect()
+    got = {(r["part_a"], r["part_b"]): (r["n_common"], r["affinity"])
+           for r in rows}
+    assert got == _affinity_reference(orders, cap=2), orders
