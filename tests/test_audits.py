@@ -410,3 +410,78 @@ def test_benford_fold_matches_python_reference(spark, cents):
                         r["benford_chi2"], r["conforms"])
            for r in benford_fold(df).collect()}
     assert got == _benford_reference(cents), cents
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation vs a sequential quartile-scoring model
+# ---------------------------------------------------------------------------
+
+
+def _rfm_reference(events):
+    """Sequential RFM replay: per-user recency/frequency/monetary,
+    integer-rank discrete quartiles per dimension, inverted R score,
+    segment rollup with 2dp mean spend."""
+    per = {}
+    for u, cents, d in events:
+        last, freq, mon = per.get(u, (-1, 0, 0))
+        per[u] = (max(last, d), freq + 1, mon + cents)
+    anchor = max(d for _, _, d in events)
+
+    def quartiles(vals):
+        s, n = sorted(vals), len(vals)
+        out = []
+        for k in (1, 2, 3):
+            cum = 0
+            for v in sorted(set(s)):
+                cum += s.count(v)
+                if cum * 4 >= n * k:
+                    out.append(v)
+                    break
+        return out
+
+    rows = [(anchor - last, freq, math.floor(mon / 100.0), mon)
+            for last, freq, mon in per.values()]
+    rq = quartiles([r for r, _, _, _ in rows])
+    fq = quartiles([f for _, f, _, _ in rows])
+    mq = quartiles([m for _, _, m, _ in rows])
+    segs = {}
+    for r, f, m, mon in rows:
+        rs = 4 - sum(r > q for q in rq)
+        fs = 1 + sum(f > q for q in fq)
+        ms = 1 + sum(m > q for q in mq)
+        n, c = segs.get((rs, fs, ms), (0, 0))
+        segs[(rs, fs, ms)] = (n + 1, c + mon)
+    return {f"R{rs}F{fs}M{ms}":
+            (rs, fs, ms, n,
+             math.floor(c / (n * 100.0) * 100 + 0.5) / 100)
+            for (rs, fs, ms), (n, c) in segs.items()}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(st.tuples(st.integers(1, 5),
+                                 st.integers(0, 50_000),
+                                 st.integers(0, 25)),
+                       min_size=1, max_size=25))
+def test_rfm_matches_python_reference(spark, tmp_path_factory, events):
+    """Random (user, spend-cents, day) streams — tie-heavy quartile
+    histograms, single-user corpora, zero-value events: the stacked-
+    histogram RFM segmentation must reproduce the sequential
+    quartile-scoring replay segment for segment."""
+    from pyspark.sql import Row
+
+    from data_warehouse_project_spark.plans.audits import (
+        user_rfm_segments)
+    tmp = tmp_path_factory.mktemp("rfm")
+    df = spark.createDataFrame(
+        [Row(event_id=i, ts=f"2024-01-{1 + d:02d} 12:00:00",
+             user_id=u, event_type="view", value=c / 100.0, props="{}")
+         for i, (u, c, d) in enumerate(events)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string")
+    (df.withColumn("ts", F.to_timestamp("ts")).coalesce(1)
+     .write.mode("overwrite").parquet(f"{tmp}/events.parquet"))
+    got = {r["segment"]: (r["r_score"], r["f_score"], r["m_score"],
+                          r["n_users"], r["mean_spend"])
+           for r in user_rfm_segments(spark, str(tmp)).collect()}
+    assert got == _rfm_reference(events), events
