@@ -123,3 +123,98 @@ def test_new_vs_returning_accounts_every_customer_once(spark, sf_dir):
                .alias("m"))
           .filter(F.col("m") >= 2).limit(1).collect())
     assert cm, "test data should contain a multi-month customer"
+
+
+# ---------------------------------------------------------------------------
+# New-vs-returning vs a sequential first-month replay
+# ---------------------------------------------------------------------------
+
+import datetime as dt
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_O_SCHEMA = ("o_orderkey long, o_custkey long, o_orderstatus string, "
+             "o_totalprice double, o_orderdate timestamp_ntz, "
+             "o_orderpriority string")
+
+
+def _nvr_reference(orders):
+    """Sequential replay: per customer the first active month; per
+    month the order count, first-month order count, returning rest,
+    and the quantized new-order share."""
+    first = {}
+    for u, m in orders:
+        first[u] = min(first.get(u, m), m)
+    out = {}
+    for u, m in orders:
+        n, new = out.get(m, (0, 0))
+        out[m] = (n + 1, new + (1 if m == first[u] else 0))
+    return {m: (n, new, n - new, math.floor(new / n * 1e6 + 0.5) / 1e6)
+            for m, (n, new) in out.items()}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(orders=st.lists(st.tuples(st.integers(1, 4), st.integers(1, 4)),
+                       min_size=1, max_size=25))
+def test_new_vs_returning_matches_python_reference(
+        spark, tmp_path_factory, orders):
+    """Random (customer, month) order streams — customers acquired in
+    every month, single-month customers, all-new and all-returning
+    months: the windowed first-month split must match the sequential
+    replay in every column."""
+    tmp = tmp_path_factory.mktemp("nvr")
+    spark.createDataFrame(
+        [(i, u, "O", 100.0, dt.datetime(2024, m, 5), "3-MEDIUM")
+         for i, (u, m) in enumerate(orders)], _O_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp}/orders.parquet")
+    got = {r["month"].month: (r["n_orders"], r["n_new"],
+                              r["n_returning"], r["new_share"])
+           for r in customer_new_vs_returning(spark, str(tmp)).collect()}
+    assert got == _nvr_reference(orders), orders
+
+
+def _cohort_reference(orders):
+    """Sequential cohort-LTV replay: per customer the first-order
+    month, per (cohort_month, months_since) cell distinct actives,
+    order count, and the dsum-quantized revenue (guard = 4 ppm-like
+    scaling, half-up to 2dp)."""
+    first = {}
+    for u, m, _ in orders:
+        first[u] = min(first.get(u, m), m)
+    cells = {}
+    for u, m, cents in orders:
+        key = (first[u], m - first[u])
+        users, n, tot = cells.get(key, (set(), 0, 0))
+        users = users | {u}
+        # dsum guard scaling: price dollars -> floor(x*1e4 + .5)
+        tot += math.floor(cents / 100.0 * 1e4 + 0.5)
+        cells[key] = (users, n + 1, tot)
+    return {k: (len(us), n, math.floor((t + 50) / 100.0) / 100.0)
+            for k, (us, n, t) in cells.items()}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(orders=st.lists(st.tuples(st.integers(1, 4), st.integers(1, 5),
+                                 st.integers(0, 10 ** 6)),
+                       min_size=1, max_size=25))
+def test_cohort_revenue_matches_python_reference(
+        spark, tmp_path_factory, orders):
+    """Random (customer, month, price-cents) orders: the cohort-LTV
+    matrix must match the sequential replay — first-month cohorting,
+    distinct active counts, and the order-independent dsum revenue."""
+    from data_warehouse_project_spark.plans.warehouse import (
+        customer_cohort_revenue)
+    tmp = tmp_path_factory.mktemp("coh")
+    spark.createDataFrame(
+        [(i, u, "O", c / 100.0, dt.datetime(2024, m, 5), "3-MEDIUM")
+         for i, (u, m, c) in enumerate(orders)], _O_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp}/orders.parquet")
+    got = {(r["cohort_month"].month, r["months_since"]):
+           (r["n_active_customers"], r["n_orders"], r["revenue"])
+           for r in customer_cohort_revenue(spark, str(tmp)).collect()}
+    assert got == _cohort_reference(orders), orders
