@@ -369,3 +369,166 @@ def test_mannwhitney_matches_python_reference(spark, tmp_path_factory,
     got = (r["n_a"], r["n_b"], r["r_b_doubled"], r["u_b_doubled"],
            r["tie_term"], r["z"], r["significant"])
     assert got == _mw_reference(pairs), pairs
+
+
+# ---------------------------------------------------------------------------
+# CUPED vs a full sequential model over random pre/post draws
+# ---------------------------------------------------------------------------
+
+
+def _fr(x, scale):
+    if x is None:
+        return None
+    s = 10.0 ** scale
+    return math.floor(x * s + 0.5) / s
+
+
+def _cuped_reference(rows):
+    """Sequential CUPED replay: per-user exact pre/post cent sums,
+    pooled moments, the module's IEEE dag for theta/rho2/adjusted
+    means/lifts, and the SRM chi-square gate — NULL guards on zero
+    covariate variance and empty arms."""
+    per = {}
+    for u, pre, typ, c in rows:
+        x, y = per.get(u, (0, 0))
+        if pre:
+            x += c
+        elif typ == "purchase":
+            y += c
+        per[u] = (x, y)
+    arms = {u: _arm_of(u) for u in per}
+    n = float(len(per))
+    sx = float(sum(x for x, _ in per.values()))
+    sy = float(sum(y for _, y in per.values()))
+    sxx = float(sum(x * x for x, _ in per.values()))
+    sxy = float(sum(x * y for x, y in per.values()))
+    syy = float(sum(y * y for _, y in per.values()))
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    theta = cov / var_x if var_x > 0 else None
+    rho2 = (cov * cov / (var_x * var_y)
+            if var_x > 0 and var_y > 0 else None)
+    th = theta if theta is not None else 0.0
+    n_a = sum(1 for u in per if arms[u] == "A")
+    n_b = len(per) - n_a
+    sx_a = float(sum(x for u, (x, _) in per.items() if arms[u] == "A"))
+    sy_a = float(sum(y for u, (_, y) in per.items() if arms[u] == "A"))
+    sx_b = sx - sx_a
+    sy_b = sy - sy_a
+    mean_x = sx / n if n > 0 else None
+    my_a = sy_a / n_a if n_a > 0 else None
+    my_b = sy_b / n_b if n_b > 0 else None
+    adj_a = (my_a - th * (sx_a / n_a - mean_x)
+             if n_a > 0 and mean_x is not None else None)
+    adj_b = (my_b - th * (sx_b / n_b - mean_x)
+             if n_b > 0 and mean_x is not None else None)
+    nd = float(n_a) - float(n_b)
+    srm = (nd * nd / (n_a + n_b)) if n_a + n_b > 0 else None
+    return (n_a, n_b,
+            _fr(my_a / 100.0 if my_a is not None else None, 6),
+            _fr(my_b / 100.0 if my_b is not None else None, 6),
+            _fr(theta, 9), _fr(rho2, 9),
+            _fr(adj_a / 100.0 if adj_a is not None else None, 6),
+            _fr(adj_b / 100.0 if adj_b is not None else None, 6),
+            _fr((my_b - my_a) / 100.0
+                if None not in (my_a, my_b) else None, 6),
+            _fr((adj_b - adj_a) / 100.0
+                if None not in (adj_a, adj_b) else None, 6),
+            _fr(srm, 9),
+            (srm <= 10.83) if srm is not None else None)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(1, 60),
+              st.booleans(),
+              st.sampled_from(["purchase", "view"]),
+              st.integers(0, 10_000)),
+    min_size=1, max_size=20))
+def test_cuped_matches_python_reference(spark, tmp_path_factory, rows):
+    """Random per-user pre/post event draws (constant covariates,
+    single-arm corpora, purchase-free users): the single-aggregation
+    CUPED report must reproduce the sequential replay in every
+    column, NULL guards included."""
+    from data_warehouse_project_spark.plans.experiment import (
+        events_ab_cuped_report)
+    pre_ts = dt.datetime(2024, 1, 10)
+    post_ts = dt.datetime(2024, 1, 20)
+    tmp = tmp_path_factory.mktemp("cuped")
+    sf = _write_valued_events(
+        spark, tmp,
+        [(u, typ, pre_ts if pre else post_ts, c / 100.0)
+         for u, pre, typ, c in rows])
+    r = events_ab_cuped_report(spark, sf).collect()[0]
+    got = (r["n_a"], r["n_b"], r["mean_y_a"], r["mean_y_b"],
+           r["theta"], r["rho2"], r["mean_y_a_adj"], r["mean_y_b_adj"],
+           r["abs_lift_raw"], r["abs_lift_adj"], r["srm_chi2"],
+           r["srm_ok"])
+    assert got == _cuped_reference(rows), rows
+
+
+def _ab_reference(events):
+    """Sequential two-proportion replay: exposure = has a click,
+    conversion = any purchase inside the first-click window; pooled
+    z with NULL guards (missing arm rows surface as NULL counts and
+    a False significance via the z-coalesce)."""
+    clicks, purch = {}, {}
+    for u, t, m in events:
+        (clicks if t == "click" else purch).setdefault(u, []).append(m)
+    per_arm = {"A": [0, 0], "B": [0, 0]}
+    for u, cs in clicks.items():
+        fc = min(cs)
+        conv = any(fc <= p <= fc + _WINDOW_HOURS * 60
+                   for p in purch.get(u, []))
+        st_ = per_arm[_arm_of(u)]
+        st_[0] += 1
+        st_[1] += 1 if conv else 0
+    n_a, conv_a = per_arm["A"]
+    n_b, conv_b = per_arm["B"]
+    if n_a == 0:
+        n_a = conv_a = None
+    if n_b == 0:
+        n_b = conv_b = None
+    ra = conv_a / n_a if n_a else None
+    rb = conv_b / n_b if n_b else None
+    if n_a and n_b:
+        pooled = (conv_a + conv_b) / (n_a + n_b)
+        se = math.sqrt(pooled * (1.0 - pooled)
+                       * (1.0 / n_a + 1.0 / n_b))
+        z = (rb - ra) / se if se > 0 else None
+    else:
+        z = None
+    return (n_a, conv_a, n_b, conv_b, _fr(ra, 9), _fr(rb, 9),
+            _fr(rb - ra, 9) if None not in (ra, rb) else None,
+            _fr((rb - ra) / ra, 9)
+            if None not in (ra, rb) and ra > 0 else None,
+            _fr(z, 9),
+            abs(z if z is not None else 0.0) > 1.96)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(
+    st.tuples(st.integers(1, 60),
+              st.sampled_from(["click", "purchase"]),
+              st.integers(0, 3000)),
+    min_size=1, max_size=20))
+def test_ab_conversion_matches_python_reference(
+        spark, tmp_path_factory, events):
+    """Random click/purchase streams (single-arm corpora, all-or-none
+    conversion, purchases outside the attribution window): the
+    windowed two-proportion report must match the sequential replay
+    in every column, including NULL missing-arm counts and the
+    z-coalesce significance."""
+    t0 = dt.datetime(2024, 1, 5)
+    tmp = tmp_path_factory.mktemp("ab")
+    sf = _write_events(
+        spark, tmp,
+        [(u, t, t0 + dt.timedelta(minutes=m)) for u, t, m in events])
+    r = events_ab_conversion_report(spark, sf).collect()[0]
+    got = (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"], r["rate_a"],
+           r["rate_b"], r["abs_lift"], r["rel_lift"], r["z_score"],
+           r["significant"])
+    assert got == _ab_reference(events), events
