@@ -485,3 +485,123 @@ def test_rfm_matches_python_reference(spark, tmp_path_factory, events):
                           r["n_users"], r["mean_spend"])
            for r in user_rfm_segments(spark, str(tmp)).collect()}
     assert got == _rfm_reference(events), events
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration and supplier HHI vs sequential replays
+# ---------------------------------------------------------------------------
+
+_LI_SCHEMA = ("l_orderkey long, l_partkey long, l_suppkey long, "
+              "l_extendedprice double, l_discount double, "
+              "l_shipdate timestamp_ntz")
+
+
+_T0 = __import__("datetime").datetime(2024, 1, 5)
+
+
+def _write_li_star(spark, tmp, lines, supp_nations=None):
+    """lines: (partkey, suppkey, price_cents, discount_pct)."""
+    spark.createDataFrame(
+        [(i, p, s, c / 100.0, d / 100.0, _T0)
+         for i, (p, s, c, d) in enumerate(lines)], _LI_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp}/lineitem.parquet")
+    if supp_nations is not None:
+        spark.createDataFrame(
+            [(s, f"s{s}", n) for s, n in supp_nations.items()],
+            "s_suppkey long, s_name string, s_nationkey long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp}/supplier.parquet")
+        spark.createDataFrame(
+            [(n, f"NATION_{n}", 0) for n in set(supp_nations.values())],
+            "n_nationkey long, n_name string, n_regionkey long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp}/nation.parquet")
+    return str(tmp)
+
+
+def _pareto_reference(lines):
+    """Sequential replay: per-part dsum revenue, lossless 2dp total,
+    desc-(revenue, partkey) ranking with the window-order cumulative
+    IEEE share sum."""
+    per = {}
+    for p, _, c, d in lines:
+        t = (c / 100.0) * (1 - d / 100.0)
+        per[p] = per.get(p, 0) + math.floor(t * 1e4 + 0.5)
+    rev = {p: math.floor((t + 50) / 100.0) / 100.0
+           for p, t in per.items()}
+    total = sum(math.floor(r * 100 + 0.5) for r in rev.values()) / 100.0
+    order = sorted(rev, key=lambda p: (-rev[p], p))[:25]
+    out, cum = {}, 0.0
+    for p in order:
+        cum += rev[p]
+        out[p] = (rev[p],
+                  math.floor(rev[p] / total * 1e6 + 0.5) / 1e6,
+                  math.floor(cum / total * 1e6 + 0.5) / 1e6)
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lines=st.lists(
+    st.tuples(st.integers(1, 6), st.integers(1, 3),
+              st.integers(1, 10 ** 6), st.integers(0, 50)),
+    min_size=1, max_size=20))
+def test_pareto_matches_python_reference(spark, tmp_path_factory,
+                                         lines):
+    """Random priced lineitems (revenue ties broken by partkey,
+    multi-line parts the dsum must fold order-independently): the
+    top-N Pareto report must match the sequential replay — shares,
+    and the window-ordered cumulative share."""
+    from data_warehouse_project_spark.plans.warehouse import (
+        part_pareto_concentration)
+    tmp = tmp_path_factory.mktemp("pareto")
+    _write_li_star(spark, tmp, lines)
+    got = {r["l_partkey"]: (r["revenue"], r["share"], r["cum_share"])
+           for r in part_pareto_concentration(spark, str(tmp)).collect()}
+    assert got == _pareto_reference(lines), lines
+
+
+def _hhi_reference(lines, supp_nations):
+    """Sequential replay: per-supplier exact cents, per-nation totals,
+    micro-point-quantized share-squared sum, top-supplier share."""
+    per = {}
+    for _, s, c, d in lines:
+        t = (c / 100.0) * (1 - d / 100.0)
+        per[s] = per.get(s, 0) + math.floor(t * 100 + 0.5)
+    nations = {}
+    for s, cents in per.items():
+        nations.setdefault(f"NATION_{supp_nations[s]}", []).append(cents)
+    out = {}
+    for nat, cs in nations.items():
+        tot = sum(cs)
+        qh = sum(math.floor((c / tot) * (c / tot) * 1e10 + 0.5)
+                 for c in cs)
+        out[nat] = (len(cs),
+                    math.floor(qh / 1e6 * 100 + 0.5) / 100,
+                    math.floor(max(cs) / tot * 100 * 1e4 + 0.5) / 1e4)
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lines=st.lists(
+    st.tuples(st.integers(1, 6), st.integers(1, 4),
+              st.integers(1, 10 ** 6), st.integers(0, 50)),
+    min_size=1, max_size=20),
+    nations=st.tuples(st.integers(0, 1), st.integers(0, 1),
+                      st.integers(0, 1), st.integers(0, 1)))
+def test_hhi_matches_python_reference(spark, tmp_path_factory, lines,
+                                      nations):
+    """Random supplier revenue splits across random nation
+    assignments (monopoly nations, even splits, multi-line
+    suppliers): the HHI audit must match the sequential quantized
+    share-squared replay per nation."""
+    from data_warehouse_project_spark.plans.warehouse import (
+        supplier_hhi_by_nation)
+    supp_nations = {s: nations[s - 1] for s in range(1, 5)}
+    tmp = tmp_path_factory.mktemp("hhi")
+    _write_li_star(spark, tmp, lines, supp_nations)
+    got = {r["nation"]: (r["n_suppliers"], r["hhi"], r["top_share_pct"])
+           for r in supplier_hhi_by_nation(spark, str(tmp)).collect()}
+    assert got == _hhi_reference(lines, supp_nations), (lines, nations)
