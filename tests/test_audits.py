@@ -605,3 +605,59 @@ def test_hhi_matches_python_reference(spark, tmp_path_factory, lines,
     got = {r["nation"]: (r["n_suppliers"], r["hhi"], r["top_share_pct"])
            for r in supplier_hhi_by_nation(spark, str(tmp)).collect()}
     assert got == _hhi_reference(lines, supp_nations), (lines, nations)
+
+
+def _ship_lat_reference(lines):
+    """Sequential integer-rank quantile replay per priority group."""
+    groups = {}
+    for p, lat in lines:
+        groups.setdefault(f"P{p}", []).append(lat)
+
+    def q(vals, num, den):
+        s, n = sorted(vals), len(vals)
+        cum = 0
+        for v in sorted(set(s)):
+            cum += s.count(v)
+            if cum * den >= n * num:
+                return v
+
+    return {g: (len(v), q(v, 1, 2), q(v, 9, 10), q(v, 99, 100))
+            for g, v in groups.items()}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lines=st.lists(st.tuples(st.integers(0, 2),
+                                st.integers(-2, 40)),
+                      min_size=1, max_size=25))
+def test_ship_latency_matches_python_reference(spark, tmp_path_factory,
+                                               lines):
+    """Random per-priority latency draws (ties on the rank
+    boundaries, negative latencies, single-line groups): the
+    histogram-rank SLA report must match the sequential integer-rank
+    quantile replay."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.plans.warehouse import (
+        ship_latency_quantiles)
+    t0 = dt.datetime(2024, 1, 10)
+    tmp = tmp_path_factory.mktemp("lat")
+    spark.createDataFrame(
+        [(i, i % 7, 1, 100.0, (t0 + dt.timedelta(days=lat)))
+         for i, (_, lat) in enumerate(lines)],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_extendedprice double, l_shipdate timestamp_ntz"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp}/lineitem.parquet")
+    spark.createDataFrame(
+        [(i, 1, "O", 100.0, t0, f"P{p}")
+         for i, (p, _) in enumerate(lines)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp}/orders.parquet")
+    got = {r["o_orderpriority"]: (r["n_lines"], r["p50_days"],
+                                  r["p90_days"], r["p99_days"])
+           for r in ship_latency_quantiles(spark, str(tmp)).collect()}
+    assert got == _ship_lat_reference(lines), lines

@@ -404,3 +404,66 @@ def test_cohort_drift_empty_cohort_yields_null(spark):
         assert r["tvd_term"] is None
         assert r["chi2_term"] is None
         assert r["frac_late"] is not None
+
+
+# ---------------------------------------------------------------------------
+# Cohort drift vs a sequential binned-histogram replay
+# ---------------------------------------------------------------------------
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _drift_reference(rows):
+    """Sequential replay of cohort_drift: shared bounds, ceil-width
+    16-bin histogram, per-bin fractions with empty-cohort NULL
+    guards, TVD and pooled chi-square terms, all 9dp-quantized."""
+    from data_warehouse_project_spark.plans.drift import _BINS
+
+    def fr(x, s):
+        return (math.floor(x * 10.0 ** s + 0.5) / 10.0 ** s
+                if x is not None else None)
+
+    cents = [c for c, _ in rows]
+    mn, mx = min(cents), max(cents)
+    width = int(math.ceil((mx - mn + 1) / float(_BINS)))
+    bins = {}
+    for c, early in rows:
+        b = (c - mn) // width
+        e, l = bins.get(b, (0, 0))
+        bins[b] = (e + 1, l) if early else (e, l + 1)
+    te = sum(e for e, _ in bins.values())
+    tl = sum(l for _, l in bins.values())
+    out = {}
+    for b, (e, l) in bins.items():
+        p = e / te if te > 0 else None
+        q = l / tl if tl > 0 else None
+        pooled = (e + l) / (te + tl)
+        tvd = abs(p - q) / 2.0 if None not in (p, q) else None
+        chi2 = ((p - q) * (p - q) / pooled
+                if None not in (p, q) else None)
+        out[b] = (fr((mn + b * width) / 100.0, 2),
+                  fr((mn + (b + 1) * width) / 100.0, 2),
+                  e, l, fr(p, 9), fr(q, 9), fr(tvd, 9), fr(chi2, 9))
+    return out
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(st.tuples(st.integers(-500, 50_000), st.booleans()),
+                     min_size=1, max_size=30))
+def test_cohort_drift_matches_python_reference(spark, rows):
+    """Random two-cohort value draws (single-cohort corpora — the
+    NULL-fraction guard path — ranges narrower and wider than the
+    bin count, negative cents): the binned drift report must match
+    the sequential replay bin for bin."""
+    from data_warehouse_project_spark.plans.drift import cohort_drift
+    c = spark.createDataFrame(
+        [Row(cents=int(v), early=bool(e)) for v, e in rows],
+        "cents long, early boolean")
+    got = {r["bin"]: (r["lo"], r["hi"], r["n_early"], r["n_late"],
+                      r["frac_early"], r["frac_late"], r["tvd_term"],
+                      r["chi2_term"])
+           for r in cohort_drift(c).collect()}
+    assert got == _drift_reference(rows), rows
