@@ -766,3 +766,66 @@ def test_conversion_latency_matches_python_reference(
     got = (r["n_converters"], r["p50_min"], r["p90_min"],
            r["p99_min"], r["max_min"])
     assert got == _latency_reference(events), events
+
+
+def _basket_reference(orders):
+    """Sequential market-basket replay: distinct guarded items, pair
+    counts, deterministic (count desc, a, b) top-K, support and
+    lift."""
+    from data_warehouse_project_spark.plans.analytics import (
+        BASKET_TOP_K, MAX_BASKET_ITEMS)
+    kept = {}
+    for ok, parts in enumerate(orders):
+        ps = sorted(set(parts))
+        if 0 < len(ps) <= MAX_BASKET_ITEMS:
+            kept[ok] = ps
+    pairs = {}
+    for ps in kept.values():
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pairs[(ps[i], ps[j])] = pairs.get((ps[i], ps[j]), 0) + 1
+    per_part = {}
+    for ps in kept.values():
+        for p in ps:
+            per_part[p] = per_part.get(p, 0) + 1
+    total = len(kept)
+    top = sorted(pairs, key=lambda k: (-pairs[k], k))[:BASKET_TOP_K]
+    return {(a, b): (pairs[(a, b)], per_part[a], per_part[b],
+                     math.floor(pairs[(a, b)] / total * 1e6 + 0.5) / 1e6,
+                     math.floor(pairs[(a, b)] * total
+                                / (per_part[a] * per_part[b])
+                                * 1e6 + 0.5) / 1e6)
+            for a, b in top}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(orders=st.lists(st.lists(st.integers(1, 7), max_size=5),
+                       min_size=1, max_size=10))
+def test_market_basket_matches_python_reference(spark, orders):
+    """Random baskets (duplicate items the distinct must collapse,
+    pairless corpora): the self-join market-basket report must match
+    the sequential replay — pair counts, per-part denominators,
+    support and lift quantization."""
+    from unittest import mock
+
+    import data_warehouse_project_spark.plans.analytics as A
+    li = spark.createDataFrame(
+        [Row(l_orderkey=ok, l_partkey=p)
+         for ok, parts in enumerate(orders) for p in parts]
+        or [Row(l_orderkey=0, l_partkey=0)],
+        "l_orderkey long, l_partkey long")
+    if not any(parts for parts in orders):
+        li = li.filter("l_orderkey < 0")
+
+    class FakeCat:
+        def __init__(self, *a):
+            self.lineitem = li
+
+    with mock.patch.object(A, "Catalog", FakeCat):
+        rows = A.part_market_basket(spark, "ignored").collect()
+    got = {(r["part_a"], r["part_b"]):
+           (r["pair_orders"], r["orders_a"], r["orders_b"],
+            r["support"], r["lift"])
+           for r in rows}
+    assert got == _basket_reference(orders), orders

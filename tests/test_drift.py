@@ -467,3 +467,62 @@ def test_cohort_drift_matches_python_reference(spark, rows):
                       r["chi2_term"])
            for r in cohort_drift(c).collect()}
     assert got == _drift_reference(rows), rows
+
+
+def _rolling_reference(rows):
+    """Sequential replay of rolling_drift: global ceil-width bins,
+    per-(day, bin) counts over the completed 16-bin grid, trailing
+    [-7, -1] day_idx baseline per bin, quantized per-day TVD and the
+    0.08 alarm."""
+    from data_warehouse_project_spark.plans.drift import (
+        _ALARM_TVD, _BINS, _TQ)
+    vqs = [v for _, v in rows]
+    mn, mx = min(vqs), max(vqs)
+    width = int(math.ceil((mx - mn + 1) / float(_BINS)))
+    counts = {}
+    for d, v in rows:
+        b = (v - mn) // width
+        counts[(d, b)] = counts.get((d, b), 0) + 1
+    days = sorted({d for d, _ in rows})
+    out = {}
+    for d in days:
+        day_n = sum(n for (dd, _), n in counts.items() if dd == d)
+        tvd_q = 0
+        base_n = sum(n for (dd, _), n in counts.items()
+                     if d - 7 <= dd <= d - 1)
+        if base_n == 0:
+            continue
+        for b in range(_BINS):
+            n = counts.get((d, b), 0)
+            bb = sum(counts.get((dd, b), 0)
+                     for dd in days if d - 7 <= dd <= d - 1)
+            tvd_q += math.floor(
+                abs(n / day_n - bb / base_n) / 2.0 * _TQ + 0.5)
+        out[d] = (day_n, base_n,
+                  math.floor(tvd_q / _TQ * 1e9 + 0.5) / 1e9,
+                  tvd_q / _TQ > _ALARM_TVD)
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(st.tuples(st.integers(0, 10),
+                               st.integers(0, 5000)),
+                     min_size=1, max_size=30))
+def test_rolling_drift_matches_python_reference(spark, rows):
+    """Random (day, value) streams — gapped days, single-day corpora
+    (no baseline → no row), bins empty today but present in the
+    baseline: the windowed rolling drift detector must match the
+    sequential replay day for day."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.plans.drift import rolling_drift
+    base = dt.date(2024, 1, 1)
+    v = spark.createDataFrame(
+        [Row(day_idx=int(d), day=base + dt.timedelta(days=d), vq=int(q))
+         for d, q in rows],
+        "day_idx long, day date, vq long")
+    got = {(r["day"].date() - base).days:
+           (r["n_events"], r["baseline_n"], r["tvd"], r["alarm"])
+           for r in rolling_drift(v).collect()}
+    assert got == _rolling_reference(rows), rows
