@@ -661,3 +661,112 @@ def test_ship_latency_matches_python_reference(spark, tmp_path_factory,
                                   r["p90_days"], r["p99_days"])
            for r in ship_latency_quantiles(spark, str(tmp)).collect()}
     assert got == _ship_lat_reference(lines), lines
+
+
+def _aging_reference(orders):
+    """Sequential replay: age vs the corpus max order day, the
+    30/60/90/180/365 band case, per (status, band) count + dsum."""
+    from data_warehouse_project_spark.plans.warehouse import _AGING_BANDS
+    anchor = max(d for _, d, _ in orders)
+    out = {}
+    for s, d, cents in orders:
+        age = anchor - d
+        band = None
+        prev = 0
+        for i, ub in enumerate(_AGING_BANDS):
+            if age <= ub:
+                band = (f"000-{ub:03d}" if i == 0
+                        else f"{prev + 1:03d}-{ub:03d}")
+                break
+            prev = ub
+        if band is None:
+            band = f"{_AGING_BANDS[-1] + 1:03d}+"
+        n, t = out.get((s, band), (0, 0))
+        out[(s, band)] = (n + 1,
+                          t + math.floor(cents / 100.0 * 1e4 + 0.5))
+    return {k: (n, math.floor((t + 50) / 100.0) / 100.0)
+            for k, (n, t) in out.items()}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(orders=st.lists(st.tuples(st.sampled_from(["O", "F", "P"]),
+                                 st.integers(0, 500),
+                                 st.integers(0, 10 ** 6)),
+                       min_size=1, max_size=20))
+def test_order_aging_matches_python_reference(spark, tmp_path_factory,
+                                              orders):
+    """Random (status, order-day, price) draws with ages straddling
+    every band boundary: the aging report must match the sequential
+    band-case replay, dsum values included."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.plans.warehouse import (
+        order_aging_report)
+    t0 = dt.datetime(2022, 1, 1)
+    tmp = tmp_path_factory.mktemp("aging")
+    spark.createDataFrame(
+        [(i, 1, s, c / 100.0, t0 + dt.timedelta(days=d), "3-MEDIUM")
+         for i, (s, d, c) in enumerate(orders)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp}/orders.parquet")
+    got = {(r["o_orderstatus"], r["age_band"]):
+           (r["n_orders"], r["total_value"])
+           for r in order_aging_report(spark, str(tmp)).collect()}
+    assert got == _aging_reference(orders), orders
+
+
+def _gap_reference(events):
+    """Sequential replay: full hour spine min..max, per type the
+    observed hours, missing count and first/last gap hour offsets."""
+    hours = sorted({h for h, _ in events})
+    lo, hi = hours[0], hours[-1]
+    spine = list(range(lo, hi + 1))
+    types = {t for _, t in events}
+    out = {}
+    for t in sorted(types):
+        obs = {h for h, tt in events if tt == t}
+        missing = [h for h in spine if h not in obs]
+        out[t] = (len(spine), len(obs), len(missing),
+                  missing[0] if missing else None,
+                  missing[-1] if missing else None)
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(st.tuples(st.integers(0, 30),
+                                 st.sampled_from(["click", "view"])),
+                       min_size=1, max_size=25))
+def test_gap_report_matches_python_reference(spark, tmp_path_factory,
+                                             events):
+    """Random sparse (hour, type) observations — gapless types,
+    all-gap types outside their own hours, single-hour corpora: the
+    spine anti-join gap audit must match the sequential replay,
+    first/last gap hours included."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.plans.audits import (
+        events_gap_report)
+    t0 = dt.datetime(2024, 1, 1)
+    tmp = tmp_path_factory.mktemp("gap")
+    spark.createDataFrame(
+        [(i, t0 + dt.timedelta(hours=h, minutes=i % 60), 1, t, 1.0, "{}")
+         for i, (h, t) in enumerate(events)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp}/events.parquet")
+
+    def off(v):
+        return (int((v - t0).total_seconds()) // 3600
+                if v is not None else None)
+
+    got = {r["event_type"]: (r["n_expected"], r["n_observed"],
+                             r["n_missing"], off(r["first_gap"]),
+                             off(r["last_gap"]))
+           for r in events_gap_report(spark, str(tmp)).collect()}
+    assert got == _gap_reference(events), events
