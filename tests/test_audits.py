@@ -770,3 +770,121 @@ def test_gap_report_matches_python_reference(spark, tmp_path_factory,
                              off(r["last_gap"]))
            for r in events_gap_report(spark, str(tmp)).collect()}
     assert got == _gap_reference(events), events
+
+
+def _scorecard_reference(lines):
+    """Sequential replay: per-supplier line counts, return fraction,
+    dsum net revenue, histogram-rank median latency, top-N by
+    (revenue desc, suppkey)."""
+    per = {}
+    for s, lat, ret, c, d in lines:
+        net = (c / 100.0) * (1 - d / 100.0)
+        n, r, t, lats = per.get(s, (0, 0, 0, []))
+        per[s] = (n + 1, r + ret, t + math.floor(net * 1e4 + 0.5),
+                  lats + [lat])
+    rows = {}
+    for s, (n, r, t, lats) in per.items():
+        rev = math.floor((t + 50) / 100.0) / 100.0
+        sl = sorted(lats)
+        cum, med = 0, None
+        for v in sorted(set(sl)):
+            cum += sl.count(v)
+            if cum * 2 >= len(sl):
+                med = v
+                break
+        rows[s] = (f"s{s}", n, rev,
+                   math.floor(r / n * 1e6 + 0.5) / 1e6, med)
+    top = sorted(rows, key=lambda s: (-rows[s][2], s))[:25]
+    return {s: rows[s] for s in top}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lines=st.lists(
+    st.tuples(st.integers(1, 4),            # suppkey
+              st.integers(0, 60),           # latency days
+              st.integers(0, 1),            # returned
+              st.integers(1, 10 ** 6),      # price cents
+              st.integers(0, 50)),          # discount pct
+    min_size=1, max_size=20))
+def test_supplier_scorecard_matches_python_reference(
+        spark, tmp_path_factory, lines):
+    """Random supplier line draws (all-returned suppliers, tied
+    median ranks, revenue ties broken by key): the scorecard must
+    match the sequential replay — counts, dsum revenue, quantized
+    return fraction, and the histogram median latency."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.plans.warehouse import (
+        supplier_scorecard)
+    t0 = dt.datetime(2024, 1, 10)
+    tmp = tmp_path_factory.mktemp("sc")
+    spark.createDataFrame(
+        [(i, 1, s, c / 100.0, d / 100.0,
+          "R" if ret else "N", t0 + dt.timedelta(days=lat))
+         for i, (s, lat, ret, c, d) in enumerate(lines)],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_extendedprice double, l_discount double, "
+        "l_returnflag string, l_shipdate timestamp_ntz"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp}/lineitem.parquet")
+    spark.createDataFrame(
+        [(i, 1, "O", 1.0, t0, "3-MEDIUM") for i in range(len(lines))],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp}/orders.parquet")
+    spark.createDataFrame(
+        [(s, f"s{s}", 0) for s in range(1, 5)],
+        "s_suppkey long, s_name string, s_nationkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp}/supplier.parquet")
+    got = {r["l_suppkey"]: (r["s_name"], r["n_lines"], r["revenue"],
+                            r["return_frac"], r["p50_latency_days"])
+           for r in supplier_scorecard(spark, str(tmp)).collect()}
+    assert got == _scorecard_reference(lines), lines
+
+
+def _ldiv_reference(custs):
+    """Sequential replay: fixed acctbal bands, per-QI distinct band
+    counts, diversity rollup with the below-l row mass."""
+    bands = (0, 2500, 5000, 7500)
+    eq = {}
+    for seg, nat, bal in custs:
+        b = sum(bal >= e for e in bands)
+        sens, n = eq.get((seg, nat), (set(), 0))
+        eq[(seg, nat)] = (sens | {b}, n + 1)
+    out = {}
+    for sens, n in eq.values():
+        d = len(sens)
+        g, c, below = out.get(d, (0, 0, 0))
+        out[d] = (g + 1, c + n, below + (n if d < 3 else 0))
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(custs=st.lists(
+    st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 2),
+              st.integers(-1000, 9000)),
+    min_size=1, max_size=25))
+def test_l_diversity_matches_python_reference(spark, tmp_path_factory,
+                                              custs):
+    """Random quasi-identifier groups with band values straddling
+    every fixed edge (negative balances in band 0): the l-diversity
+    profile must match the sequential distinct-band replay at every
+    diversity level."""
+    from data_warehouse_project_spark.plans.audits import (
+        l_diversity_report)
+    tmp = tmp_path_factory.mktemp("ldiv")
+    spark.createDataFrame(
+        [(i, seg, n, float(b)) for i, (seg, n, b) in enumerate(custs)],
+        "c_custkey long, c_mktsegment string, c_nationkey long, "
+        "c_acctbal double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp}/customer.parquet")
+    got = {r["diversity"]: (r["n_groups"], r["n_customers"],
+                            r["n_below_l"])
+           for r in l_diversity_report(spark, str(tmp)).collect()}
+    assert got == _ldiv_reference(custs), custs
