@@ -888,3 +888,44 @@ def test_l_diversity_matches_python_reference(spark, tmp_path_factory,
                             r["n_below_l"])
            for r in l_diversity_report(spark, str(tmp)).collect()}
     assert got == _ldiv_reference(custs), custs
+
+
+def _kanon_reference(custs):
+    """Sequential replay: QI group sizes, power-of-two size band via
+    bit length, per-band group/row/below-k mass."""
+    eq = {}
+    for seg, nat in custs:
+        eq[(seg, nat)] = eq.get((seg, nat), 0) + 1
+    out = {}
+    for gsize in eq.values():
+        band = gsize.bit_length()
+        g, c, below = out.get(band, (0, 0, 0))
+        out[band] = (g + 1, c + gsize,
+                     below + (gsize if gsize < 5 else 0))
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(custs=st.lists(
+    st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 2)),
+    min_size=1, max_size=30))
+def test_k_anonymity_matches_python_reference(spark, tmp_path_factory,
+                                              custs):
+    """Random quasi-identifier populations (singleton groups, groups
+    straddling the k = 5 threshold and the power-of-two band edges):
+    the k-anonymity profile must match the sequential bit-length
+    band replay."""
+    from data_warehouse_project_spark.plans.audits import (
+        k_anonymity_report)
+    tmp = tmp_path_factory.mktemp("kanon")
+    spark.createDataFrame(
+        [(i, seg, n, 0.0) for i, (seg, n) in enumerate(custs)],
+        "c_custkey long, c_mktsegment string, c_nationkey long, "
+        "c_acctbal double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp}/customer.parquet")
+    got = {r["size_band_log2"]: (r["n_groups"], r["n_customers"],
+                                 r["n_below_k"])
+           for r in k_anonymity_report(spark, str(tmp)).collect()}
+    assert got == _kanon_reference(custs), custs

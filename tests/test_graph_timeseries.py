@@ -764,3 +764,59 @@ def test_affinity_matches_python_reference(spark, orders):
     got = {(r["part_a"], r["part_b"]): (r["n_common"], r["affinity"])
            for r in rows}
     assert got == _affinity_reference(orders, cap=2), orders
+
+
+def _type_mix_reference(events):
+    """Sequential replay: per-(month, type) counts, quantized month
+    shares, LAG over this type's OBSERVED months (gap months skip to
+    the previous observation), self-coalesced first delta."""
+    per = {}
+    for m, t in events:
+        per[(m, t)] = per.get((m, t), 0) + 1
+    tot = {}
+    for (m, _), n in per.items():
+        tot[m] = tot.get(m, 0) + n
+    share = {k: math.floor(n / tot[k[0]] * 1e6 + 0.5) / 1e6
+             for k, n in per.items()}
+    out = {}
+    for t in {t for _, t in events}:
+        months = sorted(m for m, tt in per if tt == t)
+        prev = None
+        for m in months:
+            s = share[(m, t)]
+            base = prev if prev is not None else s
+            out[(m, t)] = (per[(m, t)], s,
+                           math.floor((s - base) * 1e6 + 0.5) / 1e6)
+            prev = s
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(st.tuples(st.integers(1, 5),
+                                 st.sampled_from(["view", "click"])),
+                       min_size=1, max_size=25))
+def test_type_mix_monthly_matches_python_reference(
+        spark, tmp_path_factory, events):
+    """Random (month, type) streams — types absent for whole months
+    (the LAG must skip gaps, not zero-fill), single-month corpora:
+    the mix monitor must match the sequential replay, quantized
+    deltas included."""
+    from pyspark.sql import Row
+
+    from data_warehouse_project_spark.plans.timeseries import (
+        events_type_mix_monthly)
+    tmp = tmp_path_factory.mktemp("mix")
+    df = spark.createDataFrame(
+        [Row(event_id=i, ts=f"2024-{m:02d}-05 03:00:00", user_id=1,
+             event_type=t, value=1.0, props="{}")
+         for i, (m, t) in enumerate(events)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string").withColumn(
+            "ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp}/events.parquet")
+    got = {(r["month"].month, r["event_type"]):
+           (r["n_events"], r["share"], r["share_delta"])
+           for r in events_type_mix_monthly(spark, str(tmp)).collect()}
+    assert got == _type_mix_reference(events), events

@@ -1644,3 +1644,53 @@ def test_repetition_stats_match_python_reference(spark, docs):
                              r["top_bigram_frac"])
                for r in doc_repetition_stats(spark, "ignored").collect()}
     assert got == _repetition_reference(docs), docs
+
+
+def _mad_reference(cells):
+    """Sequential replay of the discrete-median MAD detector: per
+    type the rank-ceil(c/2) median of hourly counts, the same median
+    of absolute deviations, and the adev > 3·max(mad, 1) flags."""
+    import math
+
+    by_type = {}
+    for (h, t), n in cells.items():
+        by_type.setdefault(t, []).append((h, n))
+
+    def disc_med(vals):
+        s = sorted(vals)
+        return s[math.ceil(len(s) / 2) - 1]
+
+    out = {}
+    for t, rows in by_type.items():
+        med = disc_med([n for _, n in rows])
+        devs = [abs(n - med) for _, n in rows]
+        mad = disc_med(devs)
+        for h, n in rows:
+            if abs(n - med) > 3 * max(mad, 1):
+                out[(t, h)] = (n, med, mad)
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.dictionaries(
+    st.tuples(st.integers(0, 8), st.sampled_from(["click", "view"])),
+    st.integers(1, 200), min_size=1, max_size=18))
+def test_mad_anomalies_match_python_reference(spark, rows):
+    """Random hourly count grids (hyper-stable series where the
+    MAD-0 floor must hold, single-hour types, extreme spikes): the
+    windowed MAD detector must flag exactly the sequential replay's
+    rows with identical median/MAD values."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.streaming.batch_parity import (
+        mad_anomalies_from_hourly)
+    t0 = dt.datetime(2024, 1, 1)
+    hourly = spark.createDataFrame(
+        [(t0 + dt.timedelta(hours=h), t, int(n))
+         for (h, t), n in rows.items()],
+        "hour timestamp, event_type string, n long")
+    got = {(r["event_type"], (r["hour"] - t0).total_seconds() // 3600):
+           (r["n"], r["med"], r["mad"])
+           for r in mad_anomalies_from_hourly(hourly).collect()}
+    assert got == _mad_reference(rows), rows
