@@ -526,3 +526,76 @@ def test_rolling_drift_matches_python_reference(spark, rows):
            (r["n_events"], r["baseline_n"], r["tvd"], r["alarm"])
            for r in rolling_drift(v).collect()}
     assert got == _rolling_reference(rows), rows
+
+
+def _weekly_mix_reference(events):
+    """Sequential replay: per-(week, type) fractions, calendar
+    week-minus-one join (absent types yield NULL terms), quantized
+    per-week TVD only where any type has a previous-week row."""
+    per, wk_n = {}, {}
+    for w, t in events:
+        per[(w, t)] = per.get((w, t), 0) + 1
+        wk_n[w] = wk_n.get(w, 0) + 1
+    frac = {k: n / wk_n[k[0]] for k, n in per.items()}
+
+    def fr9(x):
+        return math.floor(x * 1e9 + 0.5) / 1e9 if x is not None else None
+
+    out = {}
+    for w in sorted(wk_n):
+        terms_q, has_prev = 0, False
+        for (ww, t) in per:
+            if ww != w:
+                continue
+            pf = frac.get((w - 1, t))
+            if pf is not None:
+                has_prev = True
+                terms_q += math.floor(
+                    abs(frac[(w, t)] - pf) / 2.0 * 1e9 + 0.5)
+        for (ww, t) in per:
+            if ww != w:
+                continue
+            pf = frac.get((w - 1, t))
+            term = abs(frac[(w, t)] - pf) / 2.0 if pf is not None \
+                else None
+            out[(w, t)] = (per[(w, t)], fr9(frac[(w, t)]), fr9(pf),
+                           fr9(term),
+                           fr9(terms_q / 1e9) if has_prev else None)
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(st.tuples(st.integers(0, 4),
+                                 st.sampled_from(["view", "click"])),
+                       min_size=1, max_size=25))
+def test_weekly_mix_drift_matches_python_reference(spark, events):
+    """Random (week, type) streams — types vanishing for whole weeks
+    (NULL terms that still contribute 0 to the quantized TVD),
+    gapped weeks whose calendar join must NOT pick up the last
+    observed week: the weekly mix drift must match the sequential
+    replay row for row."""
+    from data_warehouse_project_spark.plans.drift import (
+        events_type_mix_weekly_drift)
+    from unittest import mock
+
+    import data_warehouse_project_spark.plans.drift as D
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    ev = spark.createDataFrame(
+        [Row(event_id=i, ts=base + datetime.timedelta(weeks=w, hours=3),
+             user_id=1, event_type=t, value=1.0, props="{}")
+         for i, (w, t) in enumerate(events)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+
+    class FakeCat:
+        def __init__(self, *a):
+            self.events = ev
+
+    with mock.patch.object(D, "Catalog", FakeCat):
+        got = {((r["week"] - base).days // 7, r["event_type"]):
+               (r["n"], r["frac"], r["prev_frac"], r["drift_term"],
+                r["week_mix_tvd"])
+               for r in events_type_mix_weekly_drift(spark, "x")
+               .collect()}
+    assert got == _weekly_mix_reference(events), events

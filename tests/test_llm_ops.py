@@ -1694,3 +1694,57 @@ def test_mad_anomalies_match_python_reference(spark, rows):
            (r["n"], r["med"], r["mad"])
            for r in mad_anomalies_from_hourly(hourly).collect()}
     assert got == _mad_reference(rows), rows
+
+
+def _kl_reference(docs):
+    """Sequential replay: 10-token length bands, per-source vs corpus
+    band distributions, quantized p·ln(p/q) integer-summed."""
+    import math
+
+    sb, ns, nb = {}, {}, {}
+    for s, n in docs:
+        b = n // 10
+        sb[(s, b)] = sb.get((s, b), 0) + 1
+        ns[s] = ns.get(s, 0) + 1
+        nb[b] = nb.get(b, 0) + 1
+    total = len(docs)
+    out = {}
+    for s in ns:
+        kl_q = 0
+        for (ss, b), n in sb.items():
+            if ss != s:
+                continue
+            p = n / ns[s]
+            q = nb[b] / total
+            kl_q += math.floor(p * math.log(p / q) * 1e9 + 0.5)
+        out[s] = (ns[s], math.floor(kl_q / 1e9 * 1e6 + 0.5) / 1e6)
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.tuples(st.sampled_from(["A", "B"]), st.integers(1, 25)),
+    min_size=1, max_size=20))
+def test_source_length_kl_matches_python_reference(spark, docs):
+    """Random per-source document-length draws (single-source corpora
+    where KL must be exactly 0, bands unique to one source): the
+    banded KL monitor must match the sequential replay per source."""
+    from unittest import mock
+
+    import data_warehouse_project_spark.llm.langmix as L
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["t"] * n), "en", s, n * 2)
+         for i, (s, n) in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+
+    class FakeCat:
+        def __init__(self, *a):
+            self.documents = df
+
+    with mock.patch.object(L, "Catalog", FakeCat):
+        got = {r["source"]: (r["n_docs"], r["kl_vs_corpus"])
+               for r in L.source_length_kl(spark, "x").collect()}
+    assert got == _kl_reference(docs), docs
