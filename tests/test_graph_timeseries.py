@@ -820,3 +820,56 @@ def test_type_mix_monthly_matches_python_reference(
            (r["n_events"], r["share"], r["share_delta"])
            for r in events_type_mix_monthly(spark, str(tmp)).collect()}
     assert got == _type_mix_reference(events), events
+
+
+def _lpa_reference(orders, iters):
+    """Sequential synchronous LPA replay: weighted co-purchase edges
+    over the min-weight floor, plurality adoption with (count desc,
+    label asc) tie-break, pinned rounds, community rollup."""
+    from collections import Counter
+
+    from data_warehouse_project_spark.plans.graph import LP_MIN_WEIGHT
+    w = Counter()
+    for parts in orders:
+        ps = set(parts)
+        if len(ps) > MAX_BASKET:
+            continue
+        for a in ps:
+            for b in ps:
+                if a != b:
+                    w[(a, b)] += 1
+    edges = [e for e, n in w.items() if n >= LP_MIN_WEIGHT]
+    nodes = sorted({a for a, _ in edges})
+    label = {n: n for n in nodes}
+    for _ in range(iters):
+        new = {}
+        for d in nodes:
+            cnt = Counter(label[a] for a, b in edges if b == d)
+            new[d] = min((-c, l) for l, c in cnt.items())[1]
+        label = new
+    comm = {}
+    for n, l in label.items():
+        size, mn = comm.get(l, (0, n))
+        comm[l] = (size + 1, min(mn, n))
+    top = sorted(comm, key=lambda l: (-comm[l][0], l))[:25]
+    return {l: comm[l] for l in top}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(orders=st.lists(st.lists(st.integers(1, 4), max_size=4),
+                       max_size=10),
+       iters=st.integers(1, 3))
+def test_label_propagation_matches_python_reference(spark, orders,
+                                                    iters):
+    """Random small co-purchase graphs (min-weight-filtered edge
+    sets, oscillation-prone symmetric pairs the pinned rounds make
+    deterministic): the broadcast LPA must match the sequential
+    synchronous replay community for community."""
+    from data_warehouse_project_spark.plans.graph import (
+        label_propagation_communities)
+    li = _lineitem(spark, list(enumerate(orders)))
+    got = {r["community"]: (r["n_members"], r["min_member"])
+           for r in label_propagation_communities(
+               li, iters=iters, k=25).collect()}
+    assert got == _lpa_reference(orders, iters), (orders, iters)
