@@ -1748,3 +1748,68 @@ def test_source_length_kl_matches_python_reference(spark, docs):
         got = {r["source"]: (r["n_docs"], r["kl_vs_corpus"])
                for r in L.source_length_kl(spark, "x").collect()}
     assert got == _kl_reference(docs), docs
+
+
+def _lm_entropy_reference(docs):
+    """Sequential replay of the add-K bigram LM self-scoring: corpus
+    bigram/left-context counts, whole-corpus vocabulary, per-type
+    -log2(p) quantized to 1e6 ints weighted by exact counts, one
+    final divide; <2-token docs report 0 bigrams / NULL entropy."""
+    import math
+
+    from data_warehouse_project_spark.llm.textstats import LM_SMOOTH_K
+    big, left, vocab = {}, {}, set()
+    per_doc = {}
+    for i, toks in enumerate(docs):
+        vocab |= set(toks)
+        pairs = {}
+        for a, b in zip(toks, toks[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        per_doc[i] = pairs
+        for k, m in pairs.items():
+            big[k] = big.get(k, 0) + m
+            left[k[0]] = left.get(k[0], 0) + m
+    v = len(vocab)
+    out = {}
+    for i, pairs in per_doc.items():
+        n = sum(pairs.values())
+        if n == 0:
+            out[i] = (0, None)
+            continue
+        tsum = 0
+        for (a, b), m in pairs.items():
+            p = (big[(a, b)] + LM_SMOOTH_K) / (left[a] + LM_SMOOTH_K * v)
+            tsum += m * math.floor(-math.log2(p) * 1e6 + 0.5)
+        out[i] = (n, math.floor(tsum / (n * 1e6) * 1e6 + 0.5) / 1e6)
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), max_size=10),
+    min_size=1, max_size=6))
+def test_lm_cross_entropy_matches_python_reference(spark, docs):
+    """Random tiny-alphabet corpora (repeated bigrams, single-token
+    and empty docs with NULL entropy, cross-document smoothing
+    coupling): the self-scored bigram LM must match the sequential
+    quantized replay per document."""
+    from unittest import mock
+
+    import data_warehouse_project_spark.llm.textstats as T
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks) if toks else "x", "en", "s", 5)
+         for i, toks in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    docs = [toks if toks else ["x"] for toks in docs]
+
+    class FakeCat:
+        def __init__(self, *a):
+            self.documents = df
+
+    with mock.patch.object(T, "Catalog", FakeCat):
+        got = {r["doc_id"]: (r["n_bigrams"], r["cross_entropy_bits"])
+               for r in T.doc_lm_cross_entropy(spark, "x").collect()}
+    assert got == _lm_entropy_reference(docs), docs
