@@ -60,3 +60,65 @@ def test_linkage_support_counts(spark):
     assert (r["name_a"], r["name_b"]) == ("cold rod", "old rod")
     assert r["lev_dist"] == 1
     assert r["rows_a"] == 1 and r["rows_b"] == 3
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy linkage vs a Python DP Levenshtein replay
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _linkage_reference(names):
+    """Sequential replay: distinct-name dictionary with support
+    counts, trailing-token blocking, the |len diff| prefilter, and
+    DP Levenshtein at the threshold."""
+    support = {}
+    for n in names:
+        support[n] = support.get(n, 0) + 1
+    out = {}
+    dic = sorted(support)
+    for i, a in enumerate(dic):
+        for b in dic[i + 1:]:
+            if a.rsplit(" ", 1)[-1] != b.rsplit(" ", 1)[-1]:
+                continue
+            if abs(len(a) - len(b)) > 3:
+                continue
+            d = _lev(a, b)
+            if d <= 3:
+                out[(a, b)] = (a.rsplit(" ", 1)[-1], d,
+                               support[a], support[b])
+    return out
+
+
+_words = st.sampled_from(["red", "ring", "bolt", "rng", "reed",
+                          "bol", "ringo"])
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(names=st.lists(
+    st.tuples(_words, _words).map(lambda p: f"{p[0]} {p[1]}"),
+    min_size=1, max_size=12))
+def test_linkage_matches_python_reference(spark, names):
+    """Random near-collision name dictionaries (duplicate corpus rows
+    folding into support counts, distances straddling the LEV_MAX=3
+    edge, cross-block lookalikes the blocking must exclude): the
+    blocked fuzzy self-linkage must match the DP Levenshtein replay
+    pair for pair."""
+    got = {(r["name_a"], r["name_b"]):
+           (r["block"], r["lev_dist"], r["rows_a"], r["rows_b"])
+           for r in fuzzy_name_linkage(_rows(spark, names),
+                                       "p_name").collect()}
+    assert got == _linkage_reference(names), names

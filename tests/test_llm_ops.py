@@ -1813,3 +1813,52 @@ def test_lm_cross_entropy_matches_python_reference(spark, docs):
         got = {r["doc_id"]: (r["n_bigrams"], r["cross_entropy_bits"])
                for r in T.doc_lm_cross_entropy(spark, "x").collect()}
     assert got == _lm_entropy_reference(docs), docs
+
+
+def _pack_reference(docs):
+    """Sequential replay: per source in doc_id order, pack_id =
+    floor(prior tokens / 512), per-(source, pack) doc and token
+    counts."""
+    out = {}
+    by_source = {}
+    for i, (s, n) in enumerate(docs):
+        by_source.setdefault(s, []).append((i, n))
+    for s, rows in by_source.items():
+        before = 0
+        for _, n in sorted(rows):
+            pid = before // 512
+            d, t = out.get((s, pid), (0, 0))
+            out[(s, pid)] = (d + 1, t + n)
+            before += n
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.tuples(st.sampled_from(["A", "B"]), st.integers(1, 700)),
+    min_size=1, max_size=15))
+def test_pack_sequences_matches_python_reference(spark, docs):
+    """Random per-source token lengths (docs longer than a whole
+    512-token pack, boundary-straddling docs that must belong to the
+    pack where they START): the windowed packer must match the
+    sequential cumulative-offset replay."""
+    from unittest import mock
+
+    import data_warehouse_project_spark.llm.pipeline as P
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["t"] * n), "en", s, n)
+         for i, (s, n) in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+
+    class FakeCat:
+        def __init__(self, *a):
+            self.documents = df
+
+    with mock.patch.object(P, "Catalog", FakeCat):
+        got = {(r["source"], r["pack_id"]):
+               (r["n_docs"], r["pack_tokens"])
+               for r in P.pack_sequences(spark, "x").collect()}
+    assert got == _pack_reference(docs), docs
