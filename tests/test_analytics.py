@@ -829,3 +829,35 @@ def test_market_basket_matches_python_reference(spark, orders):
             r["support"], r["lift"])
            for r in rows}
     assert got == _basket_reference(orders), orders
+
+
+def _retention_reference(visits):
+    """Sequential replay: per-user first active day, distinct active
+    days, per-(cohort, offset) distinct-user counts."""
+    first = {}
+    for u, d in visits:
+        first[u] = min(first.get(u, d), d)
+    cells = {}
+    for u, d in set(visits):
+        cells.setdefault((first[u], d - first[u]), set()).add(u)
+    return {k: len(us) for k, us in cells.items()}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(visits=st.lists(st.tuples(st.integers(1, 4), st.integers(0, 8)),
+                       min_size=1, max_size=25))
+def test_retention_cohorts_match_python_reference(
+        spark, tmp_path_factory, visits):
+    """Random (user, day) activity (repeat same-day visits the
+    distinct must collapse, users returning across cohort
+    boundaries): the cohort triangle must match the sequential
+    replay cell for cell."""
+    from data_warehouse_project_spark.streaming.batch_parity import (
+        events_retention_cohorts)
+    rows = [(u, "view", f"2024-01-{1 + d:02d} 10:00:00")
+            for u, d in visits]
+    d = _write_events(spark, tmp_path_factory.mktemp("ret"), rows)
+    got = {(r["cohort_day"].day - 1, r["day_offset"]): r["n_users"]
+           for r in events_retention_cohorts(spark, d).collect()}
+    assert got == _retention_reference(visits), visits

@@ -1862,3 +1862,60 @@ def test_pack_sequences_matches_python_reference(spark, docs):
                (r["n_docs"], r["pack_tokens"])
                for r in P.pack_sequences(spark, "x").collect()}
     assert got == _pack_reference(docs), docs
+
+
+def _zscore_reference(counts):
+    """Sequential replay of the trailing-24-ROWS z-score detector:
+    exact window moment sums, the module's IEEE dag, 6dp rounding
+    BEFORE the |z| >= 2 filter, rows with fewer than 12 priors
+    skipped."""
+    import math
+
+    out = {}
+    for i, n in enumerate(counts):
+        w = counts[max(0, i - 24):i]
+        w_n = len(w)
+        if w_n < 12:
+            continue
+        ws, wss = sum(w), sum(x * x for x in w)
+        mean = float(ws) / w_n
+        var = (float(wss) - float(ws) * ws / w_n) / (w_n - 1)
+        if var > 0:
+            z = math.floor((n - mean) / math.sqrt(var) * 1e6 + 0.5) / 1e6
+        else:
+            z = None
+        if z is not None and abs(z) >= 2.0:
+            out[i] = (n, z)
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(counts=st.lists(st.integers(1, 100), min_size=13, max_size=30))
+def test_hourly_zscore_matches_python_reference(spark, counts):
+    """Random hourly count series (constant warm-ups with zero
+    variance, spikes at the |z| = 2 rounding boundary): the windowed
+    z-score detector must flag exactly the sequential replay's hours
+    with identical rounded scores."""
+    import datetime as dt
+    from unittest import mock
+
+    import data_warehouse_project_spark.streaming.batch_parity as BP
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i * 1000 + j, t0 + dt.timedelta(hours=i, minutes=j % 60),
+          1, "click", 1.0, "{}")
+         for i, n in enumerate(counts) for j in range(n)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string")
+
+    class FakeCat:
+        def __init__(self, *a):
+            self.events = ev
+
+    with mock.patch.object(BP, "Catalog", FakeCat):
+        got = {int((r["hour"] - t0).total_seconds() // 3600):
+               (r["n"], r["z_score"])
+               for r in BP.events_hourly_anomaly(spark, "x").collect()}
+    assert got == _zscore_reference(counts), counts
