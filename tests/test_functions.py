@@ -126,14 +126,17 @@ def test_priority_window_rotation():
     # window-8 queries legitimately appear in CORRECTNESS_r08.json
     # once the driver executes the window — bump this constant when
     # rotating the window each round
-    window_round = 9
+    window_round = 10
     window = list(registry.queries())[:50]
     assert window[0] == "flagship_my_registrations"
     seen: set = set()
+    latest: dict = {}
     for r in range(1, window_round):
         path = f"/root/repo/CORRECTNESS_r{r:02d}.json"
         if os.path.exists(path):
-            seen |= set(json.load(open(path)))
+            for q in json.load(open(path)):
+                seen.add(q)
+                latest[q] = r
     never_pool = [q for q in registry.queries() if q not in seen]
     # while the never-checked pool can fill the window, it must:
     # every non-flagship slot is never-checked, and no never-checked
@@ -144,15 +147,23 @@ def test_priority_window_rotation():
     else:
         assert len(stale_in_window) <= 50 - 1 - len(never_pool), (
             stale_in_window)
-    # spot-pin the r9 cohort VERDICT r8 #3 prescribed: the last
-    # never-checked families (BPE differential, PCA projection,
-    # privacy reports, rank stats, conformal) + the r4-stale rotation
-    for name in ("bpe_merge_floor", "bpe_merge_rules",
-                 "embedding_pca_project", "pca_projection_floor",
-                 "l_diversity_report", "t_closeness_report",
-                 "orders_priority_kruskal", "revenue_forecast_conformal",
-                 "weighted_reservoir_sample", "scan_filter_project",
-                 "setop_except"):
+    # r10 contract (VERDICT r9 #1/#8): the fixed drift pair — the
+    # only queries whose latest driver row is a FAIL (r8) — occupy
+    # slots 2-3; the whole remaining r4-stale cohort is in-window;
+    # and every stale slot is filled oldest-first (no query checked
+    # more recently than round 5 may displace an r4/r5-stale one).
+    assert window[1] == "events_value_drift_daily"
+    assert window[2] == "events_drift_daily_served"
+    r4_stale = [q for q in registry.queries() if latest.get(q) == 4]
+    assert not r4_stale or set(r4_stale) <= set(window), (
+        sorted(set(r4_stale) - set(window)))
+    for q in window[3:]:
+        assert latest.get(q, 99) <= 5, (q, latest.get(q))
+    # spot-pin the r5-stale families drawn into the r10 window
+    for name in ("dedup_exact", "crypto_roundtrip", "hypertable_rollup",
+                 "q1_pricing_summary", "ingest_quarantine_report",
+                 "scd2_apply_post_state", "window_running_totals",
+                 "multimodal_meta_stats"):
         assert name in window, name
 
 
