@@ -375,17 +375,42 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+#: max relative error the approx-distinct gate tolerates, percent
+#: (rsd=0.02 → 5% is a 2.5-sigma margin; the estimate is
+#: deterministic given the data, so the gate cannot flake)
+APPROX_DISTINCT_GATE_PCT = 5
+
+
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct — the 100 TB-scale form of
     agg_distinct (single pass, fixed memory, no per-key shuffle of the
-    distinct sets). No SQL oracle: HLL estimates are engine-specific;
-    accuracy vs exact counts is asserted in unit tests instead.
-    """
+    distinct sets). HLL estimates are engine-specific, so the oracle
+    checks the exact count plus a within-APPROX_DISTINCT_GATE_PCT
+    accuracy gate per group (the hll_distinct_accuracy_floor pattern,
+    VERDICT r9 #5) — the exact side shuffles distinct keys, which is
+    acceptable for a gate certifying the cheap path."""
     cat = Catalog(spark, sf_dir)
     return (
         cat.lineitem.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"))
+        .agg(
+            F.count_distinct("l_partkey").cast("long").alias("n_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).cast("long")
+            .alias("approx"),
+        )
+        .select(
+            "l_returnflag", "n_parts",
+            (F.abs(F.col("approx") - F.col("n_parts")) * 100
+             <= F.col("n_parts") * APPROX_DISTINCT_GATE_PCT)
+            .alias("approx_within_gate"),
+        )
     )
+
+
+AGG_APPROX_DISTINCT_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       TRUE AS approx_within_gate
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # --------------------------------------------------------------------------
@@ -558,7 +583,7 @@ for _name, _fn, _sql in [
     ("agg_max_per_group", agg_max_per_group, AGG_MAX_PER_GROUP_SQL),
     ("agg_argmax", agg_argmax, AGG_ARGMAX_SQL),
     ("agg_distinct", agg_distinct, AGG_DISTINCT_SQL),
-    ("agg_approx_distinct", agg_approx_distinct, None),
+    ("agg_approx_distinct", agg_approx_distinct, AGG_APPROX_DISTINCT_SQL),
     ("sort_limit_topk", sort_limit_topk, SORT_LIMIT_TOPK_SQL),
     ("setop_union", setop_union, SETOP_UNION_SQL),
     ("setop_intersect", setop_intersect, SETOP_INTERSECT_SQL),

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.compat import fround
+from ..functions.compat import fround, sql_fround
 from ..registry import register
 from ..sources.catalog import Catalog
 
@@ -120,14 +120,45 @@ def _two_batch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry (rows-only: HLL estimates aren't SQL-reproducible
-    in DuckDB): two-batch incremental state build, rendered as the
-    rollup report. Unit tests assert the merged report EXACTLY equals
-    the report built from all events at once (merge associativity)."""
-    return state_to_report(_two_batch_state(spark, sf_dir))
+    """Registry entry: two-batch incremental state build, rendered so
+    the batch twin's SQL can oracle it (VERDICT r9 #5). The mergeable
+    stats (n_events, sum_value) are exact and compare directly against
+    a one-shot GROUP BY over all events; the HLL column isn't
+    SQL-reproducible in DuckDB, so it's driver-checked as a FOLD
+    IDENTITY instead — `users_fold_delta` = merged-state estimate
+    minus single-pass estimate, which the unit suite pins to exactly 0
+    for every group (tests/test_skew_and_properties.py merge-
+    associativity property; lossless HLL register-maxima union). The
+    inner join means any key the merge invented or dropped changes
+    the row count vs the oracle's full GROUP BY."""
+    merged = state_to_report(_two_batch_state(spark, sf_dir))
+    single = state_to_report(
+        hourly_rollup_state(Catalog(spark, sf_dir).events))
+    return (
+        merged.join(
+            single.select(
+                "hour", "event_type",
+                F.col("n_users_approx").alias("single_pass_users")),
+            ["hour", "event_type"], "inner")
+        .select(
+            "hour", "event_type", "n_events", "sum_value",
+            (F.col("n_users_approx") - F.col("single_pass_users"))
+            .cast("long").alias("users_fold_delta"))
+    )
 
 
-register("incremental_hourly_rollup", incremental_hourly_rollup, None)
+INCREMENTAL_ROLLUP_SQL = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       {sql_fround(
+           'CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)'
+           ' / 100.0', 2)} AS sum_value,
+       CAST(0 AS BIGINT) AS users_fold_delta
+FROM events GROUP BY 1, 2
+"""
+
+register("incremental_hourly_rollup", incremental_hourly_rollup,
+         INCREMENTAL_ROLLUP_SQL)
 
 
 def anomalies_from_rollup_state(state: DataFrame) -> DataFrame:
