@@ -10,8 +10,12 @@ import datetime as dt
 import hashlib
 import math
 
+from hypothesis import HealthCheck, given, settings, strategies as st
+
 from data_warehouse_project_spark.plans.experiment import (
     _A_NIBBLES, _SALT, _WINDOW_HOURS, events_ab_conversion_report)
+
+from tests.helpers import fround_half_up as _fr
 
 _EV_SCHEMA = ("event_id long, ts timestamp, user_id long, "
               "event_type string, value double, props string")
@@ -319,8 +323,6 @@ def test_cuped_empty_arm_yields_null_not_crash(spark, tmp_path):
 # Mann-Whitney vs a full sequential model over random arm/value draws
 # ---------------------------------------------------------------------------
 
-from hypothesis import HealthCheck, given, settings, strategies as st
-
 
 def _mw_reference(pairs):
     """Complete sequential MW model: pair-counted doubled U, pooled
@@ -342,8 +344,12 @@ def _mw_reference(pairs):
     if sigma2 > 0:
         z = (float(u2) - float(n_a) * float(n_b)) \
             / (2.0 * math.sqrt(sigma2))
-        z = math.floor(z * 1e6 + 0.5) / 1e6
+        # significance from the RAW z, as the engine computes it
+        # (plans/experiment.py tests the unquantized z against 1.96);
+        # quantize only the reported column afterwards (ADVICE r9: a
+        # raw |z| inside (1.96, 1.96+5e-7) must not flip the verdict)
         sig = abs(z) > 1.96
+        z = math.floor(z * 1e6 + 0.5) / 1e6
     else:
         z, sig = None, None
     return (n_a, n_b, r2, u2, tie, z, sig)
@@ -374,13 +380,6 @@ def test_mannwhitney_matches_python_reference(spark, tmp_path_factory,
 # ---------------------------------------------------------------------------
 # CUPED vs a full sequential model over random pre/post draws
 # ---------------------------------------------------------------------------
-
-
-def _fr(x, scale):
-    if x is None:
-        return None
-    s = 10.0 ** scale
-    return math.floor(x * s + 0.5) / s
 
 
 def _cuped_reference(rows):

@@ -6,10 +6,15 @@ NULL guards.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import Row
 
 from data_warehouse_project_spark.plans.regression import ols_fit
+
+from tests.helpers import fround_half_up as _fr
 
 
 def _cells(spark, pts, group="g"):
@@ -175,18 +180,6 @@ def test_backtest_zero_actual_yields_null_ape(spark):
 # ---------------------------------------------------------------------------
 # OLS fold vs the exact-integer-sums closed form in plain Python
 # ---------------------------------------------------------------------------
-
-import math
-
-from hypothesis import HealthCheck, given, settings, strategies as st
-
-
-def _fr(x, scale):
-    if x is None:
-        return None
-    s = 10.0 ** scale
-    return math.floor(x * s + 0.5) / s
-
 
 def _ols_reference(pts):
     """Exact integer sufficient sums (Python ints = DECIMAL(38,0)),

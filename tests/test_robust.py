@@ -7,9 +7,14 @@ small-n edge behavior (lo = 0 -> all three means coincide).
 
 from __future__ import annotations
 
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import Row
 
 from data_warehouse_project_spark.plans.robust import winsorized_stats
+
+from tests.helpers import fround_half_up as _fr
 
 
 def _vals(spark, cents, group="g"):
@@ -202,16 +207,6 @@ def test_median_ci_ties_resolve_by_cumulative_mass(spark):
 # ---------------------------------------------------------------------------
 # Winsorized / trimmed fold vs a sorted sequential model
 # ---------------------------------------------------------------------------
-
-import math
-
-from hypothesis import HealthCheck, given, settings, strategies as st
-
-
-def _fr(x, scale):
-    s = 10.0 ** scale
-    return math.floor(x * s + 0.5) / s
-
 
 def _winsor_reference(cents):
     """Sequential replay of the module contract: lo = floor(0.05·n),
