@@ -210,35 +210,12 @@ HEADLINE = [
 # not a scale hazard.
 
 
-def _stage_totals(spark, since_id: int) -> tuple[int, int, int, int]:
-    """(shuffle_read, shuffle_write, spilled, max_stage_id) summed over
-    stages with stageId > since_id, from the live AppStatusStore — the
-    same numbers the Spark UI's stage table shows. Keying on stage id
-    (monotonic) instead of diffing cumulative totals keeps the window
-    correct when the store evicts old stages (spark.ui.retainedStages
-    caps retention; a long bench run crosses it). This is the query's
-    own exchange volume — the data a plan-audit needs to spot a
-    scale-killer without re-deriving it from .explain (VERDICT r9 #7).
-    """
-    sc = spark.sparkContext
-    store = sc._jsc.sc().statusStore()
-    gw = sc._gateway
-    stages = store.stageList(
-        gw.jvm.java.util.ArrayList(),       # statuses: all
-        False, False,                       # details, withSummaries
-        gw.new_array(gw.jvm.double, 0),     # no task quantiles
-        gw.jvm.java.util.ArrayList())       # taskStatus: all
-    read = write = spilled = 0
-    max_id = since_id
-    for i in range(stages.size()):
-        s = stages.apply(i)
-        sid = s.stageId()
-        max_id = max(max_id, sid)
-        if sid > since_id:
-            read += s.shuffleReadBytes()
-            write += s.shuffleWriteBytes()
-            spilled += s.memoryBytesSpilled() + s.diskBytesSpilled()
-    return read, write, spilled, max_id
+# per-query exchange volume comes from the shared AppStatusStore
+# sampler (stage-id-windowed against store eviction) — the data a
+# plan-audit needs to spot a scale-killer without re-deriving it from
+# .explain (VERDICT r9 #7); scripts/shuffle_audit.py gates the same
+# numbers against recorded bounds
+from data_warehouse_project_spark.metrics import stage_shuffle_totals
 
 
 def main() -> None:
@@ -273,7 +250,7 @@ def main() -> None:
     total = 0.0
     # floor for the per-query stage-id window: everything run so far
     # (warm-up included) is below this id
-    _, _, _, stage_floor = _stage_totals(spark, -1)
+    _, _, _, stage_floor = stage_shuffle_totals(spark, -1)
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
@@ -291,7 +268,7 @@ def main() -> None:
             # storage accumulates across the run, and rep N+1 never
             # re-caches an already-cached plan (cache.py discipline)
             release_all()
-        rd, wr, sp, stage_floor = _stage_totals(spark, stage_floor)
+        rd, wr, sp, stage_floor = stage_shuffle_totals(spark, stage_floor)
         dt = round(best, 3)
         timings[name] = dt
         # per-rep exchange volume: deterministic plans shuffle the
