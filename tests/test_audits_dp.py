@@ -10,6 +10,8 @@ import datetime as dt
 import hashlib
 import math
 
+from tests.helpers import fround_half_up
+
 from data_warehouse_project_spark.plans.audits import (
     _DP_EPSILON, _DP_HEX, _DP_SALT, _DP_SCALE, orders_priority_dp_release)
 
@@ -26,7 +28,7 @@ def _py_noise(g: str) -> float:
 
 
 def _fr6(x: float) -> float:
-    return math.floor(x * 1e6 + 0.5) / 1e6
+    return fround_half_up(x, 6)
 
 
 def test_dp_noise_matches_python_reference(spark, tmp_path):
