@@ -9,4 +9,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 python -m pytest tests/ -q "$@"
+# shuffle-volume gate (round 10): plan-structure regressions the
+# wall-clock can't see — full headline sweep vs recorded bounds
+python scripts/shuffle_audit.py
 echo "preflight green — safe to commit"
