@@ -1090,3 +1090,153 @@ def test_connected_components_matches_union_find(spark, edges,
     got = {r["node"]: r["cluster"]
            for r in connected_components(edf, ndf).collect()}
     assert got == _union_find_clusters(edges, nodes), (edges, nodes)
+
+
+# ---------------------------------------------------------------------------
+# CMS heavy hitters vs a full python replay (engine hashes pulled once)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_cms_heavy_hitters_match_python_replay(spark, tmp_path_factory,
+                                               data):
+    """The rows-only cms_heavy_hitters query, exactly replayed: the
+    ONLY engine-defined ingredient is xxhash64(token, seed), pulled
+    from the engine once per vocabulary token (the kmv_hash_universe
+    pattern); bucketing, the d×w cell table, the top-K probe and the
+    min-over-seeds estimate are recomputed in plain Python and must
+    agree on EVERY output column and row. A 12-token vocabulary over
+    w=2048 buckets keeps real collisions possible across the 4 seeds
+    while the replay stays O(vocab)."""
+    from collections import Counter
+
+    from data_warehouse_project_spark.llm import sketches as S
+
+    vocab = [f"tok{i}" for i in range(12)]
+    docs = data.draw(st.lists(
+        st.lists(st.sampled_from(vocab), min_size=1, max_size=12),
+        min_size=1, max_size=8))
+
+    tmp = tmp_path_factory.mktemp("cmsrep")
+    rows = [(i, " ".join(ts), "en", "src", len(" ".join(ts)))
+            for i, ts in enumerate(docs)]
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .write.mode("overwrite").parquet(f"{tmp}/documents.parquet"))
+    got = [(r["token"], r["n_exact"], r["n_est"], r["overestimate"])
+           for r in S.cms_heavy_hitters(spark, str(tmp)).collect()]
+
+    counts = Counter(t for ts in docs for t in ts)
+    hrows = (spark.createDataFrame([(t,) for t in sorted(counts)],
+                                   "token string")
+             .select("token",
+                     *[F.xxhash64(F.col("token"), F.lit(s)).alias(f"h{s}")
+                       for s in range(S.CMS_D)])
+             .collect())
+    # python % matches Spark pmod for positive modulus on signed hashes
+    bucket = {(r["token"], s): r[f"h{s}"] % S.CMS_W
+              for r in hrows for s in range(S.CMS_D)}
+    cells: dict = {}
+    for t, n in counts.items():
+        for s in range(S.CMS_D):
+            key = (s, bucket[(t, s)])
+            cells[key] = cells.get(key, 0) + n
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:S.CMS_TOP_K]
+    expected = []
+    for t, n in top:
+        est = min(cells[(s, bucket[(t, s)])] for s in range(S.CMS_D))
+        expected.append((t, n, est, est - n))
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# MinHash+LSH pipeline vs a full python replay (engine hashes pulled once)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_minhash_lsh_matches_python_replay(spark, tmp_path_factory, data):
+    """The rows-only dedup_minhash_lsh query, exactly replayed end to
+    end: shingling, the 32-lane signature (min over per-seed rehash),
+    8x4 banding, bucket grouping, in-bucket pair generation and the
+    fround-quantized exact-Jaccard verification are all recomputed in
+    plain Python; only the three xxhash64 evaluations (shingle
+    string, (pre-hash, seed) lane, 4-lane band bucket) are pulled
+    from the engine — with argument TYPES matching the plan exactly,
+    since Spark's xxhash64 is type-sensitive. Near-dup pairs are
+    planted by cloning drawn docs with a one-token tweak, so the
+    threshold branch is exercised in both directions."""
+    from data_warehouse_project_spark.llm import dedup as D
+    from tests.helpers import fround_half_up
+
+    vocab = [f"w{i}" for i in range(6)]
+    base = data.draw(st.lists(
+        st.lists(st.sampled_from(vocab), min_size=5, max_size=12),
+        min_size=1, max_size=4))
+    docs = list(base)
+    for ts in base:
+        if data.draw(st.booleans()):
+            clone = list(ts)
+            pos = data.draw(st.integers(0, len(clone) - 1))
+            clone[pos] = data.draw(st.sampled_from(vocab))
+            docs.append(clone)
+
+    tmp = tmp_path_factory.mktemp("mhrep")
+    rows = [(i, " ".join(ts), "en", "src", len(" ".join(ts)))
+            for i, ts in enumerate(docs)]
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .write.mode("overwrite").parquet(f"{tmp}/documents.parquet"))
+    got = sorted((r["doc_a"], r["doc_b"], r["jaccard"])
+                 for r in D.dedup_minhash_lsh(spark, str(tmp)).collect())
+
+    # --- replay ---
+    k = D.SHINGLE_K
+    sh = {i: sorted({" ".join(ts[j:j + k])
+                     for j in range(len(ts) - k + 1)})
+          for i, ts in enumerate(docs) if len(ts) >= k}
+    univ = sorted({s for ss in sh.values() for s in ss})
+    h1 = {r["s"]: r["h"] for r in spark.createDataFrame(
+        [(s,) for s in univ], "s string")
+        .selectExpr("s", "xxhash64(s) AS h").collect()}
+    lanes = spark.createDataFrame([(h,) for h in sorted(set(h1.values()))],
+                                  "h long").selectExpr(
+        "h", *[f"xxhash64(h, {j}) AS l{j}" for j in range(D.NUM_HASHES)]
+    ).collect()
+    h2 = {(r["h"], j): r[f"l{j}"] for r in lanes
+          for j in range(D.NUM_HASHES)}
+    sig = {i: [min(h2[(h1[s], j)] for s in ss)
+               for j in range(D.NUM_HASHES)]
+           for i, ss in sh.items()}
+    quads = sorted({tuple(sig[i][b * D.ROWS_PER_BAND:
+                                 (b + 1) * D.ROWS_PER_BAND])
+                    for i in sig for b in range(D.BANDS)})
+    bh = {(r["a"], r["b"], r["c"], r["d"]): r["bk"]
+          for r in spark.createDataFrame(
+              quads, "a long, b long, c long, d long")
+          .selectExpr("a", "b", "c", "d",
+                      "xxhash64(a, b, c, d) AS bk").collect()} if quads else {}
+    buckets: dict = {}
+    for i in sig:
+        for b in range(D.BANDS):
+            quad = tuple(sig[i][b * D.ROWS_PER_BAND:
+                                (b + 1) * D.ROWS_PER_BAND])
+            buckets.setdefault((b, bh[quad]), []).append(i)
+    cands = set()
+    for ds in buckets.values():
+        ds = sorted(set(ds))
+        if 1 < len(ds) <= D.MAX_BUCKET:
+            cands |= {(a, b) for ai, a in enumerate(ds)
+                      for b in ds[ai + 1:]}
+    expected = []
+    for a, b in sorted(cands):
+        ha, hb = {h1[s] for s in sh[a]}, {h1[s] for s in sh[b]}
+        shared = len(ha & hb)
+        jac = fround_half_up(shared / (len(sh[a]) + len(sh[b]) - shared), 6)
+        if jac >= D.JACCARD_THRESHOLD:
+            expected.append((a, b, jac))
+    assert got == expected
