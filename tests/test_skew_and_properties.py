@@ -1240,3 +1240,75 @@ def test_minhash_lsh_matches_python_replay(spark, tmp_path_factory, data):
         if jac >= D.JACCARD_THRESHOLD:
             expected.append((a, b, jac))
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# SimHash pipeline vs a full python replay (engine hashes pulled once)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_simhash_matches_python_replay(spark, tmp_path_factory, data):
+    """The rows-only dedup_simhash query, exactly replayed: token
+    hashes pulled from the engine (xxhash64 over strings), then the
+    64-lane multiplicity-weighted bit vote, the strict votes>0 sign,
+    the 4x16-bit banding, bucket pair generation and the full-64-bit
+    hamming verification recomputed in plain Python. Near-dups are
+    planted by cloning docs with a one-token tweak; repeated tokens
+    in a doc exercise the multiplicity weighting the Arrow kernel
+    applies."""
+    from data_warehouse_project_spark.llm import dedup as D
+
+    vocab = [f"w{i}" for i in range(8)]
+    base = data.draw(st.lists(
+        st.lists(st.sampled_from(vocab), min_size=1, max_size=10),
+        min_size=1, max_size=4))
+    docs = list(base)
+    for ts in base:
+        if data.draw(st.booleans()):
+            clone = list(ts)
+            pos = data.draw(st.integers(0, len(clone) - 1))
+            clone[pos] = data.draw(st.sampled_from(vocab))
+            docs.append(clone)
+
+    tmp = tmp_path_factory.mktemp("shrep")
+    rows = [(i, " ".join(ts), "en", "src", len(" ".join(ts)))
+            for i, ts in enumerate(docs)]
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .write.mode("overwrite").parquet(f"{tmp}/documents.parquet"))
+    got = sorted((r["doc_a"], r["doc_b"], r["hamming"])
+                 for r in D.dedup_simhash(spark, str(tmp)).collect())
+
+    # --- replay ---
+    toks = sorted({t for ts in docs for t in ts})
+    h = {r["t"]: r["h"] & ((1 << 64) - 1) for r in
+         spark.createDataFrame([(t,) for t in toks], "t string")
+         .selectExpr("t", "xxhash64(t) AS h").collect()}
+    bands = {}
+    for i, ts in enumerate(docs):
+        votes = [0] * 64
+        for t in ts:                      # multiplicity counts
+            hv = h[t]
+            for b in range(64):
+                votes[b] += 1 if (hv >> b) & 1 else -1
+        sig = [v > 0 for v in votes]
+        bands[i] = [sum(1 << j for j in range(16) if sig[b * 16 + j])
+                    for b in range(4)]
+    buckets: dict = {}
+    for i, bk in bands.items():
+        for b in range(4):
+            buckets.setdefault((b, bk[b]), []).append(i)
+    expected = set()
+    for ds in buckets.values():
+        ds = sorted(set(ds))
+        if 1 < len(ds) <= D.MAX_BUCKET:
+            for ai, a in enumerate(ds):
+                for b in ds[ai + 1:]:
+                    ham = sum(bin(x ^ y).count("1")
+                              for x, y in zip(bands[a], bands[b]))
+                    if ham <= D.SIMHASH_HAMMING_MAX:
+                        expected.add((a, b, ham))
+    assert got == sorted(expected)
