@@ -1312,3 +1312,65 @@ def test_simhash_matches_python_replay(spark, tmp_path_factory, data):
                     if ham <= D.SIMHASH_HAMMING_MAX:
                         expected.add((a, b, ham))
     assert got == sorted(expected)
+
+
+# ---------------------------------------------------------------------------
+# KMV year-overlap report vs a full python replay (engine hashes pulled)
+# ---------------------------------------------------------------------------
+
+def test_kmv_customer_overlap_matches_python_replay(spark, sf_dir):
+    """The rows-only kmv_customer_overlap query, exactly replayed on
+    the real sf0.001 orders: the engine supplies only the distinct
+    (year, xxhash64(custkey)) pairs; the bottom-k truncation (the
+    salt level is a partition-size device — bottom-k per group is
+    bottom-k regardless), the (k-1)/u_k estimator, the union
+    re-truncation, the rho-hat intersection estimator and the HALF-UP
+    long rounding are recomputed in plain Python with the same IEEE
+    double dag and compared on every output column."""
+    import math
+
+    from data_warehouse_project_spark.llm import sketches as S
+    from data_warehouse_project_spark.sources.catalog import Catalog
+
+    got = [tuple(r) for r in S.kmv_customer_overlap(spark, sf_dir)
+           .collect()]
+
+    rows = (Catalog(spark, sf_dir).orders
+            .select(F.year("o_orderdate").alias("y"),
+                    F.xxhash64(F.col("o_custkey").cast("string"))
+                    .alias("h"))
+            .distinct().collect())
+    years: dict = {}
+    for r in rows:
+        years.setdefault(r["y"], set()).add(r["h"])
+    k = S.KMV_K
+
+    def u(h):
+        return (float(h) + (float(2 ** 63) + 2048.0)) / float(2 ** 64)
+
+    def est_of(hs):
+        kk = min(k, len(hs))
+        return (float(kk) if len(hs) < k
+                else float(k - 1) / u(sorted(hs)[k - 1]))
+
+    def half_up(x):
+        return int(math.floor(x + 0.5))
+
+    sketch = {y: set(sorted(hs)[:k]) for y, hs in years.items()}
+    expected = []
+    for p in sorted(years):
+        if p + 1 not in years:
+            continue
+        merged = sorted(sketch[p] | sketch[p + 1])[:k]
+        kk = len(merged)
+        n_both = sum(1 for h in merged
+                     if h in sketch[p] and h in sketch[p + 1])
+        est_union = (float(kk) if kk < k
+                     else float(k - 1) / u(merged[k - 1]))
+        est_inter = n_both / kk * est_union
+        expected.append((
+            p, p + 1,
+            half_up(est_of(years[p])), half_up(est_of(years[p + 1])),
+            half_up(est_union), half_up(est_inter),
+            half_up(n_both / kk * 1e6)))
+    assert got == expected and len(expected) >= 5
