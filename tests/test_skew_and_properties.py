@@ -1374,3 +1374,63 @@ def test_kmv_customer_overlap_matches_python_replay(spark, sf_dir):
             half_up(est_union), half_up(est_inter),
             half_up(n_both / kk * 1e6)))
     assert got == expected and len(expected) >= 5
+
+
+# ---------------------------------------------------------------------------
+# CMS join-size estimators vs full python replays on real sf0.001 data
+# ---------------------------------------------------------------------------
+
+def test_join_size_estimates_match_python_replay(spark, sf_dir):
+    """The rows-only join_size_estimate and equijoin_size_estimate
+    queries, exactly replayed: raw key columns are collected and
+    counted in Python, the engine supplies only xxhash64(token, seed)
+    per distinct key, and the d x w cell tables, per-seed inner
+    products, min-over-seeds estimates and exact join sizes are all
+    integer arithmetic recomputed in Python and compared on every
+    output column."""
+    from collections import Counter
+
+    from data_warehouse_project_spark.llm import sketches as S
+    from data_warehouse_project_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    oc = Counter(str(r["o_custkey"])
+                 for r in cat.orders.select("o_custkey").collect())
+    ec = Counter(str(r["user_id"])
+                 for r in cat.events.select("user_id").collect())
+
+    toks = sorted(set(oc) | set(ec))
+    hr = (spark.createDataFrame([(t,) for t in toks], "token string")
+          .selectExpr("token",
+                      *[f"pmod(xxhash64(token, {s}), {S.CMS_W}) AS b{s}"
+                        for s in range(S.CMS_D)])
+          .collect())
+    bucket = {(r["token"], s): r[f"b{s}"] for r in hr
+              for s in range(S.CMS_D)}
+
+    def cells(counts):
+        out: dict = {}
+        for t, n in counts.items():
+            for s in range(S.CMS_D):
+                key = (s, bucket[(t, s)])
+                out[key] = out.get(key, 0) + n
+        return out
+
+    co, ce = cells(oc), cells(ec)
+
+    # self-join on o_custkey
+    est_self = min(sum(v * v for (s2, _), v in co.items() if s2 == s)
+                   for s in range(S.CMS_D))
+    exact_self = sum(n * n for n in oc.values())
+    got = S.join_size_estimate(spark, sf_dir).collect()[0]
+    assert tuple(got) == (sum(oc.values()), len(oc), exact_self,
+                          est_self, est_self - exact_self)
+
+    # two-relation orders x events on custkey = user_id
+    est_eq = min(sum(co[key] * ce[key]
+                     for key in co.keys() & ce.keys() if key[0] == s)
+                 for s in range(S.CMS_D))
+    exact_eq = sum(oc[t] * ec[t] for t in oc.keys() & ec.keys())
+    got2 = S.equijoin_size_estimate(spark, sf_dir).collect()[0]
+    assert tuple(got2) == (sum(oc.values()), sum(ec.values()),
+                           exact_eq, est_eq, est_eq - exact_eq)
