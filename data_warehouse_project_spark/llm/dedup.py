@@ -682,12 +682,18 @@ def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 6-dp-rounded already)
         jq = F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)).cast("long")
         eq = F.floor(F.col("est") * 1e6 + F.lit(0.5)).cast("long")
+        # COALESCE to 0: a corpus with zero verified pairs is
+        # reachable (no doc shares a band bucket), and "how many
+        # pairs admitted" is then 0, not NULL — the round-9
+        # SUM-over-empty discipline
         outs.append(scored.agg(
             F.lit(t).alias("threshold"),
-            F.sum((jq >= q).cast("long")).cast("long").alias("n_exact"),
-            F.sum((eq >= q).cast("long")).cast("long").alias("n_est"),
-            F.sum(((jq >= q) & (eq >= q)).cast("long")).cast("long")
-            .alias("n_both")))
+            F.coalesce(F.sum((jq >= q).cast("long")), F.lit(0))
+            .cast("long").alias("n_exact"),
+            F.coalesce(F.sum((eq >= q).cast("long")), F.lit(0))
+            .cast("long").alias("n_est"),
+            F.coalesce(F.sum(((jq >= q) & (eq >= q)).cast("long")),
+                       F.lit(0)).cast("long").alias("n_both")))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

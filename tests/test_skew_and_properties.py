@@ -1170,7 +1170,7 @@ def test_minhash_lsh_matches_python_replay(spark, tmp_path_factory, data):
     planted by cloning drawn docs with a one-token tweak, so the
     threshold branch is exercised in both directions."""
     from data_warehouse_project_spark.llm import dedup as D
-    from tests.helpers import fround_half_up
+    from tests.helpers import minhash_replay
 
     vocab = [f"w{i}" for i in range(6)]
     base = data.draw(st.lists(
@@ -1194,51 +1194,65 @@ def test_minhash_lsh_matches_python_replay(spark, tmp_path_factory, data):
     got = sorted((r["doc_a"], r["doc_b"], r["jaccard"])
                  for r in D.dedup_minhash_lsh(spark, str(tmp)).collect())
 
-    # --- replay ---
-    k = D.SHINGLE_K
-    sh = {i: sorted({" ".join(ts[j:j + k])
-                     for j in range(len(ts) - k + 1)})
-          for i, ts in enumerate(docs) if len(ts) >= k}
-    univ = sorted({s for ss in sh.values() for s in ss})
-    h1 = {r["s"]: r["h"] for r in spark.createDataFrame(
-        [(s,) for s in univ], "s string")
-        .selectExpr("s", "xxhash64(s) AS h").collect()}
-    lanes = spark.createDataFrame([(h,) for h in sorted(set(h1.values()))],
-                                  "h long").selectExpr(
-        "h", *[f"xxhash64(h, {j}) AS l{j}" for j in range(D.NUM_HASHES)]
-    ).collect()
-    h2 = {(r["h"], j): r[f"l{j}"] for r in lanes
-          for j in range(D.NUM_HASHES)}
-    sig = {i: [min(h2[(h1[s], j)] for s in ss)
-               for j in range(D.NUM_HASHES)]
-           for i, ss in sh.items()}
-    quads = sorted({tuple(sig[i][b * D.ROWS_PER_BAND:
-                                 (b + 1) * D.ROWS_PER_BAND])
-                    for i in sig for b in range(D.BANDS)})
-    bh = {(r["a"], r["b"], r["c"], r["d"]): r["bk"]
-          for r in spark.createDataFrame(
-              quads, "a long, b long, c long, d long")
-          .selectExpr("a", "b", "c", "d",
-                      "xxhash64(a, b, c, d) AS bk").collect()} if quads else {}
-    buckets: dict = {}
-    for i in sig:
-        for b in range(D.BANDS):
-            quad = tuple(sig[i][b * D.ROWS_PER_BAND:
-                                (b + 1) * D.ROWS_PER_BAND])
-            buckets.setdefault((b, bh[quad]), []).append(i)
-    cands = set()
-    for ds in buckets.values():
-        ds = sorted(set(ds))
-        if 1 < len(ds) <= D.MAX_BUCKET:
-            cands |= {(a, b) for ai, a in enumerate(ds)
-                      for b in ds[ai + 1:]}
+    _, _, expected = minhash_replay(spark, docs)
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_lsh_threshold_sweep_matches_python_replay(spark,
+                                                   tmp_path_factory, data):
+    """The rows-only lsh_threshold_sweep query, exactly replayed on
+    top of the shared minhash_replay helper: per threshold, the
+    1e6-quantized exact/estimate admission counts, their overlap and
+    the fround-quantized precision/recall are recomputed in plain
+    Python over the same verified-pair population and compared on
+    every row."""
+    import math
+
+    from data_warehouse_project_spark.llm import dedup as D
+    from tests.helpers import fround_half_up, minhash_replay
+
+    vocab = [f"w{i}" for i in range(6)]
+    base = data.draw(st.lists(
+        st.lists(st.sampled_from(vocab), min_size=5, max_size=12),
+        min_size=1, max_size=3))
+    docs = list(base)
+    for ts in base:
+        if data.draw(st.booleans()):
+            clone = list(ts)
+            clone[data.draw(st.integers(0, len(clone) - 1))] = \
+                data.draw(st.sampled_from(vocab))
+            docs.append(clone)
+
+    tmp = tmp_path_factory.mktemp("sweeprep")
+    rows = [(i, " ".join(ts), "en", "src", len(" ".join(ts)))
+            for i, ts in enumerate(docs)]
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .write.mode("overwrite").parquet(f"{tmp}/documents.parquet"))
+    got = [tuple(r) for r in
+           D.lsh_threshold_sweep(spark, str(tmp)).collect()]
+
+    _, sig, pairs = minhash_replay(spark, docs)
+    scored = []
+    for a, b, jac in pairs:
+        agree = sum(1 for x, y in zip(sig[a], sig[b]) if x == y)
+        est = agree / D.NUM_HASHES
+        scored.append((int(math.floor(jac * 1e6 + 0.5)),
+                       int(math.floor(est * 1e6 + 0.5))))
     expected = []
-    for a, b in sorted(cands):
-        ha, hb = {h1[s] for s in sh[a]}, {h1[s] for s in sh[b]}
-        shared = len(ha & hb)
-        jac = fround_half_up(shared / (len(sh[a]) + len(sh[b]) - shared), 6)
-        if jac >= D.JACCARD_THRESHOLD:
-            expected.append((a, b, jac))
+    for t in D.SWEEP_THRESHOLDS:
+        q = int(t * 1e6)
+        n_exact = sum(1 for jq, _ in scored if jq >= q)
+        n_est = sum(1 for _, eq in scored if eq >= q)
+        n_both = sum(1 for jq, eq in scored if jq >= q and eq >= q)
+        expected.append((
+            t, n_exact, n_est, n_both,
+            fround_half_up(n_both / max(n_est, 1), 6),
+            fround_half_up(n_both / max(n_exact, 1), 6)))
     assert got == expected
 
 
