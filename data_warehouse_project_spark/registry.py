@@ -169,8 +169,42 @@ _PRIORITY: list[str] = [
     "doc_fingerprint",
     "bigram_lm_counts",
     "doc_lm_cross_entropy",
+    # --- r11 cohort, staged remainder: 28 of the 49 r6-stale (last
+    #     driver-checked CORRECTNESS_r06), registry order — together
+    #     with flagship + the 21 r5-stale above these fill the
+    #     50-slot r11 window; rotate them into positions 2-50 next
+    #     round and bump the test's window_round to 11 ---
+    "asof_latest_click",
+    "range_join_price_bands",
+    "pivot_status_by_priority",
+    "unpivot_lineitem_measures",
+    "percentiles_quantity",
+    "lateral_explode_tokens",
+    "stats_moments",
+    "data_quality_filter",
+    "agg_count_per_group",
+    "json_extraction",
+    "referential_integrity_report",
+    "order_consistency_audit",
+    "user_rfm_segments",
+    "incremental_hourly_rollup",
+    "soft_delete_post_state",
+    "record_payment_post_state",
+    "surrogate_keys_bulk_post_state",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "q2_min_unitprice_supplier",
+    "q7_nation_trade",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_part_value_concentration",
     # (everything unlisted keeps registration order after these; the
-    #  r6/r7/r8/r9 cohorts rotate in age order in later rounds)
+    #  remaining 21 r6-stale and the r7/r8/r9 cohorts rotate in age
+    #  order in later rounds)
 ]
 
 
