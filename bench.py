@@ -103,6 +103,7 @@ HEADLINE = [
     "events_ab_conversion_report",  # hash-bucketed per-user A/B funnel + z-test (new r7)
     "embedding_kmeans_pinned",     # pinned Lloyd's k-means, 3 assignment rounds (new r7)
     "part_label_propagation",      # plurality-vote LPA communities, 3 rounds (new r7)
+    "agg_approx_distinct_fast",    # approx-only HLL path, no exact side (new r11, ADVICE r10)
 ]
 # doc_zipf_fit is deliberately NOT in the headline: its corpus-scale
 # work is the same explode→term-count shuffle vocab_top_terms already
@@ -215,12 +216,20 @@ HEADLINE = [
 # plan-audit needs to spot a scale-killer without re-deriving it from
 # .explain (VERDICT r9 #7); scripts/shuffle_audit.py gates the same
 # numbers against recorded bounds
-from data_warehouse_project_spark.metrics import stage_shuffle_totals
+from data_warehouse_project_spark.metrics import (stable_shuffle_totals,
+                                                  stage_shuffle_totals)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # run identity (VERDICT r10 #3): the SAME id is stamped into both
+    # the stdout JSON line and BENCH_LOCAL.json, so a reader can
+    # verify a captured BENCH_rN.json and the committed repo file are
+    # the same run instead of inferring it from totals. Start-epoch +
+    # pid is unique per invocation; overridable for reproducible CI.
+    run_id = os.environ.get("SPARK_GRAFT_RUN_ID",
+                            f"{int(time.time())}-{os.getpid()}")
     # 1-min load BEFORE the session spins up: the honest comparator
     # for warm-host drift (BASELINE.md round-7 notes) — a recorded
     # bench run is only comparable to the quiet standings when
@@ -268,7 +277,10 @@ def main() -> None:
             # storage accumulates across the run, and rep N+1 never
             # re-caches an already-cached plan (cache.py discipline)
             release_all()
-        rd, wr, sp, stage_floor = stage_shuffle_totals(spark, stage_floor)
+        # stabilized sample (ADVICE r10): the listener bus is async,
+        # so wait until two consecutive windowed reads agree before
+        # attributing bytes to this query
+        rd, wr, sp, stage_floor = stable_shuffle_totals(spark, stage_floor)
         dt = round(best, 3)
         timings[name] = dt
         # per-rep exchange volume: deterministic plans shuffle the
@@ -297,6 +309,7 @@ def main() -> None:
             "unit": "sec",
             "sf": sf,
             "n_queries": len(timings),
+            "run_id": run_id,
             "load1_start": load1_start,
             "load1_end": load1_end,
             "queries": detail,
@@ -314,6 +327,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "queries": top10,
+        "run_id": run_id,
         "full_results": "BENCH_LOCAL.json",
         # ambient-load stamps (VERDICT r7 #3): load1_start is read
         # before the session exists, so it reflects OTHER work on the

@@ -49,6 +49,26 @@ def stage_shuffle_totals(
     return read, write, spilled, max_id
 
 
+def stable_shuffle_totals(spark: SparkSession, since_id: int,
+                          polls: int = 20, interval_s: float = 0.1
+                          ) -> tuple[int, int, int, int]:
+    """AppStatusStore is fed by the async listener bus, so a sample
+    taken the instant an action returns can miss the final stages'
+    metrics under event-queue lag (ADVICE r10). Poll until two
+    consecutive windowed samples agree (bounded: ~2 s worst case),
+    then return the stable reading."""
+    import time
+
+    prev = stage_shuffle_totals(spark, since_id)
+    for _ in range(polls):
+        time.sleep(interval_s)
+        cur = stage_shuffle_totals(spark, since_id)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
 def measure_query_shuffle(spark: SparkSession, fn, sf_dir: str,
                           reps: int = 1) -> dict[str, int]:
     """Execute ``fn(spark, sf_dir)`` via the noop sink ``reps`` times
@@ -61,7 +81,7 @@ def measure_query_shuffle(spark: SparkSession, fn, sf_dir: str,
     for _ in range(reps):
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         release_all()
-    rd, wr, sp, _ = stage_shuffle_totals(spark, floor)
+    rd, wr, sp, _ = stable_shuffle_totals(spark, floor)
     return {
         "shuffle_read_bytes": rd // reps,
         "shuffle_write_bytes": wr // reps,

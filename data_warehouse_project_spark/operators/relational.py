@@ -413,6 +413,25 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def agg_approx_distinct_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION approx-distinct path, registered separately from
+    the gate (ADVICE r10): agg_approx_distinct's registered form runs
+    exact count_distinct next to the HLL so the oracle has something
+    to hash, which means its timing and shuffle bound reflect the
+    exact-distinct shuffle — not the cheap path the scale story
+    describes. This entry keeps the approx-ONLY plan shape itself
+    benchmarkable and plan-gated: one pass, fixed-size HLL sketches
+    as the partial aggregate, no distinct-key shuffle. Rows-only
+    driver check (estimates are engine-specific); the VALUE accuracy
+    is certified by agg_approx_distinct's gate on the same column."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).cast("long")
+             .alias("n_parts_approx"))
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.6 sorts / limits / top-k
 # --------------------------------------------------------------------------
@@ -584,6 +603,7 @@ for _name, _fn, _sql in [
     ("agg_argmax", agg_argmax, AGG_ARGMAX_SQL),
     ("agg_distinct", agg_distinct, AGG_DISTINCT_SQL),
     ("agg_approx_distinct", agg_approx_distinct, AGG_APPROX_DISTINCT_SQL),
+    ("agg_approx_distinct_fast", agg_approx_distinct_fast, None),
     ("sort_limit_topk", sort_limit_topk, SORT_LIMIT_TOPK_SQL),
     ("setop_union", setop_union, SETOP_UNION_SQL),
     ("setop_intersect", setop_intersect, SETOP_INTERSECT_SQL),

@@ -129,8 +129,12 @@ def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     minus single-pass estimate, which the unit suite pins to exactly 0
     for every group (tests/test_skew_and_properties.py merge-
     associativity property; lossless HLL register-maxima union). The
-    inner join means any key the merge invented or dropped changes
-    the row count vs the oracle's full GROUP BY."""
+    FULL OUTER join (ADVICE r10) makes both failure directions
+    driver-visible: a key the merge DROPPED surfaces as a row whose
+    merged-side columns are NULL (hash mismatch vs the oracle), and a
+    key the merge INVENTED surfaces as an extra row with a NULL
+    single-pass side (row-count + hash mismatch) — an inner join
+    would have silently discarded the invented key."""
     merged = state_to_report(_two_batch_state(spark, sf_dir))
     single = state_to_report(
         hourly_rollup_state(Catalog(spark, sf_dir).events))
@@ -139,7 +143,7 @@ def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             single.select(
                 "hour", "event_type",
                 F.col("n_users_approx").alias("single_pass_users")),
-            ["hour", "event_type"], "inner")
+            ["hour", "event_type"], "full_outer")
         .select(
             "hour", "event_type", "n_events", "sum_value",
             (F.col("n_users_approx") - F.col("single_pass_users"))

@@ -9,7 +9,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 python -m pytest tests/ -q "$@"
-# shuffle-volume gate (round 10): plan-structure regressions the
-# wall-clock can't see — full headline sweep vs recorded bounds
+# shuffle-volume gate (round 10; two-scale since round 11): plan-
+# structure regressions the wall-clock can't see — full headline
+# sweep vs recorded per-scale bounds at sf0.001 AND sf0.01, plus the
+# growth-ratio gate that trips on superlinear exchange growth
 python scripts/shuffle_audit.py
 echo "preflight green — safe to commit"

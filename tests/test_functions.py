@@ -126,7 +126,7 @@ def test_priority_window_rotation():
     # window-8 queries legitimately appear in CORRECTNESS_r08.json
     # once the driver executes the window — bump this constant when
     # rotating the window each round
-    window_round = 10
+    window_round = 11
     window = list(registry.queries())[:50]
     assert window[0] == "flagship_my_registrations"
     seen: set = set()
@@ -147,24 +147,28 @@ def test_priority_window_rotation():
     else:
         assert len(stale_in_window) <= 50 - 1 - len(never_pool), (
             stale_in_window)
-    # r10 contract (VERDICT r9 #1/#8): the fixed drift pair — the
-    # only queries whose latest driver row is a FAIL (r8) — occupy
-    # slots 2-3; the whole remaining r4-stale cohort is in-window;
-    # and every stale slot is filled oldest-first (no query checked
-    # more recently than round 5 may displace an r4/r5-stale one).
-    assert window[1] == "events_value_drift_daily"
-    assert window[2] == "events_drift_daily_served"
-    r4_stale = [q for q in registry.queries() if latest.get(q) == 4]
-    assert not r4_stale or set(r4_stale) <= set(window), (
-        sorted(set(r4_stale) - set(window)))
-    for q in window[3:]:
-        assert latest.get(q, 99) <= 5, (q, latest.get(q))
-    # spot-pin the r5-stale families drawn into the r10 window
-    for name in ("dedup_exact", "crypto_roundtrip", "hypertable_rollup",
-                 "q1_pricing_summary", "ingest_quarantine_report",
-                 "scd2_apply_post_state", "window_running_totals",
-                 "multimodal_meta_stats"):
+    # r11 contract (VERDICT r10 #1): the whole remaining r5-stale
+    # cohort is in-window, and every stale slot is filled oldest-first
+    # (no query checked more recently than round 6 may displace an
+    # r5/r6-stale one).
+    r5_stale = [q for q in registry.queries() if latest.get(q) == 5]
+    assert not r5_stale or set(r5_stale) <= set(window), (
+        sorted(set(r5_stale) - set(window)))
+    # every window slot is never-checked (outranks everything) or
+    # r5/r6-stale — nothing fresher displaces an older query
+    for q in window[1:]:
+        assert q not in seen or latest[q] <= 6, (q, latest.get(q))
+    # spot-pin the never-checked + r5/r6-stale families drawn into
+    # the r11 window
+    for name in ("agg_approx_distinct_fast", "knn_brute_cosine",
+                 "text_quality", "pack_sequences", "asof_latest_click",
+                 "incremental_hourly_rollup", "record_payment_post_state",
+                 "q3_shipping_priority", "q9_product_profit"):
         assert name in window, name
+    # ADVICE r10 #4: a typo'd _PRIORITY name must fail loudly, not
+    # silently shift the window — _reorder asserts containment once
+    # registration is complete.
+    assert set(registry._PRIORITY) <= set(registry.REGISTRY)
 
 
 @pytest.mark.skipif(not crypto.HAVE_FERNET, reason="cryptography missing")

@@ -51,8 +51,9 @@ GATED = [
 def bounds():
     with open(BOUNDS_PATH) as f:
         rec = json.load(f)
-    assert rec["sf_dir_basename"] == "sf0.001"
-    return rec["bounds"], rec["headroom"]
+    # v2 schema (VERDICT r10 #4): per-scale bounds + growth headroom
+    assert "sf0.001" in rec["scales"] and "sf0.01" in rec["scales"]
+    return rec["scales"]["sf0.001"], rec["headroom"]
 
 
 @pytest.mark.parametrize("name", GATED)
@@ -70,12 +71,64 @@ def test_shuffle_volume_within_bounds(spark, sf_dir, name, bounds):
 def test_bounds_cover_every_headline_query():
     # the recorded bounds file must stay in lockstep with bench.py's
     # headline list — an unrecorded new query would silently escape
-    # the full sweep's gate
+    # the full sweep's gate — at BOTH recorded scales
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     from bench import HEADLINE
     with open(BOUNDS_PATH) as f:
         rec = json.load(f)
-    missing = [q for q in HEADLINE if q not in rec["bounds"]]
-    assert not missing, missing
+    for sk in ("sf0.001", "sf0.01"):
+        missing = [q for q in HEADLINE if q not in rec["scales"][sk]]
+        assert not missing, (sk, missing)
+
+
+def _gate(measured, scales, **over):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    from shuffle_audit import gate_violations
+    rec = {"headroom": 2.5, "growth_headroom": 1.6, "scales": scales}
+    rec.update(over)
+    return gate_violations(measured, rec)
+
+
+def _m(write, spill=0):
+    return {"shuffle_write_bytes": write, "spilled_bytes": spill}
+
+
+def test_gate_intentional_violations():
+    """Each gate kind must trip on a synthetic violation and stay
+    quiet on a clean reading (the VERDICT r10 #4 'one
+    intentional-violation test')."""
+    scales = {"sf0.001": {"q": 100_000, "tiny": 1_000},
+              "sf0.01": {"q": 1_000_000, "tiny": 5_000}}
+    clean = {"sf0.001": {"q": _m(110_000), "tiny": _m(900)},
+             "sf0.01": {"q": _m(1_050_000), "tiny": _m(4_000)}}
+    assert _gate(clean, scales) == []
+
+    # SHUFFLE: absolute headroom blown at one scale
+    v = _gate({"sf0.01": {"q": _m(3_000_000)}}, scales)
+    assert [x["kind"] for x in v] == ["SHUFFLE"] and v[0]["scale"] == "sf0.01"
+
+    # SPILL: any nonzero spill trips
+    v = _gate({"sf0.001": {"q": _m(100_000, spill=1)}}, scales)
+    assert "SPILL" in [x["kind"] for x in v]
+
+    # GROWTH: both scales inside absolute headroom (<=2.5x bound)
+    # but the ratio bends superlinear past recorded_ratio * 1.6
+    grow = {"sf0.001": {"q": _m(100_000)},
+            "sf0.01": {"q": _m(2_400_000)}}   # ratio 24 vs recorded 10
+    v = _gate(grow, scales)
+    assert [x["kind"] for x in v] == ["GROWTH"], v
+    assert v[0]["scale"] == "sf0.001->sf0.01"
+
+    # GROWTH floor: a noisy ratio on a sub-64KiB small-scale bound is
+    # NOT gated (absolute gate at the big scale covers it)
+    noisy = {"sf0.001": {"tiny": _m(100)},
+             "sf0.01": {"tiny": _m(5_000)}}   # ratio 50 vs recorded 5
+    assert _gate(noisy, scales) == []
+
+    # UNRECORDED: a headline query missing from the bounds is loud
+    v = _gate({"sf0.001": {"new_q": _m(10)}}, scales)
+    assert [x["kind"] for x in v] == ["UNRECORDED"]
