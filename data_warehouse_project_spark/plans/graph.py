@@ -496,8 +496,18 @@ def triangle_participation(lineitem: DataFrame, part: DataFrame,
                    & (F.col("o1.v") < F.col("o2.v"))))
         .select(F.col("o1.u").alias("u"), F.col("o1.v").alias("v1"),
                 F.col("o2.v").alias("v2")))
+    # closing join: SHUFFLE_HASH on the edge side, not SMJ. The wedge
+    # stream is the O(m^1.5) side and must NEVER be sorted: without
+    # the hint, AQE broadcasts und at small sf but flips to sort-merge
+    # once und outgrows the broadcast threshold — the derived-sf1.0
+    # probe (SCALING.md #13) measured that flip as a 117x shuffle-byte
+    # jump + 22 GB of sort spill at 10x data. With the hint the edge
+    # side builds a per-partition hash map and the wedge stream is
+    # hash-exchanged once (linear in wedge count) and probed unsorted.
+    # AQE may still demote to broadcast where und genuinely fits — the
+    # hint only forbids the sort-merge path.
     tri = wedges.join(
-        und,
+        und.hint("shuffle_hash"),
         (F.least("v1", "v2") == F.col("a"))
         & (F.greatest("v1", "v2") == F.col("b")))
     parts = (

@@ -214,15 +214,13 @@ def _reorder() -> None:
     """Rebuild REGISTRY so _PRIORITY names come first (driver checks
     registration order); everything else keeps its relative order.
 
-    Once registration has completed in full, a _PRIORITY name absent
-    from REGISTRY is a typo that would silently shift every later
-    window slot (ADVICE r10) — fail loudly instead. During a partial
-    import-time pass (_REGISTERED False) missing names are expected
-    and skipped; the queries()/oracle_sql() re-reorder re-checks.
+    Missing names are skipped here WITHOUT complaint: during import
+    the registry is legitimately partial (a module imported directly
+    triggers this module's import mid-body, registering its remaining
+    queries only after registry import returns — see the _REGISTERED
+    note). The typo check lives in _check_priority(), called from
+    queries()/oracle_sql() when registration is guaranteed complete.
     """
-    if _REGISTERED:
-        unknown = [n for n in _PRIORITY if n not in REGISTRY]
-        assert not unknown, f"_PRIORITY names not in REGISTRY: {unknown}"
     ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
     for name, entry in REGISTRY.items():
         if name not in ordered:
@@ -265,16 +263,27 @@ except ImportError:
 _reorder()
 
 
+def _check_priority() -> None:
+    """A typo'd _PRIORITY name would silently shift every later window
+    slot (ADVICE r10) — fail loudly once registration is complete (at
+    queries()/oracle_sql() time no import is mid-flight, so REGISTRY
+    is guaranteed full)."""
+    unknown = [n for n in _PRIORITY if n not in REGISTRY]
+    assert not unknown, f"_PRIORITY names not in REGISTRY: {unknown}"
+
+
 def queries() -> dict[str, SparkQuery]:
     # complete any aborted registration, then re-apply the priority
     # order (a module imported directly self-registers after the
     # load-time _reorder() ran)
     _ensure_registered()
+    _check_priority()
     _reorder()
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     _ensure_registered()
+    _check_priority()
     _reorder()
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
