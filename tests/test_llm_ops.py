@@ -894,6 +894,38 @@ def test_compression_signal_plan_is_map_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_compression_signal_exact_replay_full_corpus(spark, sf_dir):
+    """Row-for-row replay of the registered query over the REAL
+    sf0.001 corpus (the synthetic-doc pin above checks the kernel;
+    this checks the whole pipeline on driver data): python zlib at
+    the same level over the same utf-8 bytes must reproduce every
+    (raw_len, comp_len, ratio, is_boilerplate) row exactly."""
+    import zlib
+
+    import duckdb
+
+    from data_warehouse_project_spark.llm.quality import (
+        _ZLIB_LEVEL, COMPRESS_FLAG_RATIO, doc_compression_ratio)
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    expect = []
+    for doc_id, text in rows:
+        raw = (text or "").encode("utf-8")
+        comp = len(zlib.compress(raw, _ZLIB_LEVEL))
+        ratio = round(comp / max(len(raw), 1), 6)
+        expect.append((doc_id, len(raw), comp, ratio,
+                       ratio < COMPRESS_FLAG_RATIO))
+    got = [(r["doc_id"], r["raw_len"], r["comp_len"], r["ratio"],
+            r["is_boilerplate"])
+           for r in doc_compression_ratio(spark, sf_dir).collect()]
+    assert got == expect
+
+
 def test_chunk_dedup_planted_duplicate_window(spark, tmp_path):
     """Two docs from different sources share an identical 64-token
     opening window; a third is unique. The shared chunk counts as
