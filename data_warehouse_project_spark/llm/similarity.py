@@ -346,9 +346,43 @@ register("embedding_dup_exact", embedding_dup_exact, EMBEDDING_DUP_SQL)
 #: p = 0.955^8 ~= 0.69 and 12 independent bands miss a true pair with
 #: probability (1-p)^12 < 1e-6. Verified exhaustively against the
 #: all-pairs form in unit tests (planted near-dups) and at sf0.01.
+#: These are the FLOOR parameters; _adaptive_lsh_params raises them
+#: with corpus size (see its note — fixed bits make the candidate
+#: set quadratic, the r11 derived-sf1.0 probe's second finding).
 DEDUP_COS_THRESHOLD = 0.99
 DEDUP_COS_BANDS = 12
 DEDUP_COS_BITS = 8
+
+#: expected vectors per (band, bucket) cell the adaptive policy aims
+#: for — in-bucket pair generation is ~n·TARGET/2 per band at this
+#: occupancy, i.e. LINEAR in the corpus.
+DEDUP_COS_TARGET_BUCKET = 16
+
+
+def _adaptive_lsh_params(n: int) -> tuple[int, int]:
+    """(bands, bits) for an n-vector corpus — the standard LSH
+    self-tuning dial (E2LSH-style parameter selection, public
+    literature). With FIXED bits the expected candidate count is
+    bands * C(n,2) / 2^bits — quadratic in the corpus; the r11
+    derived-sf1.0 probe hit exactly that (a 20k-vector corpus
+    generated ~9M candidates and OOM'd the old broadcast verify).
+    Scaling bits ~ log2(n / TARGET_BUCKET) pins expected bucket
+    occupancy, making candidates ~ bands * TARGET/2 * n (linear);
+    bands then grows just enough to keep the true-pair miss
+    probability at the documented 1e-6 (deeper buckets lower the
+    per-band match rate p^bits, so bands = ln(1e6) / -ln(1-p^bits)).
+    At every driver scale (n <= 2000) this returns exactly the
+    (12, 8) floor, so all oracle/floor/planted tests see the
+    identical plan; the parameters only move past n ~ 4096."""
+    import math
+
+    bits = max(DEDUP_COS_BITS,
+               math.ceil(math.log2(max(n, 2) / DEDUP_COS_TARGET_BUCKET)))
+    p_bit = 1.0 - math.acos(DEDUP_COS_THRESHOLD) / math.pi
+    p_band = p_bit ** bits
+    bands = max(DEDUP_COS_BANDS,
+                math.ceil(math.log(1e6) / -math.log(1.0 - p_band)))
+    return bands, bits
 #: per-task bucket chunk size: a bucket with more members than this
 #: is CHUNKED, not dropped (ADVICE r2) — its sorted member list is
 #: sliced into ≤MAX_VEC_BUCKET chunks and pairs are generated per
@@ -445,12 +479,16 @@ def cosine_pair_dedup(vecs: DataFrame,
        dropped;
     3. the candidate set broadcasts back against the vectors twice
        and only candidates get exact-cosine verified.
-    Cost is Σ bucket², not n²; the corpus shuffles bucket ids (longs),
-    never vector pairs. Equality with the all-pairs ground truth is
-    unit-tested on planted near-dup corpora, including with a tiny
-    chunk size forcing the multi-chunk path.
+    Cost is Σ bucket², and the ADAPTIVE (bands, bits) policy
+    (_adaptive_lsh_params — one bounded count() action) pins expected
+    bucket occupancy so that sum stays LINEAR in the corpus; the
+    corpus shuffles bucket ids (longs), never vector pairs. Equality
+    with the all-pairs ground truth is unit-tested on planted
+    near-dup corpora, including with a tiny chunk size forcing the
+    multi-chunk path.
     """
-    buckets_udf = _band_buckets_udf(DEDUP_COS_BANDS, DEDUP_COS_BITS)
+    bands_n, bits_n = _adaptive_lsh_params(vecs.count())
+    buckets_udf = _band_buckets_udf(bands_n, bits_n)
     bands = vecs.select(
         "vec_id",
         F.posexplode(buckets_udf(F.col("embedding"))).alias("band", "bucket"),
@@ -499,16 +537,21 @@ def _chunked_bucket_pairs(bands: DataFrame, chunk: int) -> DataFrame:
 
 def _verify_pairs(vecs: DataFrame, candidates: DataFrame,
                   threshold: float) -> DataFrame:
-    """Exact-cosine verification of a (small) candidate pair set: the
-    candidates broadcast into the vector table twice, so embeddings
-    are read scan-side and never shuffled."""
+    """Exact-cosine verification of a candidate pair set. The
+    candidate set is CORPUS-DERIVED (it grows with the data), so it
+    must never broadcast — the r11 derived-sf1.0 probe OOM'd the old
+    double-broadcast build at a 20k-vector corpus. Both verify joins
+    pin SHUFFLE_HASH (the triangle closing-join doctrine): candidates
+    hash-exchange by the probe key — linear in candidate count, never
+    sorted — and the embeddings stream against each partition's hash
+    map."""
     emb_a = vecs.select(F.col("vec_id").alias("vec_a"),
                         F.col("embedding").alias("a"))
     emb_b = vecs.select(F.col("vec_id").alias("vec_b"),
                         F.col("embedding").alias("b"))
-    cand_a = emb_a.join(F.broadcast(candidates), "vec_a")
+    cand_a = emb_a.join(candidates.hint("shuffle_hash"), "vec_a")
     return (
-        emb_b.join(F.broadcast(cand_a), "vec_b")
+        emb_b.join(cand_a.hint("shuffle_hash"), "vec_b")
         .withColumn("cos_sim", fround(F.expr(_COS_EXPR), 6))
         .filter(F.coalesce(F.col("cos_sim") >= threshold, F.lit(False)))
         .select("vec_a", "vec_b", "cos_sim")
