@@ -894,6 +894,33 @@ def test_compression_signal_plan_is_map_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_adaptive_lsh_params_policy():
+    """Pins the E2LSH-style dial (SCALING.md #16): exactly the (12, 8)
+    floor at every driver scale, monotone non-decreasing beyond it,
+    expected candidates linear (bounded per-bucket occupancy), and the
+    1e-6 true-pair miss bound held at every size."""
+    import math
+
+    from data_warehouse_project_spark.llm.similarity import (
+        _adaptive_lsh_params, DEDUP_COS_TARGET_BUCKET,
+        DEDUP_COS_THRESHOLD)
+
+    # driver scales (embeddings: 500 / 2000 rows, planted adds <5%)
+    for n in (2, 100, 500, 2000, 2100, 4096):
+        assert _adaptive_lsh_params(n) == (12, 8), n
+    p_bit = 1.0 - math.acos(DEDUP_COS_THRESHOLD) / math.pi
+    prev = (12, 8)
+    for n in (5_000, 20_000, 200_000, 10**6, 10**9):
+        bands, bits = _adaptive_lsh_params(n)
+        assert bands >= prev[0] and bits >= prev[1], n
+        prev = (bands, bits)
+        # occupancy bound → linear candidates: n / 2^bits <= TARGET
+        assert n / (1 << bits) <= DEDUP_COS_TARGET_BUCKET, n
+        # documented miss bound
+        p_band = p_bit ** bits
+        assert (1.0 - p_band) ** bands <= 1e-6, (n, bands, bits)
+
+
 def test_compression_signal_exact_replay_full_corpus(spark, sf_dir):
     """Row-for-row replay of the registered query over the REAL
     sf0.001 corpus (the synthetic-doc pin above checks the kernel;
