@@ -17,6 +17,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .. import cache
 from ..functions.compat import fround, sql_fround
 from ..registry import register
 from ..sources.catalog import Catalog
@@ -457,8 +458,8 @@ def dedup_embedding_cosine_allpairs(spark: SparkSession,
     )
 
 
-def cosine_pair_dedup(vecs: DataFrame,
-                      chunk: int = MAX_VEC_BUCKET) -> DataFrame:
+def cosine_pair_dedup(vecs: DataFrame, chunk: int = MAX_VEC_BUCKET,
+                      n: int | None = None) -> DataFrame:
     """LSH-blocked cosine near-dup pairs over a (vec_id, embedding)
     frame — the shared pipeline behind dedup_embedding_cosine and the
     planted-corpus variant.
@@ -487,7 +488,17 @@ def cosine_pair_dedup(vecs: DataFrame,
     near-dup corpora, including with a tiny chunk size forcing the
     multi-chunk path.
     """
-    bands_n, bits_n = _adaptive_lsh_params(vecs.count())
+    if n is None:
+        # the adaptive dial needs the corpus size, which costs one
+        # bounded action — pin the corpus first so the sizing scan is
+        # reused by the banding projection and both verify joins
+        # instead of re-reading (and, for derived corpora like the
+        # planted pipeline, re-computing) the input per reference
+        # (ADVICE r11 #1). Plan-only callers pass a precomputed n to
+        # stay fully lazy.
+        vecs = cache.pin(vecs)
+        n = vecs.count()
+    bands_n, bits_n = _adaptive_lsh_params(n)
     buckets_udf = _band_buckets_udf(bands_n, bits_n)
     bands = vecs.select(
         "vec_id",

@@ -54,11 +54,20 @@ def stable_shuffle_totals(spark: SparkSession, since_id: int,
                           ) -> tuple[int, int, int, int]:
     """AppStatusStore is fed by the async listener bus, so a sample
     taken the instant an action returns can miss the final stages'
-    metrics under event-queue lag (ADVICE r10). Poll until two
-    consecutive windowed samples agree (bounded: ~2 s worst case),
-    then return the stable reading."""
+    metrics under event-queue lag (ADVICE r10). Two equal consecutive
+    samples can still both be stale if the bus hasn't started
+    draining within one interval (ADVICE r11 #3), so first anchor on
+    the statusTracker reporting no active jobs — the job-end event
+    precedes the final stage metrics on the same ordered bus — then
+    poll until two consecutive windowed samples agree (bounded:
+    ~2 s worst case each phase) and return the stable reading."""
     import time
 
+    tracker = spark.sparkContext.statusTracker()
+    for _ in range(polls):
+        if not tracker.getActiveJobsIds():
+            break
+        time.sleep(interval_s)
     prev = stage_shuffle_totals(spark, since_id)
     for _ in range(polls):
         time.sleep(interval_s)

@@ -64,11 +64,12 @@ def _register_modules() -> None:
 #: Driver correctness-window priority. The driver's CORRECTNESS run
 #: checks the first 50 registered queries, so registration order is
 #: coverage policy, rotated each round (VERDICT r1/r2 adjudicated the
-#: rotation as documented coverage policy). Round-11 window executes
-#: the schedule VERDICT r10 #1 prescribed, adjusted for one new
-#: query: flagship + 1 never-driver-checked (agg_approx_distinct_fast,
-#: new this round per ADVICE r10) + the remaining 21 r5-stale + 27 of
-#: the 49 r6-stale (registry order) = 50.
+#: rotation as documented coverage policy). Round-12 window executes
+#: the schedule VERDICT r11 #2/#6 prescribed: flagship +
+#: agg_approx_distinct (the one oracle never driver-checked as an
+#: oracle — it gained its DuckDB twin in r10, after its last window
+#: appearance in r9) + the remaining 22 r6-stale + 26 of the 49
+#: r7-stale (registry order) = 50.
 #: The window/pool arithmetic is MACHINE-CHECKED each pytest run by
 #: tests/test_functions.py::test_priority_window_rotation, which
 #: recomputes the pools from the CORRECTNESS_r0*.json artifacts on
@@ -79,11 +80,14 @@ def _register_modules() -> None:
 #: - Round 10 landed: flagship + drift pair + 19 r4-stale +
 #:   28 r5-stale, all green (CORRECTNESS_r10 = 47 pass +
 #:   3 rows-only, 0 fail). Pool after r10: 0 r4-stale, 21 r5-stale.
-#: - Round 11 (positions 1-50 below): flagship + 1 never-checked +
-#:   the 21 r5-stale + 27 r6-stale. Pool after round 11: 0
-#:   never-checked, 0 r5-stale, 22 r6-stale.
-#: - Round 12+ (next cohort below): the remaining 22 r6-stale +
-#:   28 of the 49 r7-stale — the standing age-ordered rotation (the
+#: - Round 11 landed: flagship + 1 never-checked + the 21 r5-stale
+#:   + 27 r6-stale, all green (CORRECTNESS_r11 = 45 pass +
+#:   5 rows-only, 0 fail). Pool after r11: 0 r5-stale, 22 r6-stale.
+#: - Round 12 (positions 1-50 below): flagship + agg_approx_distinct
+#:   + the 22 r6-stale + 26 r7-stale. Pool after round 12: 0
+#:   r6-stale, 23 r7-stale.
+#: - Round 13+ (next cohort below): the remaining 23 r7-stale +
+#:   26 of the 47 r8-stale — the standing age-ordered rotation (the
 #:   freshest evidence rotates last).
 #:   Every displaced query remains value-checked on every pytest
 #:   run by the local DuckDB parity suite at sf0.001, and the r6
@@ -91,67 +95,15 @@ def _register_modules() -> None:
 #:   green at sf0.01 (246/246 + 19 rows-only in r10).
 _PRIORITY: list[str] = [
     "flagship_my_registrations",
-    # --- r11 window: the one never-driver-checked query (new this
-    #     round, ADVICE r10: the approx-only plan split out of the
-    #     agg_approx_distinct gate) — never-checked always outranks
-    #     stale-but-once-green ---
-    "agg_approx_distinct_fast",
-    # --- r11 window: the remaining 21 r5-stale ---
-    "multimodal_frame_sample",
-    "pack_sequences",
-    "decontaminate_report",
-    "corpus_refinery_report",
-    "doc_repetition_stats",
-    "chunk_documents",
-    "dup_ngram_char_fracs",
-    "knn_brute_cosine",
-    "centroid_per_label",
-    "ann_lsh_cosine",
-    "embedding_dup_exact",
-    "ann_ivf_cosine",
-    "semantic_dedup",
-    "knn_batch_cosine",
-    "ann_recall_report",
-    "text_quality",
-    "lang_id_heuristic",
-    "token_count_bpe_ish",
-    "doc_fingerprint",
-    "bigram_lm_counts",
-    "doc_lm_cross_entropy",
-    # --- r11 window: 28 of the 49 r6-stale (last driver-checked
+    # --- r12 window: agg_approx_distinct — the ONLY oracle query
+    #     without a driver-green oracle row (last windowed in r9 as
+    #     rows-only; its DuckDB oracle landed in r10, so the oracle
+    #     itself has never run under the driver — VERDICT r11 #6).
+    #     Oracle-never-checked outranks stale-but-once-green, same
+    #     rationale as agg_approx_distinct_fast's r11 slot ---
+    "agg_approx_distinct",
+    # --- r12 window: the remaining 22 r6-stale (last driver-checked
     #     CORRECTNESS_r06), registry order ---
-    "asof_latest_click",
-    "range_join_price_bands",
-    "pivot_status_by_priority",
-    "unpivot_lineitem_measures",
-    "percentiles_quantity",
-    "lateral_explode_tokens",
-    "stats_moments",
-    "data_quality_filter",
-    "agg_count_per_group",
-    "json_extraction",
-    "referential_integrity_report",
-    "order_consistency_audit",
-    "user_rfm_segments",
-    "incremental_hourly_rollup",
-    "soft_delete_post_state",
-    "record_payment_post_state",
-    "surrogate_keys_bulk_post_state",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "q10_returned_items",
-    "q18_large_volume_customers",
-    "q2_min_unitprice_supplier",
-    "q7_nation_trade",
-    "q8_market_share",
-    "q9_product_profit",
-    # ================= end of 50-slot r11 window =================
-    # --- r12 cohort, staged: q11 (displaced from the r11 window by
-    #     the never-checked agg_approx_distinct_fast) + the remaining
-    #     21 r6-stale, registry order — rotate into positions 2-23
-    #     next round and bump the test's window_round to 12 ---
     "q11_part_value_concentration",
     "q15_top_supplier",
     "q16_part_supplier_variety",
@@ -174,8 +126,8 @@ _PRIORITY: list[str] = [
     "dedup_embedding_cosine_planted",
     "ann_recall_floor",
     "dup_ngram_spans",
-    # --- r12 cohort, staged remainder: 28 of the 49 r7-stale (last
-    #     driver-checked CORRECTNESS_r07), registry order ---
+    # --- r12 window: 26 of the 49 r7-stale (last driver-checked
+    #     CORRECTNESS_r07), registry order ---
     "part_market_basket",
     "events_funnel_conversion",
     "events_stickiness_monthly",
@@ -202,10 +154,65 @@ _PRIORITY: list[str] = [
     "supplier_hhi_by_nation",
     "events_top_paths",
     "events_distinct_users_incremental",
+    # ================= end of 50-slot r12 window =================
+    # --- r13 cohort, staged: the remaining 23 r7-stale (the first
+    #     two were displaced from the r12 window by the
+    #     agg_approx_distinct slot), registry order — rotate into
+    #     positions 2-24 next round and bump the test's window_round
+    #     to 13 ---
     "events_funnel_incremental",
     "cross_source_leakage",
+    "lsh_threshold_sweep",
+    "embedding_int8_report",
+    "doc_zipf_fit",
+    "embedding_dim_stats",
+    "label_centroid_separation",
+    "embedding_covariance_matrix",
+    "embedding_pca_variance",
+    "dsir_importance_weights",
+    "inverted_index_postings",
+    "lang_vocab_overlap",
+    "lang_head_coverage",
+    "source_length_kl",
+    "quality_calibration_report",
+    "doc_compression_ratio",
+    "source_quality_matrix",
+    "multimodal_blob_dedup",
+    "corpus_build_post_state",
+    "chunk_dedup_report",
+    "bm25_top_docs",
+    "lang_id_confusion",
+    "token_bigram_pmi",
+    # --- r13 cohort, staged remainder: 26 of the 47 r8-stale (last
+    #     driver-checked CORRECTNESS_r08), registry order ---
+    "bloom_semijoin_revenue",
+    "bloom_filter_floor",
+    "orders_price_drift",
+    "events_type_mix_weekly_drift",
+    "orders_revenue_cusum",
+    "cusum_identity_floor",
+    "conversion_latency_quantiles",
+    "orders_aqp_monthly_revenue",
+    "aqp_error_floor",
+    "orders_aqp_sample_incremental",
+    "events_attribution",
+    "events_markov_attribution",
+    "benford_first_digit_audit",
+    "events_ab_conversion_report",
+    "events_ab_cuped_report",
+    "events_ab_mannwhitney",
+    "events_type_arm_chi2",
+    "part_triangle_participation",
+    "part_label_propagation",
+    "orders_enriched_incremental",
+    "nation_revenue_trend_ols",
+    "event_value_trend_ols",
+    "revenue_forecast_backtest",
+    "orders_price_robust_stats",
+    "orders_price_median_twopass",
+    "customer_churn_survival",
     # (everything unlisted keeps registration order after these; the
-    #  remaining 21 r7-stale and the r8/r9/r10 cohorts rotate in age
+    #  remaining 21 r8-stale and the r9/r10/r11 cohorts rotate in age
     #  order in later rounds)
 ]
 
@@ -269,7 +276,10 @@ def _check_priority() -> None:
     queries()/oracle_sql() time no import is mid-flight, so REGISTRY
     is guaranteed full)."""
     unknown = [n for n in _PRIORITY if n not in REGISTRY]
-    assert not unknown, f"_PRIORITY names not in REGISTRY: {unknown}"
+    if unknown:
+        # not assert: python -O would strip it and silently shift
+        # every later window slot (ADVICE r11 #2)
+        raise RuntimeError(f"_PRIORITY names not in REGISTRY: {unknown}")
 
 
 def queries() -> dict[str, SparkQuery]:

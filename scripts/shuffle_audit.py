@@ -122,6 +122,13 @@ def gate_violations(measured: dict[str, dict[str, dict[str, int]]],
                 continue        # framing noise dominates the ratio
             if m_big["shuffle_write_bytes"] <= NOISE_FLOOR_BYTES:
                 continue
+            if (m_small["shuffle_write_bytes"] < NOISE_FLOOR_BYTES
+                    and m_big["shuffle_write_bytes"] <= b_big):
+                # a small-scale-only improvement inflates the ratio
+                # without anything growing; only flag when the big
+                # scale actually moved past its recorded bytes
+                # (ADVICE r11 #4)
+                continue
             recorded_ratio = b_big / b_small
             got_ratio = (m_big["shuffle_write_bytes"]
                          / max(m_small["shuffle_write_bytes"], 1))
@@ -171,6 +178,11 @@ def main() -> int:
         for sk, per_query in measured.items():
             rec["scales"][sk] = {n: m["shuffle_write_bytes"]
                                  for n, m in per_query.items()}
+        # prune bounds for queries dropped from HEADLINE so stale
+        # entries can't accumulate indefinitely (ADVICE r11 #5)
+        live = set(HEADLINE)
+        rec["scales"] = {sk: {n: b for n, b in bounds.items() if n in live}
+                         for sk, bounds in rec["scales"].items()}
         with open(BOUNDS_PATH, "w") as f:
             json.dump(rec, f, indent=1, sort_keys=True)
             f.write("\n")

@@ -132,3 +132,48 @@ def test_gate_intentional_violations():
     # UNRECORDED: a headline query missing from the bounds is loud
     v = _gate({"sf0.001": {"new_q": _m(10)}}, scales)
     assert [x["kind"] for x in v] == ["UNRECORDED"]
+
+    # GROWTH guard (ADVICE r11 #4): a plan change that legitimately
+    # SHRINKS small-scale bytes below the noise floor while big-scale
+    # bytes stay inside their recorded bound inflates the raw ratio —
+    # must NOT trip
+    improved = {"sf0.001": {"q": _m(2_000)},        # was 100_000
+                "sf0.01": {"q": _m(900_000)}}       # inside 1_000_000
+    assert _gate(improved, scales) == []
+
+    # ...but the guard must not mask a real regression: small below
+    # the floor AND big past its recorded bytes with a superlinear
+    # ratio still trips
+    masked = {"sf0.001": {"q": _m(2_000)},
+              "sf0.01": {"q": _m(2_000_000)}}       # ratio 1000 vs 10
+    v = _gate(masked, scales)
+    assert [x["kind"] for x in v] == ["GROWTH"], v
+
+
+def test_sf1_gate_spill_allowlist():
+    """sf1_regression's gate: the adjudicated map-side-combiner spill
+    (part_affinity_topk) passes at <= recorded * headroom and trips
+    past it; every other query still requires zero spill."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    from sf1_regression import gate
+    scales = {"sf0.1": {"part_affinity_topk": 100_000_000, "q": 1_000_000},
+              "sf1.0": {"part_affinity_topk": 1_000_000_000,
+                        "q": 10_000_000}}
+    rec = {"headroom": 2.5, "growth_headroom": 1.6, "scales": scales,
+           "spill": {"part_affinity_topk": {"sf1.0": 4_000_000_000}}}
+    ok = {"sf0.1": {"part_affinity_topk": _m(100_000_000),
+                    "q": _m(1_000_000)},
+          "sf1.0": {"part_affinity_topk": _m(1_000_000_000,
+                                             spill=4_000_000_000),
+                    "q": _m(10_000_000)}}
+    assert gate(ok, rec) == []
+    # allowlisted spill past recorded * headroom still trips
+    over = {"sf1.0": {"part_affinity_topk": _m(1_000_000_000,
+                                               spill=11_000_000_000)}}
+    v = gate(over, rec)
+    assert [x["kind"] for x in v] == ["SPILL"], v
+    # a non-allowlisted query spilling at all still trips
+    other = {"sf1.0": {"q": _m(10_000_000, spill=1)}}
+    assert "SPILL" in [x["kind"] for x in gate(other, rec)]
