@@ -23,15 +23,16 @@ from data_warehouse_project_spark import registry  # noqa: E402
 from data_warehouse_project_spark.cache import release_all  # noqa: E402
 from data_warehouse_project_spark.session import get_spark  # noqa: E402
 
-#: standing quiet minima (BASELINE.md) for control normalization
+#: standing quiet minima (BASELINE.md round-12 re-baseline) for
+#: control normalization
 STANDING = {
-    "q1_pricing_summary": 0.449,
-    "flagship_my_registrations": 1.419,
-    "dedup_exact": 0.178,
-    "dedup_minhash_lsh": 0.899,
-    "part_copurchase_pagerank": 3.319,
-    "orders_backlog_timeseries": 0.513,
-    "token_bigram_pmi": 0.789,
+    "q1_pricing_summary": 1.002,
+    "flagship_my_registrations": 2.750,
+    "dedup_exact": 0.265,
+    "dedup_minhash_lsh": 1.686,
+    "part_copurchase_pagerank": 4.733,
+    "orders_backlog_timeseries": 0.669,
+    "token_bigram_pmi": 1.168,
 }
 
 CONTROLS = ["q1_pricing_summary", "flagship_my_registrations",
