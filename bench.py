@@ -90,6 +90,8 @@ HEADLINE = [
     "events_ttl_window_state",     # TTL'd bounded-state window maintainer (new r7)
     "events_attribution",          # multi-touch window attribution (new r7)
     "bpe_merge_rules",             # iterative BPE tokenizer training (new r7)
+    "bpe_encode_stats",            # tokenizer APPLY over the corpus (new r12)
+    "docs_dedup_ingest_incremental",  # dedup-on-ingest fold (new r12)
     "events_sessions_incremental",  # open-session carry-state sessionizer (new r7)
     "part_triangle_participation",  # degree-oriented triangle counting (new r7)
     "events_transitions_late_tolerant",  # watermark/out-of-order miner (new r7)
@@ -195,7 +197,9 @@ HEADLINE = [
 # a vote-style iteration. bpe_merge_floor (new r8) is excluded: it
 # deliberately trains on a BOUNDED 200-document slice (its cost does
 # not scale with the corpus by design); the corpus-scale trainer is
-# the measured bpe_merge_rules.
+# the measured bpe_merge_rules. bpe_encode_floor (new r12) is
+# excluded on the same grounds; the corpus-scale encode is the
+# measured bpe_encode_stats.
 
 # Log note (VERDICT r5 #8): repeated `WindowExec: No Partition
 # Defined` warnings in this bench's stderr come from the documented

@@ -240,3 +240,165 @@ SELECT CAST({N_MERGES} AS BIGINT) AS n_rules,
 """
 
 register("bpe_merge_floor", bpe_merge_floor, BPE_MERGE_FLOOR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Encode (tokenizer APPLY) — round 12. Training learns the merge
+# table; encode replays it over a corpus, including words the trainer
+# never saw. At 100 TB encode is the step that actually touches every
+# byte, so its scale shape matters more than the trainer's: the
+# corpus is scanned ONCE (one explode → (source, word) groupBy,
+# map-side combinable), the iterative merge replay runs on the
+# DISTINCT-WORD table (vocabulary-sized, orders of magnitude smaller
+# than the corpus), and per-source stats come from one word-keyed
+# join of the two vocabulary-sized frames. No Python anywhere in the
+# path — the replay is the same pure-JVM array fold the trainer uses.
+# ---------------------------------------------------------------------------
+
+#: deterministic training slice for the encode queries — train/encode
+#: SPLIT is the production shape (the encoded corpus contains words
+#: the trainer never saw; their symbols simply stay unmerged where no
+#: rule applies)
+BPE_TRAIN_DOCS = 100
+
+
+def encode_state(words: DataFrame, rules: list[dict]) -> DataFrame:
+    """Replay a learned merge table, in rule order, over a
+    (word, symbols, ...) frame — reference BPE encode: each rule is
+    one greedy left-to-right non-overlapping pass (the same
+    `apply_merge` fold the trainer uses, so train and encode cannot
+    disagree on merge semantics). The chained plan is N_MERGES
+    broadcast-rule folds over a vocabulary-sized frame; one
+    localCheckpoint at the head keeps the upstream corpus scan out
+    of the replay lineage."""
+    state = words.localCheckpoint()
+    for r in rules:
+        state = apply_merge(state, r["left"], r["right"])
+    return state
+
+
+def reference_encode(words: list[str],
+                     rules: list[dict]) -> dict[str, tuple[str, ...]]:
+    """Plain-Python reference encoder — the spec `encode_state` must
+    reproduce exactly: chars + EOW, then each rule in order as one
+    greedy left-to-right non-overlapping merge pass."""
+    out: dict[str, tuple[str, ...]] = {}
+    for w in words:
+        syms: list[str] = list(w) + [EOW]
+        for r in rules:
+            left, right, cat = r["left"], r["right"], r["left"] + r["right"]
+            nxt: list[str] = []
+            for s in syms:
+                if nxt and nxt[-1] == left and s == right:
+                    nxt[-1] = cat
+                else:
+                    nxt.append(s)
+            syms = nxt
+        out[w] = tuple(syms)
+    return out
+
+
+def _source_word_counts(docs: DataFrame) -> DataFrame:
+    """(source, word, n): the single corpus scan behind encode."""
+    return (
+        docs.select("source",
+                    F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                    .alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query (rows-only: the learned rules are not
+    SQL-expressible): train on the first BPE_TRAIN_DOCS documents,
+    encode the WHOLE corpus, and report per-source tokenization
+    stats — token counts, fertility (tokens per word), and
+    compression (word chars per emitted token). The encode
+    differential against `reference_encode` is driver-visible via
+    `bpe_encode_floor` and unit-pinned on the real corpus."""
+    cat = Catalog(spark, sf_dir)
+    rules = learn_merges(cat.documents.orderBy("doc_id")
+                         .limit(BPE_TRAIN_DOCS))
+    counts = _source_word_counts(cat.documents)
+    words = (counts.select("word").distinct()
+             .withColumn(
+                 "symbols",
+                 F.concat(
+                     F.filter(F.split(F.col("word"), ""),
+                              lambda s: s != F.lit("")),
+                     F.array(F.lit(EOW)))))
+    encoded = (encode_state(words, rules)
+               .select("word", F.size("symbols").alias("n_tokens_word")))
+    return (
+        counts.join(encoded, "word")
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_words"),
+             F.sum(F.col("n") * F.col("n_tokens_word")).cast("long")
+             .alias("n_tokens"),
+             F.sum(F.col("n") * F.length("word")).cast("long")
+             .alias("n_chars"))
+        .select(
+            "source", "n_words", "n_tokens", "n_chars",
+            F.round(F.col("n_tokens") / F.col("n_words"), 6)
+            .alias("tokens_per_word"),
+            # raw compression: word chars per emitted token (EOW may
+            # be merged into a carrier token, so no EOW adjustment is
+            # well-defined)
+            F.round(F.col("n_chars") / F.col("n_tokens"), 6)
+            .alias("chars_per_token"))
+        .orderBy("source")
+    )
+
+
+register("bpe_encode_stats", bpe_encode_stats, None)
+
+
+def bpe_encode_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible encode gate (pinned-constant oracle, the
+    bpe_merge_floor pattern): on a deterministic BPE_FLOOR_DOCS
+    slice, train on the first BPE_TRAIN_DOCS and assert
+    (a) the distributed replay's token sequence equals
+        `reference_encode`'s for EVERY distinct word in the slice —
+        including words outside the training slice (the OOV path);
+    (b) round-trip: for every word, concat(tokens) == word + EOW —
+        encode is a segmentation, never lossy (tokens may CONTAIN the
+        EOW marker: rules like (s, </w>) are legitimately learned, so
+        the check concatenates all tokens rather than assuming a bare
+        trailing EOW);
+    (c) at least one encoded word carries a merged (multi-char,
+        non-EOW) token, so the gate cannot pass vacuously on an
+        empty rule table.
+    Slice and collected state are bounded at any corpus size."""
+    docs = (Catalog(spark, sf_dir).documents
+            .orderBy("doc_id").limit(BPE_FLOOR_DOCS))
+    rules = learn_merges(docs.orderBy("doc_id").limit(BPE_TRAIN_DOCS))
+    words = word_symbol_state(docs).select("word", "symbols")
+    got = {r["word"]: tuple(r["symbols"])
+           for r in encode_state(words, rules).collect()}
+    ref = reference_encode(sorted(got), rules)
+    matches = got == ref
+    roundtrip = all("".join(s) == w + EOW for w, s in got.items())
+    any_merged = any(len(t) > 1 and t != EOW
+                     for s in got.values() for t in s)
+    return spark.createDataFrame(
+        [(len(got), matches, roundtrip, any_merged)],
+        "n_words long, encode_matches_reference boolean,"
+        " roundtrip_ok boolean, has_merged_token boolean")
+
+
+BPE_ENCODE_FLOOR_SQL = """
+SELECT CAST(n_words AS BIGINT) AS n_words,
+       TRUE AS encode_matches_reference,
+       TRUE AS roundtrip_ok,
+       TRUE AS has_merged_token
+FROM (
+    SELECT COUNT(DISTINCT word) AS n_words FROM (
+        SELECT UNNEST(string_split_regex(TRIM(text), '\\s+')) AS word
+        FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 200)
+    ) WHERE LENGTH(word) > 0
+)
+"""
+
+register("bpe_encode_floor", bpe_encode_floor, BPE_ENCODE_FLOOR_SQL)

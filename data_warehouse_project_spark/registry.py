@@ -50,9 +50,10 @@ def _register_modules() -> None:
                         linkage, poststate, rankcorr, regression, robust,
                         survival, timeseries, tpch, tpch_deep, warehouse)
     from .streaming import (batch_parity, cusum_state,  # noqa: F401
-                            distinct_users, drift_state, funnel_state,
-                            interval_join, late_sessions, late_transitions,
-                            sessions, transitions, ttl_window)
+                            dedup_ingest, distinct_users, drift_state,
+                            funnel_state, interval_join, late_sessions,
+                            late_transitions, sessions, transitions,
+                            ttl_window)
     from .llm import (bpe, bridge, clusters, compress, dedup,  # noqa: F401
                       distributions, importance, index, kmeans, langmix,
                       manifest, multimodal, pipeline, quality, refinery,
@@ -66,9 +67,11 @@ def _register_modules() -> None:
 #: coverage policy, rotated each round (VERDICT r1/r2 adjudicated the
 #: rotation as documented coverage policy). Round-12 window executes
 #: the schedule VERDICT r11 #2/#6 prescribed: flagship +
+#: 3 never-checked (the new BPE tokenizer-apply pair and the new
+#: dedup-on-ingest maintainer) +
 #: agg_approx_distinct (the one oracle never driver-checked as an
 #: oracle — it gained its DuckDB twin in r10, after its last window
-#: appearance in r9) + the remaining 22 r6-stale + 26 of the 49
+#: appearance in r9) + the remaining 22 r6-stale + 23 of the 49
 #: r7-stale (registry order) = 50.
 #: The window/pool arithmetic is MACHINE-CHECKED each pytest run by
 #: tests/test_functions.py::test_priority_window_rotation, which
@@ -83,11 +86,12 @@ def _register_modules() -> None:
 #: - Round 11 landed: flagship + 1 never-checked + the 21 r5-stale
 #:   + 27 r6-stale, all green (CORRECTNESS_r11 = 45 pass +
 #:   5 rows-only, 0 fail). Pool after r11: 0 r5-stale, 22 r6-stale.
-#: - Round 12 (positions 1-50 below): flagship + agg_approx_distinct
-#:   + the 22 r6-stale + 26 r7-stale. Pool after round 12: 0
-#:   r6-stale, 23 r7-stale.
-#: - Round 13+ (next cohort below): the remaining 23 r7-stale +
-#:   26 of the 47 r8-stale — the standing age-ordered rotation (the
+#: - Round 12 (positions 1-50 below): flagship + the 3 new
+#:   never-checked queries + agg_approx_distinct + the 22 r6-stale +
+#:   23 r7-stale. Pool after round 12: 0 never-checked, 0 r6-stale,
+#:   26 r7-stale.
+#: - Round 13+ (next cohort below): the remaining 26 r7-stale +
+#:   23 of the 47 r8-stale — the standing age-ordered rotation (the
 #:   freshest evidence rotates last).
 #:   Every displaced query remains value-checked on every pytest
 #:   run by the local DuckDB parity suite at sf0.001, and the r6
@@ -95,6 +99,13 @@ def _register_modules() -> None:
 #:   green at sf0.01 (246/246 + 19 rows-only in r10).
 _PRIORITY: list[str] = [
     "flagship_my_registrations",
+    # --- r12 window: the two NEVER-driver-checked queries (new this
+    #     round: the BPE tokenizer-apply pair and the dedup-on-ingest
+    #     maintainer) — never-checked always outranks
+    #     stale-but-once-green ---
+    "bpe_encode_stats",
+    "bpe_encode_floor",
+    "docs_dedup_ingest_incremental",
     # --- r12 window: agg_approx_distinct — the ONLY oracle query
     #     without a driver-green oracle row (last windowed in r9 as
     #     rows-only; its DuckDB oracle landed in r10, so the oracle
@@ -126,7 +137,7 @@ _PRIORITY: list[str] = [
     "dedup_embedding_cosine_planted",
     "ann_recall_floor",
     "dup_ngram_spans",
-    # --- r12 window: 26 of the 49 r7-stale (last driver-checked
+    # --- r12 window: 23 of the 49 r7-stale (last driver-checked
     #     CORRECTNESS_r07), registry order ---
     "part_market_basket",
     "events_funnel_conversion",
@@ -151,15 +162,15 @@ _PRIORITY: list[str] = [
     "approx_quantile_accuracy_floor",
     "hll_distinct_accuracy_floor",
     "geo_revenue_rollup",
+    # ================= end of 50-slot r12 window =================
+    # --- r13 cohort, staged: the remaining 26 r7-stale (the first
+    #     five were displaced from the r12 window by the
+    #     agg_approx_distinct slot and the three new never-checked
+    #     queries), registry order — rotate into positions 2-27 next
+    #     round and bump the test's window_round to 13 ---
     "supplier_hhi_by_nation",
     "events_top_paths",
     "events_distinct_users_incremental",
-    # ================= end of 50-slot r12 window =================
-    # --- r13 cohort, staged: the remaining 23 r7-stale (the first
-    #     two were displaced from the r12 window by the
-    #     agg_approx_distinct slot), registry order — rotate into
-    #     positions 2-24 next round and bump the test's window_round
-    #     to 13 ---
     "events_funnel_incremental",
     "cross_source_leakage",
     "lsh_threshold_sweep",
@@ -183,7 +194,7 @@ _PRIORITY: list[str] = [
     "bm25_top_docs",
     "lang_id_confusion",
     "token_bigram_pmi",
-    # --- r13 cohort, staged remainder: 26 of the 47 r8-stale (last
+    # --- r13 cohort, staged remainder: 23 of the 47 r8-stale (last
     #     driver-checked CORRECTNESS_r08), registry order ---
     "bloom_semijoin_revenue",
     "bloom_filter_floor",
@@ -208,11 +219,8 @@ _PRIORITY: list[str] = [
     "nation_revenue_trend_ols",
     "event_value_trend_ols",
     "revenue_forecast_backtest",
-    "orders_price_robust_stats",
-    "orders_price_median_twopass",
-    "customer_churn_survival",
     # (everything unlisted keeps registration order after these; the
-    #  remaining 21 r8-stale and the r9/r10/r11 cohorts rotate in age
+    #  remaining 24 r8-stale and the r9/r10/r11 cohorts rotate in age
     #  order in later rounds)
 ]
 

@@ -45,6 +45,8 @@ DST = os.path.join(os.path.dirname(os.path.dirname(
 COPIES = 10
 
 DOC_QUERIES = [
+    "bpe_encode_stats",              # r12: tokenizer apply, vocab-keyed
+    "docs_dedup_ingest_incremental",  # r12: ingest-dedup fold, digest-keyed
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dup_ngram_spans",

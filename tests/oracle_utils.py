@@ -142,6 +142,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
 EMPTY_INPUT_DIVERGENT = {
     "ann_recall_floor": "pinned-constant floor; vacuous with no data",
     "approx_quantile_accuracy_floor": "pinned floor; vacuous w/o data",
+    "bpe_encode_floor": "pinned floor (has_merged_token presumes corpus)",
     "bpe_merge_floor": "pinned floor (n_rules=8 presumes the corpus)",
     "cms_accuracy_floor": "pinned-constant floor; vacuous w/o data",
     "equijoin_size_estimate_floor": "pinned floor; vacuous w/o data",

@@ -162,12 +162,15 @@ def test_priority_window_rotation():
         if q == "agg_approx_distinct":
             continue
         assert q not in seen or latest[q] <= 7, (q, latest.get(q))
-    # spot-pin the r6/r7-stale families drawn into the r12 window
-    for name in ("agg_approx_distinct", "q11_part_value_concentration",
+    # spot-pin the never-checked + r6/r7-stale families drawn into
+    # the r12 window
+    for name in ("bpe_encode_stats", "bpe_encode_floor",
+                 "docs_dedup_ingest_incremental",
+                 "agg_approx_distinct", "q11_part_value_concentration",
                  "monthly_revenue_growth", "dedup_ngram_jaccard",
                  "dedup_embedding_cosine", "ann_recall_floor",
                  "part_copurchase_pagerank", "gdpr_erasure_post_state",
-                 "events_distinct_users_incremental"):
+                 "geo_revenue_rollup"):
         assert name in window, name
     # ADVICE r10 #4: a typo'd _PRIORITY name must fail loudly, not
     # silently shift the window — _reorder asserts containment once

@@ -1269,6 +1269,74 @@ def test_bpe_subword_vocab_matches_reference(spark, sf_dir):
     assert got == want
 
 
+def test_bpe_encode_matches_reference_on_real_corpus(spark, sf_dir):
+    """Encode differential: replaying the learned merge table over
+    every distinct corpus word (trained on the BPE_TRAIN_DOCS slice,
+    so most words are OOV to the trainer) must equal the plain-Python
+    reference encoder token-for-token."""
+    from data_warehouse_project_spark.llm import bpe
+    from data_warehouse_project_spark.sources.catalog import Catalog
+
+    docs = Catalog(spark, sf_dir).documents
+    rules = bpe.learn_merges(
+        docs.orderBy("doc_id").limit(bpe.BPE_TRAIN_DOCS))
+    words = bpe.word_symbol_state(docs).select("word", "symbols")
+    got = {r["word"]: tuple(r["symbols"])
+           for r in bpe.encode_state(words, rules).collect()}
+    assert got == bpe.reference_encode(sorted(got), rules)
+    # segmentation invariant on the real corpus
+    assert all("".join(s) == w + bpe.EOW for w, s in got.items())
+
+
+def test_bpe_encode_oov_and_eow_merge(spark):
+    """Planted: training on 'aaab'x3 + 'aab'x2 learns (a,a), (b,</w>),
+    (a,b</w>) (hand-computed above). Encoding unseen words must apply
+    exactly the applicable rules and leave everything else unmerged —
+    including words with characters the trainer never saw."""
+    from data_warehouse_project_spark.llm import bpe
+
+    train = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "aaab aab"), (3, "aab")],
+        "doc_id long, text string")
+    rules = bpe.learn_merges(train, n_merges=3)
+    corpus = spark.createDataFrame(
+        [(1, "aaab xyz ab b aaaa")], "doc_id long, text string")
+    words = bpe.word_symbol_state(corpus).select("word", "symbols")
+    got = {r["word"]: tuple(r["symbols"])
+           for r in bpe.encode_state(words, rules).collect()}
+    assert got == {
+        # (a,a) greedy non-overlapping, then b+</w>, then a+b</w>
+        "aaab": ("aa", "ab</w>"),
+        # chars unseen in training: fully unmerged, bare EOW
+        "xyz": ("x", "y", "z", "</w>"),
+        # (a,b</w>) applies only after (b,</w>) creates b</w>
+        "ab": ("ab</w>",),
+        "b": ("b</w>",),
+        # greedy left-to-right pairs within a run of four
+        "aaaa": ("aa", "aa", "</w>"),
+    }
+    assert got == bpe.reference_encode(sorted(got), rules)
+
+
+def test_bpe_encode_floor_and_stats(spark, sf_dir):
+    """The driver-visible encode gate is all-True on the real corpus,
+    and the per-source stats are internally consistent."""
+    from data_warehouse_project_spark.llm.bpe import (bpe_encode_floor,
+                                                      bpe_encode_stats)
+
+    row = bpe_encode_floor(spark, sf_dir).collect()[0]
+    assert row["n_words"] > 0
+    assert row["encode_matches_reference"] is True
+    assert row["roundtrip_ok"] is True
+    assert row["has_merged_token"] is True
+    for r in bpe_encode_stats(spark, sf_dir).collect():
+        assert r["n_words"] > 0
+        # merges only shrink: tokens per word within (1, len+1]
+        assert 1.0 <= r["tokens_per_word"]
+        assert r["n_tokens"] <= r["n_chars"] + r["n_words"]  # +EOW each
+        assert r["chars_per_token"] > 0
+
+
 def test_pca_projection_matches_numpy(spark, sf_dir):
     """Distributed projection vs numpy (X−mean)·V on the SAME basis:
     scores agree to 1e-4, reconstruction errors are non-negative,

@@ -1967,3 +1967,77 @@ def test_hourly_rollup_hll_fold_identity_survives_dense_mode(spark):
     # dense mode actually engaged: the view group is a true estimate
     # (non-trivially large), not a tiny exact count
     assert got["view"][0] > 25000
+
+
+# ---------------------------------------------------------------------------
+# dedup-on-ingest maintainer (round 12)
+# ---------------------------------------------------------------------------
+
+def _planted_docs(spark):
+    """Six docs, three duplicate pairs, crossing batch boundaries in
+    every way: intra-batch dup (1,2), cross-batch dup (3,5),
+    normalization-only dup (4,6: case + whitespace differ)."""
+    return spark.createDataFrame(
+        [(1, "alpha beta", "en", "s", 10),
+         (2, "alpha beta", "en", "s", 10),
+         (3, "gamma delta", "en", "s", 11),
+         (4, "Epsilon  zeta", "en", "s", 12),
+         (5, "gamma delta", "en", "s", 11),
+         (6, "epsilon zeta", "en", "s", 12)],
+        "doc_id long, text string, lang string, source string, n_chars int")
+
+
+def test_dedup_ingest_fold_is_single_pass_identity(spark):
+    """Folding batches must equal the single-pass state EXACTLY
+    (min/sum associativity — the sketch_fold_identity discipline)."""
+    from data_warehouse_project_spark.streaming import dedup_ingest as D
+
+    docs = _planted_docs(spark)
+    b1 = docs.filter(F.col("doc_id") <= 2)
+    b2 = docs.filter((F.col("doc_id") > 2) & (F.col("doc_id") <= 4))
+    b3 = docs.filter(F.col("doc_id") > 4)
+    folded = D.merge_dedup_state(
+        D.merge_dedup_state(D.dedup_state(b1), b2), b3)
+    single = D.dedup_state(docs)
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(folded) == key(single)
+    got = {r["first_doc_id"]: r["n_seen"] for r in folded.collect()}
+    assert got == {1: 2, 3: 2, 4: 2}
+
+
+def test_dedup_ingest_report_counts_arrival_dups(spark, monkeypatch):
+    """Per-batch arrival stats on the planted corpus: batch 1 has the
+    intra-batch dup, batches 2/3 the cross-batch and normalized
+    dups."""
+    from data_warehouse_project_spark.sources import catalog as C
+    from data_warehouse_project_spark.streaming import dedup_ingest as D
+
+    docs = _planted_docs(spark)
+    monkeypatch.setattr(C.Catalog, "documents",
+                        property(lambda self: docs), raising=False)
+    rows = [tuple(r) for r in
+            D.docs_dedup_ingest_incremental(spark, "unused").collect()]
+    assert rows == [(1, 2, 1, 1),   # doc2 dups doc1 inside the batch
+                    (2, 2, 2, 0),   # docs 3,4 both new at arrival
+                    (3, 2, 0, 2)]   # doc5 dups doc3, doc6 dups doc4
+
+
+def test_dedup_ingest_maintainer_replay_is_idempotent(spark, tmp_path):
+    """At-least-once replay: a re-delivered batch id must be a no-op
+    (the state_fold sentinel), and the folded state must match the
+    single-pass build afterward."""
+    from data_warehouse_project_spark.streaming import dedup_ingest as D
+
+    docs = _planted_docs(spark)
+    b0 = docs.filter(F.col("doc_id") <= 3)
+    b1 = docs.filter(F.col("doc_id") > 3)
+    state = str(tmp_path / "dedup_state")
+    assert D.fold_batch_into_state(b0, 0, state) is True
+    assert D.fold_batch_into_state(b1, 1, state) is True
+    assert D.fold_batch_into_state(b1, 1, state) is False
+    assert D.fold_batch_into_state(b0, 0, state) is False
+    got = {r["fingerprint"]: (r["first_doc_id"], r["n_seen"])
+           for r in spark.read.parquet(state).collect()}
+    want = {r["fingerprint"]: (r["first_doc_id"], r["n_seen"])
+            for r in D.dedup_state(docs).collect()}
+    assert got == want
