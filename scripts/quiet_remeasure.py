@@ -26,13 +26,13 @@ from data_warehouse_project_spark.session import get_spark  # noqa: E402
 #: standing quiet minima (BASELINE.md round-12 re-baseline) for
 #: control normalization
 STANDING = {
-    "q1_pricing_summary": 1.002,
-    "flagship_my_registrations": 2.750,
-    "dedup_exact": 0.265,
-    "dedup_minhash_lsh": 1.686,
+    "q1_pricing_summary": 0.598,
+    "flagship_my_registrations": 1.983,
+    "dedup_exact": 0.237,
+    "dedup_minhash_lsh": 1.401,
     "part_copurchase_pagerank": 4.733,
     "orders_backlog_timeseries": 0.669,
-    "token_bigram_pmi": 1.168,
+    "token_bigram_pmi": 1.103,
 }
 
 CONTROLS = ["q1_pricing_summary", "flagship_my_registrations",
