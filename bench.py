@@ -92,6 +92,7 @@ HEADLINE = [
     "bpe_merge_rules",             # iterative BPE tokenizer training (new r7)
     "bpe_encode_stats",            # tokenizer APPLY over the corpus (new r12)
     "docs_dedup_ingest_incremental",  # dedup-on-ingest fold (new r12)
+    "docs_neardup_ingest_incremental",  # MinHash-LSH ingest dedup (new r12)
     "events_sessions_incremental",  # open-session carry-state sessionizer (new r7)
     "part_triangle_participation",  # degree-oriented triangle counting (new r7)
     "events_transitions_late_tolerant",  # watermark/out-of-order miner (new r7)

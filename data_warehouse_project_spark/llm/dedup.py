@@ -286,6 +286,28 @@ def minhash_signatures_from(sh: DataFrame,
     )
 
 
+def band_buckets(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows from a signature frame: 8 bands x
+    4 rows, bucket id = xxhash64 of the band's signature lanes. The
+    bind-once wrapper (transform over a one-element array) keeps the
+    signature expression — which embeds the shingle construction —
+    from being re-evaluated once per band by projection collapse.
+    Shared by the one-shot LSH pipeline and the ingest-time
+    maintainer (streaming/neardup_ingest.py), so the two can never
+    disagree on blocking."""
+    _r = ROWS_PER_BAND
+    return sigs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(array(signature), sig -> "
+            f"transform(sequence(0, {BANDS - 1}), b -> named_struct("
+            f"'band', cast(b as int), "
+            f"'bucket', xxhash64(sig[b * {_r}], sig[b * {_r} + 1], "
+            f"sig[b * {_r} + 2], sig[b * {_r} + 3]))))[0]"
+        )).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def _minhash_verified_pairs(spark: SparkSession, sf_dir: str):
     """Shared MinHash+LSH pipeline: returns (verified pairs with
     exact jaccard, signature frame). dedup_minhash_lsh returns the
@@ -324,22 +346,7 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str):
             F.size("shingles").alias("n_shingles"))
     )
     sigs = minhash_signatures_from(sh_all)
-
-    # same bind-once wrapper as in minhash_signatures_from: the
-    # signature expression (which embeds the shingle construction)
-    # would otherwise be re-evaluated once per band by projection
-    # collapse
-    _r = ROWS_PER_BAND
-    bands = sigs.select(
-        "doc_id",
-        F.explode(F.expr(
-            "transform(array(signature), sig -> "
-            f"transform(sequence(0, {BANDS - 1}), b -> named_struct("
-            f"'band', cast(b as int), "
-            f"'bucket', xxhash64(sig[b * {_r}], sig[b * {_r} + 1], "
-            f"sig[b * {_r} + 2], sig[b * {_r} + 3]))))[0]"
-        )).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    bands = band_buckets(sigs)
 
     candidates = (
         bands.groupBy("band", "bucket")

@@ -52,8 +52,8 @@ def _register_modules() -> None:
     from .streaming import (batch_parity, cusum_state,  # noqa: F401
                             dedup_ingest, distinct_users, drift_state,
                             funnel_state, interval_join, late_sessions,
-                            late_transitions, sessions, transitions,
-                            ttl_window)
+                            late_transitions, neardup_ingest, sessions,
+                            transitions, ttl_window)
     from .llm import (bpe, bridge, clusters, compress, dedup,  # noqa: F401
                       distributions, importance, index, kmeans, langmix,
                       manifest, multimodal, pipeline, quality, refinery,
@@ -67,11 +67,11 @@ def _register_modules() -> None:
 #: coverage policy, rotated each round (VERDICT r1/r2 adjudicated the
 #: rotation as documented coverage policy). Round-12 window executes
 #: the schedule VERDICT r11 #2/#6 prescribed: flagship +
-#: 3 never-checked (the new BPE tokenizer-apply pair and the new
-#: dedup-on-ingest maintainer) +
+#: 4 never-checked (the new BPE tokenizer-apply pair and the new
+#: exact + near-dup dedup-on-ingest maintainers) +
 #: agg_approx_distinct (the one oracle never driver-checked as an
 #: oracle — it gained its DuckDB twin in r10, after its last window
-#: appearance in r9) + the remaining 22 r6-stale + 23 of the 49
+#: appearance in r9) + the remaining 22 r6-stale + 22 of the 49
 #: r7-stale (registry order) = 50.
 #: The window/pool arithmetic is MACHINE-CHECKED each pytest run by
 #: tests/test_functions.py::test_priority_window_rotation, which
@@ -86,12 +86,12 @@ def _register_modules() -> None:
 #: - Round 11 landed: flagship + 1 never-checked + the 21 r5-stale
 #:   + 27 r6-stale, all green (CORRECTNESS_r11 = 45 pass +
 #:   5 rows-only, 0 fail). Pool after r11: 0 r5-stale, 22 r6-stale.
-#: - Round 12 (positions 1-50 below): flagship + the 3 new
+#: - Round 12 (positions 1-50 below): flagship + the 4 new
 #:   never-checked queries + agg_approx_distinct + the 22 r6-stale +
-#:   23 r7-stale. Pool after round 12: 0 never-checked, 0 r6-stale,
-#:   26 r7-stale.
-#: - Round 13+ (next cohort below): the remaining 26 r7-stale +
-#:   23 of the 47 r8-stale — the standing age-ordered rotation (the
+#:   22 r7-stale. Pool after round 12: 0 never-checked, 0 r6-stale,
+#:   27 r7-stale.
+#: - Round 13+ (next cohort below): the remaining 27 r7-stale +
+#:   22 of the 47 r8-stale — the standing age-ordered rotation (the
 #:   freshest evidence rotates last).
 #:   Every displaced query remains value-checked on every pytest
 #:   run by the local DuckDB parity suite at sf0.001, and the r6
@@ -99,13 +99,14 @@ def _register_modules() -> None:
 #:   green at sf0.01 (246/246 + 19 rows-only in r10).
 _PRIORITY: list[str] = [
     "flagship_my_registrations",
-    # --- r12 window: the two NEVER-driver-checked queries (new this
-    #     round: the BPE tokenizer-apply pair and the dedup-on-ingest
-    #     maintainer) — never-checked always outranks
-    #     stale-but-once-green ---
+    # --- r12 window: the four NEVER-driver-checked queries (new
+    #     this round: the BPE tokenizer-apply pair and the exact +
+    #     near-dup dedup-on-ingest maintainers) — never-checked
+    #     always outranks stale-but-once-green ---
     "bpe_encode_stats",
     "bpe_encode_floor",
     "docs_dedup_ingest_incremental",
+    "docs_neardup_ingest_incremental",
     # --- r12 window: agg_approx_distinct — the ONLY oracle query
     #     without a driver-green oracle row (last windowed in r9 as
     #     rows-only; its DuckDB oracle landed in r10, so the oracle
@@ -137,7 +138,7 @@ _PRIORITY: list[str] = [
     "dedup_embedding_cosine_planted",
     "ann_recall_floor",
     "dup_ngram_spans",
-    # --- r12 window: 23 of the 49 r7-stale (last driver-checked
+    # --- r12 window: 22 of the 49 r7-stale (last driver-checked
     #     CORRECTNESS_r07), registry order ---
     "part_market_basket",
     "events_funnel_conversion",
@@ -161,13 +162,13 @@ _PRIORITY: list[str] = [
     "orders_rolling_7d_revenue",
     "approx_quantile_accuracy_floor",
     "hll_distinct_accuracy_floor",
-    "geo_revenue_rollup",
     # ================= end of 50-slot r12 window =================
-    # --- r13 cohort, staged: the remaining 26 r7-stale (the first
-    #     five were displaced from the r12 window by the
-    #     agg_approx_distinct slot and the three new never-checked
-    #     queries), registry order — rotate into positions 2-27 next
+    # --- r13 cohort, staged: the remaining 27 r7-stale (the first
+    #     six were displaced from the r12 window by the
+    #     agg_approx_distinct slot and the four new never-checked
+    #     queries), registry order — rotate into positions 2-28 next
     #     round and bump the test's window_round to 13 ---
+    "geo_revenue_rollup",
     "supplier_hhi_by_nation",
     "events_top_paths",
     "events_distinct_users_incremental",
@@ -194,7 +195,7 @@ _PRIORITY: list[str] = [
     "bm25_top_docs",
     "lang_id_confusion",
     "token_bigram_pmi",
-    # --- r13 cohort, staged remainder: 23 of the 47 r8-stale (last
+    # --- r13 cohort, staged remainder: 22 of the 47 r8-stale (last
     #     driver-checked CORRECTNESS_r08), registry order ---
     "bloom_semijoin_revenue",
     "bloom_filter_floor",
@@ -218,9 +219,8 @@ _PRIORITY: list[str] = [
     "orders_enriched_incremental",
     "nation_revenue_trend_ols",
     "event_value_trend_ols",
-    "revenue_forecast_backtest",
     # (everything unlisted keeps registration order after these; the
-    #  remaining 24 r8-stale and the r9/r10/r11 cohorts rotate in age
+    #  remaining 25 r8-stale and the r9/r10/r11 cohorts rotate in age
     #  order in later rounds)
 ]
 

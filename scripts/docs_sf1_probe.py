@@ -47,6 +47,7 @@ COPIES = 10
 DOC_QUERIES = [
     "bpe_encode_stats",              # r12: tokenizer apply, vocab-keyed
     "docs_dedup_ingest_incremental",  # r12: ingest-dedup fold, digest-keyed
+    "docs_neardup_ingest_incremental",  # r12: LSH ingest dedup, band-keyed
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dup_ngram_spans",

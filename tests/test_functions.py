@@ -166,11 +166,12 @@ def test_priority_window_rotation():
     # the r12 window
     for name in ("bpe_encode_stats", "bpe_encode_floor",
                  "docs_dedup_ingest_incremental",
+                 "docs_neardup_ingest_incremental",
                  "agg_approx_distinct", "q11_part_value_concentration",
                  "monthly_revenue_growth", "dedup_ngram_jaccard",
                  "dedup_embedding_cosine", "ann_recall_floor",
                  "part_copurchase_pagerank", "gdpr_erasure_post_state",
-                 "geo_revenue_rollup"):
+                 "hll_distinct_accuracy_floor"):
         assert name in window, name
     # ADVICE r10 #4: a typo'd _PRIORITY name must fail loudly, not
     # silently shift the window — _reorder asserts containment once

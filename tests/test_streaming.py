@@ -2041,3 +2041,76 @@ def test_dedup_ingest_maintainer_replay_is_idempotent(spark, tmp_path):
     want = {r["fingerprint"]: (r["first_doc_id"], r["n_seen"])
             for r in D.dedup_state(docs).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# near-dup (MinHash-LSH) ingest maintainer (round 12)
+# ---------------------------------------------------------------------------
+
+def _neardup_docs(spark):
+    """Planted near-dups across the three ntile batches (two docs per
+    batch): (1,2) intra-batch near-identical; (3,6) cross-batch
+    near-identical — detected when doc 6 arrives; 4 and 5 unrelated."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    return spark.createDataFrame(
+        [(1, base + " one", "en", "s", 1),
+         (2, base + " two", "en", "s", 1),
+         (3, "pack my box with five dozen liquor jugs every single day",
+          "en", "s", 1),
+         (4, "completely unrelated words that share nothing at all here",
+          "en", "s", 1),
+         (5, "another entirely different document with its own phrasing",
+          "en", "s", 1),
+         (6, "pack my box with five dozen liquor jugs every single night",
+          "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int")
+
+
+def test_neardup_ingest_matches_oneshot_on_real_corpus(spark, sf_dir):
+    """The union of per-batch discoveries over a full replay equals
+    the one-shot dedup_minhash_lsh pair set exactly (no bucket
+    exceeds MAX_BUCKET on driver testdata)."""
+    from data_warehouse_project_spark import registry
+
+    qs = registry.queries()
+    inc = {(r["doc_a"], r["doc_b"], r["jaccard"])
+           for r in qs["docs_neardup_ingest_incremental"](
+               spark, sf_dir).collect()}
+    one = {(r["doc_a"], r["doc_b"], r["jaccard"])
+           for r in qs["dedup_minhash_lsh"](spark, sf_dir).collect()}
+    assert inc == one and len(one) > 0
+
+
+def test_neardup_ingest_detection_batches(spark, monkeypatch):
+    """Planted: the intra-batch pair is detected in batch 1; the
+    cross-batch pair when its later member arrives (batch 3); the
+    unrelated docs produce nothing."""
+    from data_warehouse_project_spark.sources import catalog as C
+    from data_warehouse_project_spark.streaming import neardup_ingest as N
+
+    docs = _neardup_docs(spark)
+    monkeypatch.setattr(C.Catalog, "documents",
+                        property(lambda self: docs), raising=False)
+    rows = [(r["detected_batch"], r["doc_a"], r["doc_b"])
+            for r in N.docs_neardup_ingest_incremental(
+                spark, "unused").collect()]
+    assert rows == [(1, 1, 2), (3, 3, 6)]
+
+
+def test_neardup_ingest_fold_is_oneshot_banding(spark, tmp_path):
+    """Band state after a batched fold equals the one-shot banding of
+    all history (append-only union), and replayed batch ids are
+    no-ops."""
+    from data_warehouse_project_spark.streaming import neardup_ingest as N
+
+    docs = _neardup_docs(spark)
+    b0 = docs.filter(F.col("doc_id") <= 3)
+    b1 = docs.filter(F.col("doc_id") > 3)
+    state = str(tmp_path / "nd_state")
+    assert N.fold_batch_into_state(b0, 0, state) is True
+    assert N.fold_batch_into_state(b1, 1, state) is True
+    assert N.fold_batch_into_state(b1, 1, state) is False
+    got = sorted(map(tuple, spark.read.parquet(state)
+                     .select("doc_id", "band", "bucket").collect()))
+    want = sorted(map(tuple, N.banded(docs).collect()))
+    assert got == want and len(want) > 0
