@@ -532,7 +532,9 @@ def pca_basis(spark: SparkSession, sf_dir: str):
 def _score_expr(comp: list, mdot: float):
     """dot(embedding, comp) − dot(mean, comp) as a JVM fold over the
     broadcast literal component array."""
-    arr = F.array(*[F.lit(float(v)) for v in comp])
+    # single array literal (r12: unrolled Literal nodes cost driver
+    # analysis time; semantics identical)
+    arr = F.lit([float(v) for v in comp]).cast("array<double>")
     return (F.aggregate(
         F.zip_with(F.col("embedding").cast("array<double>"), arr,
                    lambda x, v: x * v),
@@ -554,7 +556,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                           for k in range(PCA_TOP_K)) +
                 ", recon_err_sq double")
     mdots = [sum(m * v for m, v in zip(means, c)) for c in comps]
-    marr = F.array(*[F.lit(float(m)) for m in means])
+    marr = F.lit([float(m) for m in means]).cast("array<double>")
     sq_norm = F.aggregate(
         F.zip_with(F.col("embedding").cast("array<double>"), marr,
                    lambda x, m: (x - m) * (x - m)),
@@ -593,7 +595,7 @@ def pca_projection_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_k long, recon_nonneg boolean, "
             "capture_matches_spectrum boolean")
     mdots = [sum(m * v for m, v in zip(means, c)) for c in comps]
-    marr = F.array(*[F.lit(float(m)) for m in means])
+    marr = F.lit([float(m) for m in means]).cast("array<double>")
     sq_norm = F.aggregate(
         F.zip_with(F.col("embedding").cast("array<double>"), marr,
                    lambda x, m: (x - m) * (x - m)),

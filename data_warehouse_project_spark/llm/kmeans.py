@@ -66,10 +66,17 @@ def _assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
     with index over array-of-arrays), ties to the smallest index
     (struct array_min is lexicographic). One compact expression tree
     instead of K unrolled distance trees keeps plan compile time flat
-    in K — the assignment stays a shuffle-free map stage either way."""
-    matrix = F.array(*[
-        F.array(*[F.lit(int(c)).cast("long") for c in cent])
-        for cent in cents])
+    in K — the assignment stays a shuffle-free map stage either way.
+
+    r12: the matrix is ONE nested-array literal (F.lit of the nested
+    Python list, cast to bigint), not K×dim individual Literal nodes
+    under CreateArray — the profile showed ~7 s of the query's wall
+    inside driver-side Catalyst analysis of the three 512-literal
+    expression trees, vs 0.9 s of actual job time. A single
+    ArrayType(ArrayType(Long)) literal is O(1) plan nodes; runtime
+    semantics (int64 zip_with/aggregate distance) are unchanged."""
+    matrix = F.lit([[int(c) for c in cent] for cent in cents]) \
+        .cast("array<array<bigint>>")
     best = F.array_min(F.transform(
         matrix,
         lambda cent, j: F.struct(
@@ -111,7 +118,7 @@ def kmeans_pinned_report(emb: DataFrame, k: int = KM_K,
         cents = [[new[j][i] for i in range(dim)] if j in new else cents[j]
                  for j in range(len(cents))]
     sqn = [sum(c * c for c in cent) for cent in cents]
-    sqn_arr = F.array(*[F.lit(int(s)).cast("long") for s in sqn])
+    sqn_arr = F.lit([int(s) for s in sqn]).cast("array<bigint>")
     return (_assign(q, cents)
             .groupBy("cluster")
             .agg(F.count("*").cast("long").alias("n_members"),

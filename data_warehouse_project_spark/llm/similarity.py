@@ -150,9 +150,10 @@ def _hyperplane_lit(n_planes: int, dim: int, seed: int = 42):
             state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
             row.append(1.0 if (state >> 63) else -1.0)
         planes.append(row)
-    return F.array(*[
-        F.array(*[F.lit(v) for v in row]) for row in planes
-    ])
+    # one nested-array literal, not n_planes×dim Literal nodes —
+    # the unrolled form costs measurable driver-side analysis time
+    # per plan (r12, the kmeans literal-matrix finding)
+    return F.lit(planes).cast("array<array<double>>")
 
 
 #: ANN multi-table LSH: L tables of b sign-bits, OR-amplified.

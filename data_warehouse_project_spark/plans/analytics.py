@@ -47,36 +47,37 @@ def part_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (pk_a < pk_b) → pair counts → top-K → broadcast
     join-back of the per-part order counts for lift."""
     cat = Catalog(spark, sf_dir)
-    items = cat.lineitem.select("l_orderkey", "l_partkey").distinct()
-    # basket-size guard as a window count — one pass over the distinct
-    # set, no groupBy+join-back recompute of `items`
-    wb = Window.partitionBy("l_orderkey")
-    guarded = (
-        items.withColumn("basket_n", F.count("*").over(wb))
-        .filter(F.col("basket_n") <= MAX_BASKET_ITEMS)
-        .select("l_orderkey", "l_partkey")
-    )
-    # tracked persist (cache.py): `kept` feeds the pair self-join,
-    # both lift denominators, and the total — without it Spark would
-    # re-run the distinct+guard chain four times
+    # r12 optimization (guide §2.4, same move as plans/graph.py
+    # _kept_baskets): distinct (order, part) + window guard +
+    # order-keyed self-join (distinct exchange, a per-order SORT for
+    # the window, and two join exchanges) collapse into ONE
+    # collect_set aggregate on the natural order key; the pair
+    # generator becomes a shuffle-free in-row combination explode
+    # (fan-out bounded by the guard), and both lift denominators read
+    # the same pinned basket frame. size(set) ≡ COUNT(DISTINCT part)
+    # per order, and pair/part counts are order-insensitive, so the
+    # results are bit-identical.
     from ..cache import pin
-    kept = pin(guarded)
-    a = kept.select(F.col("l_orderkey").alias("ok"),
-                    F.col("l_partkey").alias("part_a"))
-    b = kept.select(F.col("l_orderkey").alias("ok"),
-                    F.col("l_partkey").alias("part_b"))
+    baskets = pin(
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .filter(F.size("parts") <= MAX_BASKET_ITEMS))
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(F.expr(
+            "filter(flatten(transform(parts, x -> transform(parts, "
+            "y -> struct(x AS part_a, y AS part_b)))), "
+            "p -> p.part_a < p.part_b)")).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("pair_orders"))
         .orderBy(F.col("pair_orders").desc(), "part_a", "part_b")
         .limit(BASKET_TOP_K)
     )
-    per_part = kept.groupBy("l_partkey").agg(
-        F.count("*").cast("long").alias("part_orders"))
-    total = kept.agg(
-        F.countDistinct("l_orderkey").cast("long").alias("total_orders"))
+    per_part = (baskets.select(F.explode("parts").alias("l_partkey"))
+                .groupBy("l_partkey")
+                .agg(F.count("*").cast("long").alias("part_orders")))
+    total = baskets.agg(
+        F.count("*").cast("long").alias("total_orders"))
     out = (
         pairs
         .join(per_part.withColumnRenamed("l_partkey", "part_a")

@@ -56,16 +56,40 @@ MAX_BASKET = 30
 PR_TOP_K = 20
 
 
-def _kept_items(lineitem: DataFrame) -> DataFrame:
-    """Distinct (order, part) pairs with the basket-size guard applied
-    — the shared front end of every co-purchase graph construction
-    (edges, weighted edges, wedges)."""
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    small = (items.groupBy("l_orderkey")
-             .agg(F.count("*").alias("n_items"))
-             .filter(F.col("n_items") <= MAX_BASKET)
-             .select("l_orderkey"))
-    return items.join(small, "l_orderkey")
+def _kept_baskets(lineitem: DataFrame) -> DataFrame:
+    """(l_orderkey, parts): each guard-surviving order's DISTINCT part
+    set, as ONE orderkey-keyed aggregate — the shared front end of
+    every co-purchase graph construction (edges, weighted edges,
+    wedges).
+
+    r12 optimization (guide §2.4, remove shuffles outright): the
+    previous form materialized distinct (order, part) PAIRS, then
+    re-aggregated them for the size guard, joined the guard back, and
+    self-joined the result on the order key — four/five exchanges and
+    two lineitem passes before the first pair exists. collect_set is
+    partially aggregated map-side (the shuffled bytes are the same
+    distinct pairs, packed as arrays), the size filter IS the basket
+    guard (size(set) ≡ COUNT(DISTINCT part) per order), and pair
+    generation becomes a shuffle-free explode of in-row combinations
+    — the whole front end is ONE exchange on the natural order key.
+    Set order is irrelevant downstream (pairs feed distinct /
+    groupBy-count only), so results are bit-identical."""
+    return (lineitem.groupBy("l_orderkey")
+            .agg(F.collect_set("l_partkey").alias("parts"))
+            .filter(F.size("parts") <= MAX_BASKET))
+
+
+def _basket_pairs(baskets: DataFrame, triangular: bool = False) -> DataFrame:
+    """(src, dst) co-purchase pairs exploded from each basket's part
+    array — both directions (src ≠ dst), or the a<b triangle with
+    ``triangular``. Fan-out per row is bounded by the basket guard
+    (≤ MAX_BASKET² structs)."""
+    cmp = "<" if triangular else "!="
+    return (baskets.select(F.explode(F.expr(
+        "filter(flatten(transform(parts, x -> transform(parts, "
+        f"y -> struct(x AS src, y AS dst)))), p -> p.src {cmp} p.dst)"
+    )).alias("p"))
+        .select("p.src", "p.dst"))
 
 
 #: the matching SQL front end, shared by every graph oracle
@@ -85,15 +109,7 @@ kept AS (
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Distinct directed edges (src, dst) between parts that appear in
     the same order, both directions, self-pairs excluded."""
-    kept = _kept_items(lineitem)
-    a = kept.select(F.col("l_orderkey").alias("k"),
-                    F.col("l_partkey").alias("src"))
-    b = kept.select(F.col("l_orderkey").alias("k"),
-                    F.col("l_partkey").alias("dst"))
-    return (a.join(b, "k")
-            .filter(F.col("src") != F.col("dst"))
-            .select("src", "dst")
-            .distinct())
+    return _basket_pairs(_kept_baskets(lineitem)).distinct()
 
 
 def pagerank_topk(lineitem: DataFrame, part: DataFrame,
@@ -110,8 +126,11 @@ def pagerank_topk(lineitem: DataFrame, part: DataFrame,
               .agg(F.count("*").cast("long").alias("deg")))
     # nodes = every part with at least one co-purchase (deg >= 1 by
     # construction, so there are no dangling nodes to redistribute).
-    ranks = deg.select("src", F.lit(PR_SCALE).cast("long").alias("rank"))
+    # State carries (src, deg, rank) so contrib needs NO rank⋈deg
+    # join per iteration (r12, guide §1.2: one node-sized join per
+    # round removed; the recurrence is otherwise identical).
     base = int(0.15 * PR_SCALE)
+    state = deg.withColumn("rank", F.lit(PR_SCALE).cast("long"))
     for _ in range(iters):
         # the rank/contrib vectors are NODE-sized — here the part
         # DIMENSION's cardinality (a dim table by construction), so
@@ -123,22 +142,20 @@ def pagerank_topk(lineitem: DataFrame, part: DataFrame,
         # hints and let the iteration shuffle edges on src/dst — the
         # classic Pregel exchange.
         contrib = F.broadcast(
-            ranks.join(deg, "src")
-            .select("src",
-                    F.floor(F.col("rank") / F.col("deg"))
-                    .cast("long").alias("contrib")))
+            state.select("src",
+                         F.floor(F.col("rank") / F.col("deg"))
+                         .cast("long").alias("contrib")))
         s = (edges.join(contrib, "src")
              .groupBy("dst")
              .agg(F.sum("contrib").cast("long").alias("s")))
-        ranks = (deg.select("src")
-                 .join(F.broadcast(s.withColumnRenamed("dst", "src")),
-                       "src", "left")
-                 .select("src",
+        state = (deg.join(F.broadcast(s.withColumnRenamed("dst", "src")),
+                          "src", "left")
+                 .select("src", "deg",
                          (F.lit(base)
                           + F.floor(F.coalesce(F.col("s"), F.lit(0))
                                     * F.lit(0.85)).cast("long"))
                          .alias("rank")))
-    return (ranks
+    return (state.select("src", "rank")
             .join(part.select(F.col("p_partkey").alias("src"), "p_name"),
                   "src")
             .select(F.col("src").alias("p_partkey"), "p_name",
@@ -245,13 +262,7 @@ def affinity_topk(lineitem: DataFrame, k: int = AFFINITY_TOP_K) -> DataFrame:
     hot-shingle df cap — candidate truncation is what makes item-CF
     runnable at catalog scale, and the oracle applies the same rule.
     """
-    kept = _kept_items(lineitem)
-    a = kept.select(F.col("l_orderkey").alias("k"),
-                    F.col("l_partkey").alias("src"))
-    b = kept.select(F.col("l_orderkey").alias("k"),
-                    F.col("l_partkey").alias("dst"))
-    wedges_src = (a.join(b, "k")
-                  .filter(F.col("src") != F.col("dst"))
+    wedges_src = (_basket_pairs(_kept_baskets(lineitem))
                   .groupBy("src", "dst")
                   .agg(F.count("*").cast("long").alias("w")))
 
@@ -449,24 +460,18 @@ def triangle_participation(lineitem: DataFrame, part: DataFrame,
     /3 correction, no double counting to reconcile.
 
     Scale design: the corpus-sized work is the shared basket-guarded
-    (order, part) front end (_kept_items); everything after is
+    (order, part) front end (_kept_baskets); everything after is
     edge-sized — degree agg, one orientation join, the bounded wedge
     self-join, one closing equi-join, and a node-sized participation
     aggregate into TakeOrdered(k). All integer counts; no floats
     anywhere in the plan.
     """
     from ..cache import pin
-    kept = _kept_items(lineitem)
-    a = kept.select(F.col("l_orderkey").alias("kk"),
-                    F.col("l_partkey").alias("a"))
-    b = kept.select(F.col("l_orderkey").alias("kk"),
-                    F.col("l_partkey").alias("b"))
     # und: unique undirected edges (a < b); feeds the degree agg, the
-    # orientation join, and the closing join — pin, or the order-keyed
-    # self-join + distinct recomputes three times (pagerank's lesson)
-    und = pin(a.join(b, "kk")
-              .filter(F.col("a") < F.col("b"))
-              .select("a", "b")
+    # orientation join, and the closing join — pin, or the basket
+    # explode + distinct recomputes three times (pagerank's lesson)
+    und = pin(_basket_pairs(_kept_baskets(lineitem), triangular=True)
+              .select(F.col("src").alias("a"), F.col("dst").alias("b"))
               .distinct())
     # deg is consumed twice in the orientation join (da, db) — pin,
     # or the edge-sized degree shuffle runs twice (pagerank's deg pin
@@ -627,13 +632,7 @@ def label_propagation_communities(lineitem: DataFrame,
     and shuffle edges on src — the classic Pregel exchange.
     """
     from ..cache import pin
-    kept = _kept_items(lineitem)
-    a = kept.select(F.col("l_orderkey").alias("k"),
-                    F.col("l_partkey").alias("src"))
-    b = kept.select(F.col("l_orderkey").alias("k"),
-                    F.col("l_partkey").alias("dst"))
-    edges = pin(a.join(b, "k")
-                .filter(F.col("src") != F.col("dst"))
+    edges = pin(_basket_pairs(_kept_baskets(lineitem))
                 .groupBy("src", "dst")
                 .agg(F.count("*").alias("w"))
                 .filter(F.col("w") >= LP_MIN_WEIGHT)

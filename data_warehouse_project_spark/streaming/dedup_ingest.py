@@ -122,8 +122,12 @@ def docs_dedup_ingest_incremental(spark: SparkSession,
         state = (dedup_state(batch) if state is None
                  else merge_dedup_state(state, batch))
         # truncate lineage per fold (the learn_merges discipline) so
-        # batch k's plan doesn't embed folds 1..k-1
-        state = state.localCheckpoint()
+        # batch k's plan doesn't embed folds 1..k-1. Lazy (r12): the
+        # state chain is strictly linear (each fold consumed exactly
+        # once, by the next fold or the final report join), so the
+        # truncation points can ride the one final job instead of
+        # paying a materialization job per fold.
+        state = state.localCheckpoint(eager=False)
     arrivals = fingerprinted(batched).join(
         batched.select("doc_id", "batch_idx"), "doc_id")
     return (

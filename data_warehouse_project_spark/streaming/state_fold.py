@@ -89,20 +89,37 @@ def watermark_prologue(prev: DataFrame, ev: DataFrame, lateness_s: int):
 
     Returns (wm_old, dropped_old, wm_new, horizon_new, admitted,
     n_late), with wm_new None iff no event has ever been seen.
+
+    r12 optimization (guide §1.2: fewer driver-coordinated passes):
+    the 'w' scalar read and the batch (max ts, late count) aggregate
+    used to be TWO sequential collects — two full Spark jobs per
+    fold. They fold into ONE 2-row collect: the late-count flag needs
+    the previous horizon per batch row BEFORE aggregation, so the
+    1-row 'w' frame is attached to the batch by a broadcast cross
+    join (wm_old NULL ⇒ the comparison is NULL ⇒ the sum skips it,
+    exactly the old horizon_old-is-None ⇒ flag-0 behaviour; an empty
+    batch aggregates to one all-NULL row, so the 'w' branch of the
+    union still delivers the scalars).
     """
     import datetime as dt
 
-    wrow = prev.filter(F.col("kind") == "w").select("wm", "dropped") \
-        .collect()[0]
-    wm_old, dropped = wrow["wm"], wrow["dropped"]
+    w = prev.filter(F.col("kind") == "w").select("wm", "dropped")
+    batch_agg = (
+        ev.crossJoin(F.broadcast(w.select(F.col("wm").alias("_wm"))))
+        .agg(F.max("ts").alias("t"),
+             F.sum((F.col("ts") <= F.col("_wm")
+                    - F.expr(f"INTERVAL {lateness_s} SECONDS"))
+                   .cast("long")).alias("c")))
+    rows = {r["k"]: r for r in (
+        w.select(F.lit("w").alias("k"), F.col("wm").alias("t"),
+                 F.col("dropped").cast("long").alias("c"))
+        .unionByName(batch_agg.select(F.lit("b").alias("k"), "t", "c"))
+        .collect())}
+    wm_old, dropped = rows["w"]["t"], rows["w"]["c"]
     horizon_old = (None if wm_old is None
                    else wm_old - dt.timedelta(seconds=lateness_s))
-    late_flag = (F.lit(0) if horizon_old is None
-                 else (F.col("ts") <= F.lit(horizon_old)).cast("int"))
-    brow = ev.agg(F.max("ts").alias("m"),
-                  F.coalesce(F.sum(late_flag), F.lit(0)).alias("nl")) \
-        .collect()[0]
-    batch_max, n_late = brow["m"], int(brow["nl"])
+    batch_max = rows["b"]["t"]
+    n_late = int(rows["b"]["c"] or 0)
     wm_new = (wm_old if batch_max is None
               else batch_max if wm_old is None
               else max(wm_old, batch_max))

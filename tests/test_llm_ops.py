@@ -1288,6 +1288,28 @@ def test_bpe_encode_matches_reference_on_real_corpus(spark, sf_dir):
     assert all("".join(s) == w + bpe.EOW for w, s in got.items())
 
 
+def test_bpe_encode_stats_driver_trainer_matches_distributed(spark, sf_dir):
+    """r12 optimization guard: bpe_encode_stats now trains via
+    reference_merges on the driver over the collected word counts of
+    its bounded BPE_TRAIN_DOCS slice (the slice is constant-sized, so
+    the collect is bounded at any corpus scale). The rule table must
+    equal the distributed trainer's on the exact same slice — the
+    substitution is only valid while the two trainers are
+    interchangeable."""
+    from data_warehouse_project_spark.llm import bpe
+    from data_warehouse_project_spark.sources.catalog import Catalog
+
+    sl = (Catalog(spark, sf_dir).documents
+          .orderBy("doc_id").limit(bpe.BPE_TRAIN_DOCS))
+    wc = [(r["word"], r["n"])
+          for r in bpe.word_symbol_state(sl).select("word", "n").collect()]
+    driver_rules = bpe.reference_merges(wc, bpe.N_MERGES)
+    dist_rules = bpe.learn_merges(sl, bpe.N_MERGES)
+    key = lambda rs: [(r["step"], r["left"], r["right"], r["pair_count"])  # noqa: E731
+                      for r in rs]
+    assert key(driver_rules) == key(dist_rules)
+
+
 def test_bpe_encode_oov_and_eow_merge(spark):
     """Planted: training on 'aaab'x3 + 'aab'x2 learns (a,a), (b,</w>),
     (a,b</w>) (hand-computed above). Encoding unseen words must apply
