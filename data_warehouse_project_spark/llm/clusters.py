@@ -71,12 +71,18 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
                 (F.coalesce(F.col("nbr_label"), F.col("label"))
                  < F.col("label")).alias("chg"),
             )
-            # localCheckpoint (eager): truncates the logical plan so
-            # round k's plan doesn't embed rounds 1..k-1 (planning
-            # time alone goes superlinear otherwise)
-            .localCheckpoint()
+            # lazy localCheckpoint (r12): still truncates the logical
+            # plan so round k's plan doesn't embed rounds 1..k-1
+            # (planning time alone goes superlinear otherwise), but
+            # materialization rides the convergence probe below —
+            # one job per round instead of two. Safe ONLY because the
+            # probe is a full aggregate (computes every partition);
+            # a limit()-style probe could leave checkpoint partitions
+            # uncomputed with their lineage already truncated.
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter("chg").limit(1).count()
+        changed = new_labels.agg(
+            F.sum(F.col("chg").cast("int"))).collect()[0][0] or 0
         labels.unpersist()
         labels = new_labels.drop("chg")
         if changed == 0:

@@ -254,7 +254,6 @@ def events_click_purchase_incremental(spark: SparkSession,
     pairs-per-batch-joins-miss evidence."""
     import datetime as dt
 
-    from ..cache import pin
     cat = Catalog(spark, sf_dir)
     ev = cat.events
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
@@ -269,8 +268,12 @@ def events_click_purchase_incremental(spark: SparkSession,
                 & (F.col("ts") <= F.lit(slice_hi)))
     first = ev.filter((F.col("ts") <= F.lit(mid)) & ~in_slice)
     second = ev.filter((F.col("ts") > F.lit(mid)) | in_slice)
+    # r12: localCheckpoint instead of pin — persist() caches the DATA
+    # but each of the merge's four references to the state re-embeds
+    # its full LOGICAL plan; the checkpoint truncates the plan itself
+    # (the parquet-state equivalent in the real maintainer).
     state = merge_interval_join_state(
-        pin(interval_join_state(first)), second)
+        interval_join_state(first).localCheckpoint(), second)
     return state_to_matches(state)
 
 

@@ -266,7 +266,6 @@ def events_sessions_late_tolerant(spark: SparkSession,
     invisible, session numbering and exact value sums included."""
     import datetime as dt
 
-    from ..cache import pin
     cat = Catalog(spark, sf_dir)
     ev = cat.events
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
@@ -281,15 +280,22 @@ def events_sessions_late_tolerant(spark: SparkSession,
                 & (F.col("ts") <= F.lit(slice_hi)))
     first = ev.filter((F.col("ts") <= F.lit(mid)) & ~in_slice)
     second = ev.filter((F.col("ts") > F.lit(mid)) | in_slice)
-    # BOTH states pinned here (unlike the late transition miner,
-    # which serves from two state consumers and measured a merged-
-    # state pin as a net loss): state_to_view reads the merge THREE
-    # times — finalized rows, the per-user numbering base, and the
-    # tail re-segmentation — so materializing once wins (measured
+    # BOTH states materialized here (unlike the late transition
+    # miner, which serves from two state consumers and measured a
+    # merged-state pin as a net loss): state_to_view reads the merge
+    # THREE times — finalized rows, the per-user numbering base, and
+    # the tail re-segmentation — so materializing once wins (measured
     # 7.65 s unpinned → 5.82 s pinned at sf0.1). The real maintainer
     # materializes state to parquet every fold anyway.
-    state = pin(merge_late_sessions_state(
-        pin(late_sessions_state(first)), second))
+    # r12: localCheckpoint instead of pin — persist() caches the DATA
+    # but every downstream reference still embeds the state's full
+    # LOGICAL plan (×3 in the view, ×3 again through the merge), so
+    # Catalyst re-analyzed a multiplied tree on every action; the
+    # checkpoint truncates the plan itself (the parquet-state
+    # equivalent in the real maintainer).
+    state = merge_late_sessions_state(
+        late_sessions_state(first).localCheckpoint(), second) \
+        .localCheckpoint()
     return state_to_view(state)
 
 

@@ -250,7 +250,6 @@ def events_transitions_late_tolerant(spark: SparkSession,
     fold's own scalar reads are the 'w' row.)"""
     import datetime as dt
 
-    from ..cache import pin
     cat = Catalog(spark, sf_dir)
     ev = cat.events
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
@@ -269,15 +268,20 @@ def events_transitions_late_tolerant(spark: SparkSession,
                 & (F.col("ts") <= F.lit(slice_hi)))
     first = ev.filter((F.col("ts") <= F.lit(mid)) & ~in_slice)
     second = ev.filter((F.col("ts") > F.lit(mid)) | in_slice)
-    # first-half state pinned (the merge's wrow collect materializes
-    # it once; three downstream consumers). A pin of the MERGED state
-    # was tried and rejected: it adds a fourth materialization action
-    # whose fixed job overhead exceeds what the tiny double-consumed
-    # state costs to recompute (6.0 s vs 5.3 s measured at sf0.1 —
-    # local wall here is action-count-bound, not data-bound; the real
-    # maintainer materializes state to parquet every fold anyway)
+    # first-half state checkpointed (the merge's prologue collect
+    # materializes it once; three downstream consumers). A pin of the
+    # MERGED state was tried and rejected: it adds a fourth
+    # materialization action whose fixed job overhead exceeds what the
+    # tiny double-consumed state costs to recompute (6.0 s vs 5.3 s
+    # measured at sf0.1 — local wall here is action-count-bound, not
+    # data-bound; the real maintainer materializes state to parquet
+    # every fold anyway).
+    # r12: localCheckpoint instead of pin — persist() caches the DATA
+    # but every reference re-embeds the state's full LOGICAL plan
+    # (×4 across the merge + report), so Catalyst re-analyzed a
+    # multiplied tree per action; the checkpoint truncates the plan.
     state = merge_late_transitions_state(
-        pin(late_transitions_state(first)), second)
+        late_transitions_state(first).localCheckpoint(), second)
     return state_to_report(state)
 
 
