@@ -147,32 +147,16 @@ def docs_neardup_ingest_incremental(spark: SparkSession,
         "doc_id", "text",
         F.ntile(N_INGEST_BATCHES).over(Window.orderBy("doc_id"))
         .alias("batch_idx")))
-    # r12 optimization (guide §1.2): banding is per-document map-only
-    # work, so the replay bands the WHOLE corpus in ONE pass and takes
-    # each fold's state/batch as filters of the same pinned frame —
-    # state after batch i was the union of banded(batch 1..i), i.e.
-    # exactly bands_all WHERE batch_idx <= i, row for row. The real
-    # maintainer (fold_batch_into_state) keeps its per-batch fold; the
-    # one-shot-parity and planted-fixture tests pin the equivalence.
-    # EAGER checkpoint, not a lazy pin: six filter-views consume this
-    # frame inside the one final job, and a not-yet-materialized
-    # cached plan would be computed concurrently by each of them
-    # (measured: 7.8 s vs 2.5 s) — the same multi-consumer hazard the
-    # per-batch form dodged with its per-fold eager checkpoints.
-    bands_all = (banded(batched.select("doc_id", "text"))
-                 .join(F.broadcast(batched.select("doc_id", "batch_idx")),
-                       "doc_id")
-                 .localCheckpoint())
+    state: DataFrame | None = None
     per_batch = []
     for i in range(1, N_INGEST_BATCHES + 1):
-        bb = (bands_all.filter(F.col("batch_idx") == i)
-              .select("doc_id", "band", "bucket"))
-        state = (None if i == 1
-                 else bands_all.filter(F.col("batch_idx") < i)
-                 .select("doc_id", "band", "bucket"))
+        batch = batched.filter(F.col("batch_idx") == i).drop("batch_idx")
+        bb = banded(batch).localCheckpoint()
         per_batch.append(
             arrival_candidates(state, bb)
             .withColumn("detected_batch", F.lit(i).cast("long")))
+        state = (bb if state is None
+                 else state.unionByName(bb).localCheckpoint())
     cands = per_batch[0]
     for c in per_batch[1:]:
         cands = cands.unionByName(c)
