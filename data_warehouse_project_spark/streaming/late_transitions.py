@@ -268,20 +268,17 @@ def events_transitions_late_tolerant(spark: SparkSession,
                 & (F.col("ts") <= F.lit(slice_hi)))
     first = ev.filter((F.col("ts") <= F.lit(mid)) & ~in_slice)
     second = ev.filter((F.col("ts") > F.lit(mid)) | in_slice)
-    # first-half state checkpointed (the merge's prologue collect
-    # materializes it once; three downstream consumers). A pin of the
-    # MERGED state was tried and rejected: it adds a fourth
-    # materialization action whose fixed job overhead exceeds what the
-    # tiny double-consumed state costs to recompute (6.0 s vs 5.3 s
-    # measured at sf0.1 — local wall here is action-count-bound, not
-    # data-bound; the real maintainer materializes state to parquet
-    # every fold anyway).
-    # r12: localCheckpoint instead of pin — persist() caches the DATA
-    # but every reference re-embeds the state's full LOGICAL plan
-    # (×4 across the merge + report), so Catalyst re-analyzed a
-    # multiplied tree per action; the checkpoint truncates the plan.
+    # r12: BOTH states localCheckpoint-ed (supersedes the round-7
+    # finding that a PIN of the merged state was a net loss — pin
+    # caches data but every reference re-embeds the state's full
+    # LOGICAL plan, so Catalyst re-analyzed a multiplied tree per
+    # action; the checkpoint truncates the plan itself, and the
+    # interleaved A/B reads 3.95/3.74/2.98 → 3.76/3.13/2.91 s across
+    # three passes at sf0.1. The real maintainer materializes state
+    # to parquet every fold anyway).
     state = merge_late_transitions_state(
-        late_transitions_state(first).localCheckpoint(), second)
+        late_transitions_state(first).localCheckpoint(), second) \
+        .localCheckpoint()
     return state_to_report(state)
 
 

@@ -198,7 +198,6 @@ def events_sessions_incremental(spark: SparkSession,
     be indistinguishable from rescanning history, session numbering
     and exact value sums included (the only collect is a one-row
     min/max metadata read to pick the split point)."""
-    from ..cache import pin
     cat = Catalog(spark, sf_dir)
     ev = cat.events
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
@@ -207,14 +206,18 @@ def events_sessions_incremental(spark: SparkSession,
     # build/merge pair already handles None watermarks downstream.
     import datetime as _dt
     mid = (lo + (hi - lo) / 2) if lo is not None else _dt.datetime(1970, 1, 1)
-    # pin the first-half state: the merge consumes prev three times
-    # (closed filter, untouched anti-join, open semi-join), which
-    # would re-run the half-corpus sessionize per consumer (8 events
-    # scans in the unpinned executed plan, 5 after — the round-7
-    # lineage audit). The real maintainer reads prev from the state
-    # parquet, where the re-reads are already cheap.
+    # checkpoint the first-half state: the merge consumes prev three
+    # times (closed filter, untouched anti-join, open semi-join),
+    # which would re-run the half-corpus sessionize per consumer
+    # (8 events scans in the unpinned executed plan — the round-7
+    # lineage audit). r12: localCheckpoint instead of pin — persist
+    # caches the data but each consumer still re-embeds the state's
+    # full LOGICAL plan, so Catalyst re-analyzed a multiplied tree per
+    # action (the late_sessions finding); the checkpoint truncates the
+    # plan itself, matching the real maintainer's parquet re-read.
     state = merge_sessions_state(
-        pin(sessions_state(ev.filter(F.col("ts") <= F.lit(mid)))),
+        sessions_state(ev.filter(F.col("ts") <= F.lit(mid)))
+        .localCheckpoint(),
         ev.filter(F.col("ts") > F.lit(mid)))
     return state_to_view(state)
 
