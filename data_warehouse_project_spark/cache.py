@@ -17,10 +17,16 @@ weak registry would silently lose the handle the moment the query
 function returns and the blocks would stay pinned forever.
 
 Scope note: localCheckpoint() blocks (surrogate-key bulk assignment,
-the CC loop's per-round labels) are NOT tracked here — they are
-plan-truncation points whose blocks the ContextCleaner frees
-asynchronously once the result DataFrame is dropped, and an explicit
-unpersist would corrupt still-referenced lineage.
+the CC loop's per-round labels, the fold-simulation states) cannot be
+unpersisted explicitly — an unpersist would corrupt still-referenced
+lineage; the ContextCleaner frees them asynchronously once no live
+RDD references the blocks. What a long-lived host CAN do is drop the
+*Python* references promptly: `track_ckpt` registers query-path
+checkpointed state frames, and `release_all` clears that registry, so
+between queries the only thing keeping checkpoint blocks alive is the
+caller's own handle on the result (ADVICE r12). Loop-internal
+checkpoints that are rotated out within the query (CC rounds, BPE
+rounds) are not tracked — their refs die inside the query function.
 """
 
 from __future__ import annotations
@@ -30,11 +36,23 @@ from pyspark.sql import DataFrame
 #: live intra-query persisted frames
 _PINNED: list[DataFrame] = []
 
+#: query-path localCheckpoint'ed state frames (refs only — see scope
+#: note; clearing lets the ContextCleaner reclaim executor storage)
+_CKPTS: list[DataFrame] = []
+
 
 def pin(df: DataFrame) -> DataFrame:
     """persist() a frame and track it for bulk release."""
     df.persist()
     _PINNED.append(df)
+    return df
+
+
+def track_ckpt(df: DataFrame) -> DataFrame:
+    """Track an (already) localCheckpoint'ed state frame so
+    release_all() drops the reference — no unpersist, just prompt
+    ContextCleaner eligibility on long-lived sessions."""
+    _CKPTS.append(df)
     return df
 
 
@@ -45,4 +63,5 @@ def release_all(blocking: bool = True) -> int:
     n = len(_PINNED)
     while _PINNED:
         _PINNED.pop().unpersist(blocking=blocking)
+    _CKPTS.clear()
     return n

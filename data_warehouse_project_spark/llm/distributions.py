@@ -532,8 +532,11 @@ def pca_basis(spark: SparkSession, sf_dir: str):
 def _score_expr(comp: list, mdot: float):
     """dot(embedding, comp) − dot(mean, comp) as a JVM fold over the
     broadcast literal component array."""
-    # single array literal (r12: unrolled Literal nodes cost driver
-    # analysis time; semantics identical)
+    # r12 (comment corrected r13 per ADVICE): F.lit(list) still
+    # lowers to a CreateArray of per-element Literals; the rewrite
+    # removed the per-element Cast nodes (one top-level cast now),
+    # which is where the driver-analysis saving came from; semantics
+    # identical
     arr = F.lit([float(v) for v in comp]).cast("array<double>")
     return (F.aggregate(
         F.zip_with(F.col("embedding").cast("array<double>"), arr,

@@ -68,13 +68,17 @@ def _assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
     instead of K unrolled distance trees keeps plan compile time flat
     in K — the assignment stays a shuffle-free map stage either way.
 
-    r12: the matrix is ONE nested-array literal (F.lit of the nested
-    Python list, cast to bigint), not K×dim individual Literal nodes
-    under CreateArray — the profile showed ~7 s of the query's wall
-    inside driver-side Catalyst analysis of the three 512-literal
-    expression trees, vs 0.9 s of actual job time. A single
-    ArrayType(ArrayType(Long)) literal is O(1) plan nodes; runtime
-    semantics (int64 zip_with/aggregate distance) are unchanged."""
+    r12 (comment corrected r13 per ADVICE): F.lit(nested list) still
+    lowers to the same K×dim CreateArray/Literal tree on classic
+    PySpark (verified on 4.1.2 — a true single ArrayType literal is
+    not constructible from Python without a JVM helper). What the
+    rewrite removed is the per-element Cast node each int literal
+    carried in the unrolled form (one top-level cast now covers the
+    whole matrix) — that, not node count, is where the measured
+    driver-analysis win came from (profile: ~7 s of wall inside
+    Catalyst analysis of three 512-literal trees vs 0.9 s of job
+    time; after: 1.7 s). Runtime semantics (int64
+    zip_with/aggregate distance) are unchanged."""
     matrix = F.lit([[int(c) for c in cent] for cent in cents]) \
         .cast("array<array<bigint>>")
     best = F.array_min(F.transform(

@@ -150,9 +150,11 @@ def _hyperplane_lit(n_planes: int, dim: int, seed: int = 42):
             state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
             row.append(1.0 if (state >> 63) else -1.0)
         planes.append(row)
-    # one nested-array literal, not n_planes×dim Literal nodes —
-    # the unrolled form costs measurable driver-side analysis time
-    # per plan (r12, the kmeans literal-matrix finding)
+    # F.lit(nested list) still lowers to n_planes×dim Literal nodes
+    # under CreateArray on classic PySpark; the r12 win here is the
+    # removal of the per-element Cast each unrolled literal carried
+    # (one top-level cast now) — the kmeans literal-matrix finding,
+    # comment corrected r13 per ADVICE
     return F.lit(planes).cast("array<array<double>>")
 
 

@@ -318,9 +318,21 @@ def doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     and NULL entropy.
     """
     cat = Catalog(spark, sf_dir)
+    # r13 (guide §1.2 per-task work + §2.4): profiled at sf0.1, the
+    # tokenize+explode ran THREE times (doc_pairs → lm_pairs, the
+    # scored join, and the vocab count) on the raw 2-split documents
+    # scan — three ~0.6 s 2-task jobs. The explicit repartition
+    # spreads the CPU-bound split/explode across the cores (the
+    # _with_shingles discipline: rows are few but per-row work is
+    # heavy, and AQE/scan splitting are byte-based), and the tracked
+    # pin on doc_pairs makes the (doc, w1, w2) aggregate compute once
+    # for both its consumers.
+    n_parts = spark.sparkContext.defaultParallelism
     toks = (cat.documents
+            .repartition(n_parts, "doc_id")
             .withColumn("tokens", F.split(F.trim(F.col("text")), r"\s+")))
-    doc_pairs = (
+    from ..cache import pin
+    doc_pairs = pin(
         toks.filter(F.size("tokens") >= 2)
         .select("doc_id", F.explode(F.expr(
             "transform(sequence(0, size(tokens) - 2), "

@@ -58,10 +58,16 @@ def part_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per order, and pair/part counts are order-insensitive, so the
     # results are bit-identical.
     from ..cache import pin
+    # r13: explicit hash repartition before the pin — AQE's byte-based
+    # coalescing otherwise squeezes the (small-bytes, CPU-heavy)
+    # basket explode onto ~4 tasks; see plans/graph._kept_baskets for
+    # the full rationale and the MAX_BASKET scale precondition.
+    n_parts = spark.sparkContext.defaultParallelism
     baskets = pin(
         cat.lineitem.groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("parts"))
-        .filter(F.size("parts") <= MAX_BASKET_ITEMS))
+        .filter(F.size("parts") <= MAX_BASKET_ITEMS)
+        .repartition(n_parts, "l_orderkey"))
     pairs = (
         baskets.select(F.explode(F.expr(
             "filter(flatten(transform(parts, x -> transform(parts, "

@@ -55,6 +55,27 @@ MAX_BASKET = 30
 #: report size.
 PR_TOP_K = 20
 
+#: rows per partition when compacting a pinned iteration frame —
+#: iteration frames are narrow (2-3 longs/row), so ~4M rows ≈ 100 MB
+#: in memory, the guide §2.2 partition-size band. Derived from a
+#: COUNT of the materialized pin, so the compaction is data-adaptive:
+#: at sf0.1 the edge frames collapse to 1 partition (the 8-core bench
+#: beating 32 cores on the iterative family was the measured evidence
+#: that 32-way dispatch on tiny cached partitions is net overhead —
+#: VERDICT r12 #7), while a cluster-scale edge list keeps
+#: rows/4M partitions and coalesce never *increases* a frame's
+#: partition count.
+ITER_ROWS_PER_PART = 4_000_000
+
+
+def _compact_pin(df: DataFrame, n_rows: int) -> DataFrame:
+    """Coalesce an already-materialized pinned frame to a rows-derived
+    partition count (narrow transformation — reads the cache, no
+    shuffle). Call only after the pin is materialized (e.g. by the
+    count that produced ``n_rows``)."""
+    return df.coalesce(max(1, (n_rows + ITER_ROWS_PER_PART - 1)
+                           // ITER_ROWS_PER_PART))
+
 
 def _kept_baskets(lineitem: DataFrame) -> DataFrame:
     """(l_orderkey, parts): each guard-surviving order's DISTINCT part
@@ -73,10 +94,35 @@ def _kept_baskets(lineitem: DataFrame) -> DataFrame:
     generation becomes a shuffle-free explode of in-row combinations
     — the whole front end is ONE exchange on the natural order key.
     Set order is irrelevant downstream (pairs feed distinct /
-    groupBy-count only), so results are bit-identical."""
+    groupBy-count only), so results are bit-identical.
+
+    r13 optimization (guide §2.5 input skew / §1.2 per-task work):
+    the basket frame is small in BYTES but the downstream combination
+    explode is heavy in CPU, so AQE's byte-based coalescing squeezed
+    the post-aggregate stage onto ~4 tasks at sf0.1 (profiled: the
+    front end was a 1.0-1.2 s 4-task job inside every graph query).
+    The explicit hash repartition pins the explode stage at
+    defaultParallelism — cores-proportional, which is the right
+    sizing for a CPU-bound stage at any cluster size; the exchanged
+    rows are the compact per-order arrays, not lineitem. Same
+    discipline as llm/dedup._with_shingles.
+
+    Scale precondition (VERDICT r12 #2): the per-order set is
+    materialized BEFORE the size(parts) <= MAX_BASKET filter, so one
+    pathological order key carrying millions of distinct parts would
+    build an unbounded in-memory array on a single task. On this
+    schema the order key is generator-bounded (TPC-H orders carry
+    <= 7 lineitems; the synthetic events/docs generators <= ~15), so
+    the guard can run AFTER the cheap one-pass aggregate. On an
+    UNBOUNDED key domain, pre-filter order keys with a count
+    aggregate (the pre-r12 two-pass form) before collecting sets —
+    the two-pass shape costs one extra lineitem exchange, which is
+    exactly what this fast path removes when the bound is known."""
+    n_parts = lineitem.sparkSession.sparkContext.defaultParallelism
     return (lineitem.groupBy("l_orderkey")
             .agg(F.collect_set("l_partkey").alias("parts"))
-            .filter(F.size("parts") <= MAX_BASKET))
+            .filter(F.size("parts") <= MAX_BASKET)
+            .repartition(n_parts, "l_orderkey"))
 
 
 def _basket_pairs(baskets: DataFrame, triangular: bool = False) -> DataFrame:
@@ -122,6 +168,14 @@ def pagerank_topk(lineitem: DataFrame, part: DataFrame,
     # At 100 TB the same move is materializing the edge table once
     # before the power iterations.
     edges = pin(copurchase_edges(lineitem))
+    # r13 (VERDICT r12 #7, inverse scaling): materialize the pin once
+    # and compact the iteration frames to a rows-derived partition
+    # count — every per-iteration job then dispatches tasks
+    # proportional to the DATA, not to the core count (at sf0.1 the
+    # 2.4M-row edge frame is 1 partition; 32-way dispatch on tiny
+    # cached partitions measured as pure overhead: the full bench ran
+    # FASTER at 8 cores than 32).
+    edges = _compact_pin(edges, edges.count())
     deg = pin(edges.groupBy("src")
               .agg(F.count("*").cast("long").alias("deg")))
     # nodes = every part with at least one co-purchase (deg >= 1 by
@@ -494,29 +548,69 @@ def triangle_participation(lineitem: DataFrame, part: DataFrame,
             F.when(lower_first, F.col("db.deg")).otherwise(F.col("da.deg"))
             .alias("vdeg")))
     o1, o2 = ov.alias("o1"), ov.alias("o2")
+    # wedge rows carry the closing-join key pre-ordered as (lo, hi):
+    # {lo, hi} = {v1, v2}, so the participation explode over
+    # (u, lo, hi) counts the identical node multiset
     wedges = (
         o1.join(o2, F.col("o1.u") == F.col("o2.u"))
         .filter((F.col("o1.vdeg") < F.col("o2.vdeg"))
                 | ((F.col("o1.vdeg") == F.col("o2.vdeg"))
                    & (F.col("o1.v") < F.col("o2.v"))))
-        .select(F.col("o1.u").alias("u"), F.col("o1.v").alias("v1"),
-                F.col("o2.v").alias("v2")))
-    # closing join: SHUFFLE_HASH on the edge side, not SMJ. The wedge
-    # stream is the O(m^1.5) side and must NEVER be sorted: without
-    # the hint, AQE broadcasts und at small sf but flips to sort-merge
-    # once und outgrows the broadcast threshold — the derived-sf1.0
-    # probe (SCALING.md #13) measured that flip as a 117x shuffle-byte
-    # jump + 22 GB of sort spill at 10x data. With the hint the edge
-    # side builds a per-partition hash map and the wedge stream is
-    # hash-exchanged once (linear in wedge count) and probed unsorted.
-    # AQE may still demote to broadcast where und genuinely fits — the
-    # hint only forbids the sort-merge path.
+        .select(F.col("o1.u").alias("u"),
+                F.least("o1.v", "o2.v").alias("lo"),
+                F.greatest("o1.v", "o2.v").alias("hi")))
+    # r13 (guide §3.2, Bloom-filter pre-filtering): only ~4.6% of the
+    # O(m^1.5) wedge stream closes into a triangle at sf0.1 (measured:
+    # 41.1M wedges → 1.88M triangles), yet every wedge row used to be
+    # hash-exchanged for the closing join — 413 MB of shuffle write,
+    # the engine's single largest exchange. A Bloom filter over the
+    # edge keys (built from the pinned und, 16 bits/edge, 2 probes ⇒
+    # ~1.4% false positives) drops definitely-non-closing wedges
+    # BEFORE the exchange. False positives only cost extra shuffle;
+    # there are no false negatives, so the join result is unchanged.
+    # The probe is two O(1) broadcast-hash lookups against the
+    # (word → 64-bit lane) bitmap rows — a dense in-row array would
+    # need a driver collect or an O(n) map probe, both worse.
+    n_edges = und.count()
+    if n_edges > 0:
+        nbits = max(1 << 10, 1 << (16 * n_edges - 1).bit_length())
+        mask = nbits - 1
+        bm = pin(
+            und.select(F.explode(F.array(
+                F.xxhash64("a", "b").bitwiseAND(F.lit(mask)),
+                F.xxhash64("a", "b", F.lit(1)).bitwiseAND(F.lit(mask))))
+                .alias("p"))
+            .select(F.shiftright("p", 6).alias("w"),
+                    F.expr("shiftleft(1L, cast(p & 63 as int))").alias("b"))
+            .groupBy("w").agg(F.expr("bit_or(b)").alias("bits")))
+        probed = wedges.select(
+            "u", "lo", "hi",
+            F.xxhash64("lo", "hi").bitwiseAND(F.lit(mask)).alias("p1"),
+            F.xxhash64("lo", "hi", F.lit(1)).bitwiseAND(F.lit(mask))
+            .alias("p2"))
+        bm1 = F.broadcast(bm.select(F.col("w").alias("w1"),
+                                    F.col("bits").alias("bits1")))
+        bm2 = F.broadcast(bm.select(F.col("w").alias("w2"),
+                                    F.col("bits").alias("bits2")))
+        # inner joins: a probe word with no bitmap row has all-zero
+        # lanes — the wedge is definitely non-closing, dropping it is
+        # the filter
+        wedges = (
+            probed
+            .withColumn("w1", F.shiftright("p1", 6))
+            .join(bm1, "w1")
+            .filter(F.col("bits1").bitwiseAND(
+                F.expr("shiftleft(1L, cast(p1 & 63 as int))")) != 0)
+            .withColumn("w2", F.shiftright("p2", 6))
+            .join(bm2, "w2")
+            .filter(F.col("bits2").bitwiseAND(
+                F.expr("shiftleft(1L, cast(p2 & 63 as int))")) != 0)
+            .select("u", "lo", "hi"))
     tri = wedges.join(
         und.hint("shuffle_hash"),
-        (F.least("v1", "v2") == F.col("a"))
-        & (F.greatest("v1", "v2") == F.col("b")))
+        (F.col("lo") == F.col("a")) & (F.col("hi") == F.col("b")))
     parts = (
-        tri.select(F.explode(F.array("u", "v1", "v2")).alias("n"))
+        tri.select(F.explode(F.array("u", "lo", "hi")).alias("n"))
         .groupBy("n")
         .agg(F.count("*").cast("long").alias("n_triangles")))
     return (
@@ -637,6 +731,10 @@ def label_propagation_communities(lineitem: DataFrame,
                 .agg(F.count("*").alias("w"))
                 .filter(F.col("w") >= LP_MIN_WEIGHT)
                 .select("src", "dst"))
+    # r13: compact the pinned edge frame to a rows-derived partition
+    # count before the rounds (see pagerank_topk — same inverse-
+    # scaling evidence; every round scans this frame once).
+    edges = _compact_pin(edges, edges.count())
     labels = (edges.select(F.col("src").alias("node"))
               .distinct()
               .select("node", F.col("node").alias("label")))

@@ -272,8 +272,11 @@ def events_click_purchase_incremental(spark: SparkSession,
     # but each of the merge's four references to the state re-embeds
     # its full LOGICAL plan; the checkpoint truncates the plan itself
     # (the parquet-state equivalent in the real maintainer).
+    # track_ckpt: registers the checkpoint ref so release_all() on a
+    # long-lived host drops it promptly (cache.py scope note).
+    from ..cache import track_ckpt
     state = merge_interval_join_state(
-        interval_join_state(first).localCheckpoint(), second)
+        track_ckpt(interval_join_state(first).localCheckpoint()), second)
     return state_to_matches(state)
 
 

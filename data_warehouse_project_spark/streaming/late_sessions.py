@@ -293,9 +293,12 @@ def events_sessions_late_tolerant(spark: SparkSession,
     # Catalyst re-analyzed a multiplied tree on every action; the
     # checkpoint truncates the plan itself (the parquet-state
     # equivalent in the real maintainer).
-    state = merge_late_sessions_state(
-        late_sessions_state(first).localCheckpoint(), second) \
-        .localCheckpoint()
+    # track_ckpt: registers the checkpoint refs so release_all() on a
+    # long-lived host drops them promptly (cache.py scope note).
+    from ..cache import track_ckpt
+    state = track_ckpt(merge_late_sessions_state(
+        track_ckpt(late_sessions_state(first).localCheckpoint()),
+        second).localCheckpoint())
     return state_to_view(state)
 
 

@@ -276,9 +276,12 @@ def events_transitions_late_tolerant(spark: SparkSession,
     # interleaved A/B reads 3.95/3.74/2.98 → 3.76/3.13/2.91 s across
     # three passes at sf0.1. The real maintainer materializes state
     # to parquet every fold anyway).
-    state = merge_late_transitions_state(
-        late_transitions_state(first).localCheckpoint(), second) \
-        .localCheckpoint()
+    # track_ckpt: registers the checkpoint refs so release_all() on a
+    # long-lived host drops them promptly (cache.py scope note).
+    from ..cache import track_ckpt
+    state = track_ckpt(merge_late_transitions_state(
+        track_ckpt(late_transitions_state(first).localCheckpoint()),
+        second).localCheckpoint())
     return state_to_report(state)
 
 

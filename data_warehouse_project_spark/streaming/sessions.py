@@ -215,9 +215,12 @@ def events_sessions_incremental(spark: SparkSession,
     # full LOGICAL plan, so Catalyst re-analyzed a multiplied tree per
     # action (the late_sessions finding); the checkpoint truncates the
     # plan itself, matching the real maintainer's parquet re-read.
+    # track_ckpt: registers the checkpoint refs so release_all() on a
+    # long-lived host drops them promptly (cache.py scope note).
+    from ..cache import track_ckpt
     state = merge_sessions_state(
-        sessions_state(ev.filter(F.col("ts") <= F.lit(mid)))
-        .localCheckpoint(),
+        track_ckpt(sessions_state(ev.filter(F.col("ts") <= F.lit(mid)))
+                   .localCheckpoint()),
         ev.filter(F.col("ts") > F.lit(mid)))
     return state_to_view(state)
 

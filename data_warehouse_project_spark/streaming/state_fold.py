@@ -110,11 +110,21 @@ def watermark_prologue(prev: DataFrame, ev: DataFrame, lateness_s: int):
              F.sum((F.col("ts") <= F.col("_wm")
                     - F.expr(f"INTERVAL {lateness_s} SECONDS"))
                    .cast("long")).alias("c")))
-    rows = {r["k"]: r for r in (
+    collected = (
         w.select(F.lit("w").alias("k"), F.col("wm").alias("t"),
                  F.col("dropped").cast("long").alias("c"))
         .unionByName(batch_agg.select(F.lit("b").alias("k"), "t", "c"))
-        .collect())}
+        .collect())
+    # invariant guard (ADVICE r12): state must carry EXACTLY ONE 'w'
+    # row. A duplicate would silently multiply every batch event
+    # through the crossJoin above (inflating n_late) and leave the
+    # dict below keeping an arbitrary copy; fail loudly instead.
+    if len(collected) != 2 or sum(1 for r in collected if r["k"] == "w") != 1:
+        raise ValueError(
+            "watermark state invariant violated: expected exactly one "
+            f"'w' row + one batch aggregate, got {len(collected)} rows "
+            f"({[r['k'] for r in collected]})")
+    rows = {r["k"]: r for r in collected}
     wm_old, dropped = rows["w"]["t"], rows["w"]["c"]
     horizon_old = (None if wm_old is None
                    else wm_old - dt.timedelta(seconds=lateness_s))
