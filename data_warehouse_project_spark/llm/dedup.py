@@ -178,36 +178,28 @@ def _ngram_candidates(sh_all: DataFrame, df_cap: int) -> DataFrame:
     sh = sh_all.select("doc_id", F.explode("shingles").alias("shingle"))
     # hot list: small by construction (boilerplate shingles are few;
     # at corpus scale this aggregation is the same shuffle the
-    # blocking join pays anyway, and can come from a sampled pass).
-    # The anti-join is also the SCALE GUARD for the groupBy below: it
-    # bounds every surviving shingle's membership at df_cap, so the
-    # collected posting list can never blow up on a boilerplate
-    # shingle (the unbounded-collect hazard VERDICT r12 #2 flags).
+    # blocking join pays anyway, and can come from a sampled pass)
     hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
            .filter(F.col("df") > df_cap)
            .select("shingle"))
     blocked = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    # r13 (guide §2.4): pair generation was a self-join of `blocked`
-    # with itself — TWO 0.75 s passes over the exploded shingle frame
-    # at sf0.1 plus a join exchange per branch. The groupBy-and-pair
-    # pattern the MinHash bucket pipeline already uses consumes
-    # `blocked` ONCE: collect the (≤ df_cap, sorted, distinct)
-    # posting list per shingle and explode the triangular in-row
-    # combinations. Same pair set: sort_array(collect_set) makes
-    # doc_a < doc_b by construction (collect_set also collapses the
-    # theoretical same-doc hash-collision duplicate the old
-    # a.doc_id < b.doc_id predicate excluded), and the trailing
-    # distinct is unchanged.
+    # r13 MEASURED AND REVERTED (negative result): replacing this
+    # self-join with the MinHash-style groupBy(shingle) +
+    # sort_array(collect_set) posting-list explode looked like it
+    # should remove a pass — but the two join branches already share
+    # ONE exchange via ReusedExchange, while collect_set plans as a
+    # codegen-disabled ObjectHashAggregate. Isolated per-process
+    # min-of-4 at sf0.1: self-join 1.82/1.89 s vs posting-list
+    # 2.71/2.42 s (bench-context reads were parity). The join form
+    # stays; it is also the scale-safer shape (no in-row list ever
+    # materializes, even capped).
+    a = blocked.alias("a")
+    b = blocked.alias("b")
     return (
-        blocked.groupBy("shingle")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
-        .select(F.explode(F.expr(
-            "flatten(transform(ds, (x, i) -> "
-            "transform(slice(ds, i + 2, size(ds) - i - 1), "
-            "y -> struct(x AS doc_a, y AS doc_b))))"
-        )).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 

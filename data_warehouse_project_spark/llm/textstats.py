@@ -318,21 +318,23 @@ def doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     and NULL entropy.
     """
     cat = Catalog(spark, sf_dir)
-    # r13 (guide §1.2 per-task work + §2.4): profiled at sf0.1, the
+    # r13 (guide §1.2 per-task work): profiled at sf0.1, the
     # tokenize+explode ran THREE times (doc_pairs → lm_pairs, the
     # scored join, and the vocab count) on the raw 2-split documents
     # scan — three ~0.6 s 2-task jobs. The explicit repartition
     # spreads the CPU-bound split/explode across the cores (the
     # _with_shingles discipline: rows are few but per-row work is
-    # heavy, and AQE/scan splitting are byte-based), and the tracked
-    # pin on doc_pairs makes the (doc, w1, w2) aggregate compute once
-    # for both its consumers.
+    # heavy, and AQE/scan splitting are byte-based). A tracked pin on
+    # doc_pairs was ALSO tried and measured a net loss (min-of-3
+    # 2.01 s pinned vs 1.78 s unpinned at sf0.1): the broadcast
+    # builds of lm_pairs/left_totals overlap in the scheduler, so the
+    # duplicate aggregate compute is already hidden, while the pin
+    # pays serialization up front on every run.
     n_parts = spark.sparkContext.defaultParallelism
     toks = (cat.documents
             .repartition(n_parts, "doc_id")
             .withColumn("tokens", F.split(F.trim(F.col("text")), r"\s+")))
-    from ..cache import pin
-    doc_pairs = pin(
+    doc_pairs = (
         toks.filter(F.size("tokens") >= 2)
         .select("doc_id", F.explode(F.expr(
             "transform(sequence(0, size(tokens) - 2), "

@@ -663,11 +663,20 @@ def test_triangle_closing_join_pinned_shuffle_hash(no_broadcast, sf_dir):
     df = registry.queries()["part_triangle_participation"](
         no_broadcast, sf_dir)
     plan = _plan(df, "simple")
-    closing = [l for l in plan.splitlines()
-               if "Join" in l and "least(" in l and "greatest(" in l]
-    assert closing, "closing join (least/greatest keys) not found"
+    # r13: the (least, greatest) key is now computed INSIDE the wedge
+    # projection (as lo/hi) so the exchange carries the pre-ordered
+    # key — the closing join is identified by its lo/hi join keys
+    closing = [l for l in plan.splitlines() if "Join [lo#" in l]
+    assert closing, "closing join (lo/hi keys) not found"
     assert all("ShuffledHashJoin" in l for l in closing), closing
     assert not any("SortMergeJoin" in l for l in closing), closing
+    # r13: the Bloom prune must sit on the wedge stream BEFORE the
+    # closing exchange — two broadcast-hash probes on the bitmap
+    # word index (explicit F.broadcast, immune to the threshold)
+    probes = [l for l in plan.splitlines()
+              if "BroadcastHashJoin [w1#" in l
+              or "BroadcastHashJoin [w2#" in l]
+    assert len(probes) == 2, (probes, "bloom probe joins missing")
 
 
 def test_embedding_dedup_verify_joins_pinned_shuffle_hash(
